@@ -1,0 +1,494 @@
+"""Transaction log: manifests + snapshots + optimistic-concurrency commits.
+
+This is the piece the reference gets for free from the Delta Lake
+transaction log (``/root/reference/ofl/platform/io.py:14-31`` stores every
+table as Delta; ``ofl/streaming/bronze.py:185-194`` leans on Delta's
+``txnAppId``/``txnVersion`` ledger for idempotent replay) and that we must
+build from scratch — the north rule forbids reusing Delta.
+
+Design (Avro-free, JSON, atomic-rename; the atomic ``os.replace`` staged
+publication pattern is taken from the reference's producer,
+``ofl/streaming/producer.py:96-112``):
+
+table_root/
+  data/<uuid>.parquet              -- immutable data files, visible only via manifests
+  txlog/
+    manifest-<uuid>.json           -- immutable list of FileEntry (per-file min/max stats)
+    snapshot-<version 10d>.json    -- snapshot: ordered manifest list + commit metadata
+    _staging/                      -- temp files, renamed/linked into place atomically
+    jobs/<job_id>/part-<k>.json    -- per-partition lineage records (checkpoint/resume)
+
+Commit protocol (optimistic concurrency, serializable at file granularity):
+
+1. A commit declares ``base_version``, the set of data-file paths it
+   *removes*, the set it *read* (content its outputs depend on), and the
+   new ``FileEntry`` rows it *adds*.
+2. The new snapshot's manifest list = parent's manifests with removed
+   entries dropped (manifests containing removed files are rewritten,
+   untouched manifests are carried **by name** — shared structurally, as
+   in Iceberg) + one fresh manifest holding the added entries.
+3. Publication is a hard-link CAS: ``os.link(staged, snapshot-<v+1>)``
+   fails with ``FileExistsError`` iff another writer won the race. On
+   loss we reload the log; if any intervening commit removed a file we
+   read or planned to remove, that is a true conflict
+   (:class:`CommitConflict`) and the caller must replan (the analog of
+   the reference serializing writers via ``max_active_runs=1``,
+   ``orchestration/airflow/dags/ofl_dags.py:176`` — we allow concurrency
+   and detect the overlap instead). Otherwise the commit rebases
+   automatically: compaction of files untouched by a concurrent MERGE
+   commutes.
+4. Idempotency: a commit carries a ``job_id``; if a snapshot with that
+   job_id already exists the commit is a no-op returning the existing
+   snapshot — the Delta ``txnAppId/txnVersion`` replay-guard semantics
+   (``ofl/streaming/bronze.py:185-194``, measured in
+   ``tools/streaming_idempotence.py:57-92``).
+
+Everything here is pure Python (no Ray): property-testable offline, the
+same discipline as the reference's JVM-free window-arithmetic mirror
+(``ofl/streaming/windows.py:1-28``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+SNAPSHOT_PREFIX = "snapshot-"
+MANIFEST_PREFIX = "manifest-"
+
+
+class CommitConflict(Exception):
+    """A concurrent commit removed files this commit read or removes.
+
+    The loser must replan against the new head (re-read inputs that were
+    rewritten) — rebasing blindly would commit results derived from
+    files that no longer exist in the table.
+    """
+
+
+class StaleTableError(Exception):
+    """The table has no snapshot yet / a referenced snapshot is missing."""
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    """One immutable data file plus its scan-pruning stats.
+
+    ``stats`` maps column name -> [min, max] with JSON-native values
+    (timestamps as int epoch-microseconds). ``z_range`` is the [min, max]
+    of the 64-bit Z/Hilbert key when the file was written clustered.
+    """
+
+    path: str  # relative to table root, e.g. "data/<uuid>.parquet"
+    rows: int
+    bytes: int
+    stats: dict[str, list[Any]] = field(default_factory=dict)
+    z_range: list[int] | None = None
+    sorted_by: list[str] | None = None
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "stats": self.stats,
+            "z_range": self.z_range,
+            "sorted_by": self.sorted_by,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "FileEntry":
+        return FileEntry(
+            path=d["path"],
+            rows=int(d["rows"]),
+            bytes=int(d["bytes"]),
+            stats=d.get("stats") or {},
+            z_range=d.get("z_range"),
+            sorted_by=d.get("sorted_by"),
+        )
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    parent: int | None
+    operation: str  # ingest | compact | zorder | merge | rewrite-manifests | expire
+    job_id: str
+    manifests: list[str]  # manifest file names, order = table order
+    removed_paths: list[str]  # data files removed by THIS commit (conflict detection)
+    added_paths: list[str]
+    summary: dict[str, Any]  # rows / bytes / files after this commit + op metrics
+    committed_at: float
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "operation": self.operation,
+            "job_id": self.job_id,
+            "manifests": self.manifests,
+            "removed_paths": self.removed_paths,
+            "added_paths": self.added_paths,
+            "summary": self.summary,
+            "committed_at": self.committed_at,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            version=int(d["version"]),
+            parent=d["parent"],
+            operation=d["operation"],
+            job_id=d["job_id"],
+            manifests=list(d["manifests"]),
+            removed_paths=list(d.get("removed_paths") or []),
+            added_paths=list(d.get("added_paths") or []),
+            summary=d.get("summary") or {},
+            committed_at=float(d.get("committed_at") or 0.0),
+        )
+
+
+def _atomic_write_json(staging_dir: str, final_path: str, payload: dict[str, Any]) -> None:
+    """Write JSON to staging then ``os.replace`` into place (last-wins)."""
+    os.makedirs(staging_dir, exist_ok=True)
+    tmp = os.path.join(staging_dir, f"tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final_path)
+
+
+def _atomic_create_json(staging_dir: str, final_path: str, payload: dict[str, Any]) -> bool:
+    """Create-if-absent via hard-link CAS. True iff this writer won."""
+    os.makedirs(staging_dir, exist_ok=True)
+    tmp = os.path.join(staging_dir, f"tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final_path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+class TableLog:
+    """Reader/writer for one table's transaction log. Stateless between calls
+    (all state is on disk), so any number of processes may hold one."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.txdir = os.path.join(root, "txlog")
+        self.datadir = os.path.join(root, "data")
+        self.staging = os.path.join(self.txdir, "_staging")
+        self.jobsdir = os.path.join(self.txdir, "jobs")
+
+    # ---------- bootstrap ----------
+
+    def create(self) -> None:
+        os.makedirs(self.datadir, exist_ok=True)
+        os.makedirs(self.txdir, exist_ok=True)
+        os.makedirs(self.staging, exist_ok=True)
+        os.makedirs(self.jobsdir, exist_ok=True)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.txdir)
+
+    # ---------- reads ----------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.txdir):
+            return []
+        out = []
+        for name in os.listdir(self.txdir):
+            if name.startswith(SNAPSHOT_PREFIX) and name.endswith(".json"):
+                try:
+                    out.append(int(name[len(SNAPSHOT_PREFIX) : -5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _snapshot_path(self, version: int) -> str:
+        return os.path.join(self.txdir, f"{SNAPSHOT_PREFIX}{version:010d}.json")
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise StaleTableError(f"no snapshot in {self.txdir}")
+        path = self._snapshot_path(version)
+        if not os.path.exists(path):
+            raise StaleTableError(f"missing snapshot {version} in {self.txdir}")
+        with open(path) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def read_manifest(self, name: str) -> list[FileEntry]:
+        with open(os.path.join(self.txdir, name)) as f:
+            d = json.load(f)
+        return [FileEntry.from_json(e) for e in d["entries"]]
+
+    def files(self, version: int | None = None) -> list[FileEntry]:
+        """The table's live data files at a snapshot, in manifest order."""
+        snap = self.snapshot(version)
+        out: list[FileEntry] = []
+        for m in snap.manifests:
+            out.extend(self.read_manifest(m))
+        return out
+
+    def file_paths(self, version: int | None = None) -> list[str]:
+        return [os.path.join(self.root, e.path) for e in self.files(version)]
+
+    def find_commit(self, job_id: str) -> Snapshot | None:
+        for v in self.versions():
+            s = self.snapshot(v)
+            if s.job_id == job_id:
+                return s
+        return None
+
+    # ---------- writes ----------
+
+    def write_manifest(self, entries: Iterable[FileEntry]) -> str:
+        name = f"{MANIFEST_PREFIX}{uuid.uuid4().hex}.json"
+        _atomic_write_json(
+            self.staging,
+            os.path.join(self.txdir, name),
+            {"entries": [e.to_json() for e in entries]},
+        )
+        return name
+
+    def commit(
+        self,
+        *,
+        operation: str,
+        job_id: str,
+        added: list[FileEntry],
+        removed_paths: set[str] | None = None,
+        read_paths: set[str] | None = None,
+        base_version: int | None = None,
+        summary: dict[str, Any] | None = None,
+        max_retries: int = 20,
+    ) -> Snapshot:
+        """Commit a change; returns the published (or pre-existing) snapshot.
+
+        ``removed_paths``/``read_paths`` are table-relative data paths.
+        ``base_version=None`` means "create the table" (parent = current
+        head if one exists, with nothing removed).
+        """
+        removed = set(removed_paths or ())
+        read = set(read_paths or ())
+        for _ in range(max_retries):
+            existing = self.find_commit(job_id)
+            if existing is not None:
+                return existing  # idempotent replay: no-op (ST2 semantics)
+
+            head = self.current_version()
+            if base_version is not None and head is not None and head != base_version:
+                # someone committed since we planned: check true conflicts
+                self._check_conflicts(base_version, head, removed | read)
+                base_version = head  # safe rebase
+            parent = head
+            new_version = (head or 0) + 1 if head is not None else 1
+
+            # build manifest list: rewrite manifests containing removed
+            # entries, carry the rest by name, append one for added files
+            manifests: list[str] = []
+            if parent is not None:
+                parent_snap = self.snapshot(parent)
+                for m in parent_snap.manifests:
+                    entries = self.read_manifest(m)
+                    if removed and any(e.path in removed for e in entries):
+                        kept = [e for e in entries if e.path not in removed]
+                        if kept:
+                            manifests.append(self.write_manifest(kept))
+                    else:
+                        manifests.append(m)
+            new_manifest = self.write_manifest(added) if added else None
+            if new_manifest:
+                manifests.append(new_manifest)
+
+            live = []
+            for m in manifests:
+                live.extend(self.read_manifest(m))
+            snap = Snapshot(
+                version=new_version,
+                parent=parent,
+                operation=operation,
+                job_id=job_id,
+                manifests=manifests,
+                removed_paths=sorted(removed),
+                added_paths=sorted(e.path for e in added),
+                summary={
+                    "files": len(live),
+                    "rows": sum(e.rows for e in live),
+                    "bytes": sum(e.bytes for e in live),
+                    **(summary or {}),
+                },
+                committed_at=time.time(),
+            )
+            if _atomic_create_json(self.staging, self._snapshot_path(new_version), snap.to_json()):
+                return snap
+            # lost the CAS: loop — next pass re-checks conflicts vs new head
+            if base_version is None:
+                base_version = self.current_version()
+        raise RuntimeError(f"commit contention: gave up after {max_retries} retries")
+
+    def _check_conflicts(self, base: int, head: int, depends_on: set[str]) -> None:
+        """Raise CommitConflict iff a commit in (base, head] removed any
+        file in ``depends_on`` (files we read or plan to remove)."""
+        if not depends_on:
+            return
+        for v in range(base + 1, head + 1):
+            s = self.snapshot(v)
+            overlap = depends_on.intersection(s.removed_paths)
+            if overlap:
+                raise CommitConflict(
+                    f"commit v{v} ({s.operation}, job={s.job_id}) removed "
+                    f"{len(overlap)} file(s) this commit depends on, e.g. "
+                    f"{sorted(overlap)[:3]}"
+                )
+
+    # ---------- per-job partition lineage (checkpoint / resume) ----------
+    # The analog of the reference's streaming checkpoints: offsets claimed
+    # before work, commits recorded after, restart resumes at the next id
+    # (docs/STREAMING.md:120-129). Here the unit is a partition (bin /
+    # merge bucket), and the record is its lineage: inputs -> outputs.
+
+    def job_dir(self, job_id: str) -> str:
+        return os.path.join(self.jobsdir, job_id)
+
+    def record_partition(self, job_id: str, part_id: str, record: dict[str, Any]) -> None:
+        """Atomically persist one partition's lineage record. Overwrites are
+        harmless: the record is a deterministic function of the plan."""
+        jdir = self.job_dir(job_id)
+        os.makedirs(jdir, exist_ok=True)
+        _atomic_write_json(self.staging, os.path.join(jdir, f"part-{part_id}.json"), record)
+
+    def committed_partitions(self, job_id: str) -> dict[str, dict[str, Any]]:
+        jdir = self.job_dir(job_id)
+        if not os.path.isdir(jdir):
+            return {}
+        out: dict[str, dict[str, Any]] = {}
+        for name in os.listdir(jdir):
+            if name.startswith("part-") and name.endswith(".json"):
+                with open(os.path.join(jdir, name)) as f:
+                    out[name[len("part-") : -5]] = json.load(f)
+        return out
+
+    def clear_job(self, job_id: str) -> None:
+        jdir = self.job_dir(job_id)
+        if os.path.isdir(jdir):
+            for name in os.listdir(jdir):
+                os.unlink(os.path.join(jdir, name))
+            os.rmdir(jdir)
+
+    # ---------- expire (reference-counted vacuum) ----------
+
+    def expire_snapshots(
+        self,
+        *,
+        keep_last: int = 1,
+        retain_seconds: float = 0.0,
+        now: float | None = None,
+        dry_run: bool = False,
+    ) -> dict[str, Any]:
+        """Expire old snapshots and delete data files / manifests no longer
+        referenced by any retained snapshot.
+
+        Semantics of Delta ``VACUUM ... RETAIN n HOURS``
+        (``ofl/transform/spark/silver.py:372-373``): the current snapshot is
+        always retained; a snapshot is expirable only if it is not among the
+        newest ``keep_last`` AND is older than ``retain_seconds``. Liveness
+        is reference-counted: a data file dies only when its refcount over
+        retained snapshots' manifests reaches zero.
+        """
+        now = time.time() if now is None else now
+        versions = self.versions()
+        if not versions:
+            return {"expired_snapshots": [], "deleted_files": [], "deleted_manifests": []}
+        keep_last = max(1, keep_last)
+        retained: list[int] = []
+        expired: list[int] = []
+        cutoff = now - retain_seconds
+        for i, v in enumerate(versions):
+            s = self.snapshot(v)
+            is_newest = i >= len(versions) - keep_last
+            if is_newest or s.committed_at > cutoff:
+                retained.append(v)
+            else:
+                expired.append(v)
+        if not expired:
+            return {"expired_snapshots": [], "deleted_files": [], "deleted_manifests": []}
+
+        # refcounts over retained snapshots
+        live_manifests: set[str] = set()
+        for v in retained:
+            live_manifests.update(self.snapshot(v).manifests)
+        live_files: set[str] = set()
+        for m in live_manifests:
+            live_files.update(e.path for e in self.read_manifest(m))
+
+        dead_manifests: set[str] = set()
+        dead_files: set[str] = set()
+        for v in expired:
+            s = self.snapshot(v)
+            for m in s.manifests:
+                if m not in live_manifests:
+                    dead_manifests.add(m)
+        for m in dead_manifests:
+            for e in self.read_manifest(m):
+                if e.path not in live_files:
+                    dead_files.add(e.path)
+
+        if not dry_run:
+            for p in sorted(dead_files):
+                try:
+                    os.unlink(os.path.join(self.root, p))
+                except FileNotFoundError:
+                    pass
+            for m in sorted(dead_manifests):
+                try:
+                    os.unlink(os.path.join(self.txdir, m))
+                except FileNotFoundError:
+                    pass
+            for v in expired:
+                try:
+                    os.unlink(self._snapshot_path(v))
+                except FileNotFoundError:
+                    pass
+        return {
+            "expired_snapshots": expired,
+            "deleted_files": sorted(dead_files),
+            "deleted_manifests": sorted(dead_manifests),
+        }
+
+    def sweep_orphans(self, *, grace_seconds: float = 3600.0, dry_run: bool = False) -> list[str]:
+        """Delete data files not referenced by ANY snapshot's manifests and
+        older than ``grace_seconds`` (debris from killed, never-committed
+        partitions). The grace window protects in-flight writers."""
+        referenced: set[str] = set()
+        for v in self.versions():
+            for m in self.snapshot(v).manifests:
+                referenced.update(e.path for e in self.read_manifest(m))
+        cutoff = time.time() - grace_seconds
+        orphans: list[str] = []
+        if os.path.isdir(self.datadir):
+            for name in os.listdir(self.datadir):
+                rel = os.path.join("data", name)
+                full = os.path.join(self.root, rel)
+                if rel not in referenced and os.path.getmtime(full) < cutoff:
+                    orphans.append(rel)
+                    if not dry_run:
+                        os.unlink(full)
+        return sorted(orphans)

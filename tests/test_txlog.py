@@ -1,0 +1,223 @@
+"""Transaction-log unit tests: CAS commits, idempotent replay, conflict
+detection, manifest reuse, reference-counted expire, orphan sweep.
+
+Mirrors the reference's measured-idempotence discipline
+(tools/streaming_idempotence.py) at the unit level; the two-process
+variant lives in test_resume_idempotence.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from open_finance_lakehouse_ray.state import (
+    CommitConflict,
+    FileEntry,
+    TableLog,
+)
+
+
+def fe(path: str, rows: int = 10) -> FileEntry:
+    return FileEntry(path=path, rows=rows, bytes=rows * 100, stats={"turn_idx": [0, rows - 1]})
+
+
+def touch_data(log: TableLog, name: str) -> str:
+    rel = os.path.join("data", name)
+    with open(os.path.join(log.root, rel), "w") as f:
+        f.write("x")
+    return rel
+
+
+def test_commit_and_read_back(table_root):
+    log = TableLog(table_root)
+    log.create()
+    s1 = log.commit(operation="ingest", job_id="j1", added=[fe("data/a.parquet")])
+    assert s1.version == 1 and s1.parent is None
+    assert [e.path for e in log.files()] == ["data/a.parquet"]
+    assert log.snapshot().summary["rows"] == 10
+
+    s2 = log.commit(operation="ingest", job_id="j2", added=[fe("data/b.parquet", 5)])
+    assert s2.version == 2 and s2.parent == 1
+    assert sorted(e.path for e in log.files()) == ["data/a.parquet", "data/b.parquet"]
+    # time travel: v1 still readable
+    assert [e.path for e in log.files(1)] == ["data/a.parquet"]
+
+
+def test_idempotent_replay_same_job_id(table_root):
+    log = TableLog(table_root)
+    log.create()
+    s1 = log.commit(operation="ingest", job_id="once", added=[fe("data/a.parquet")])
+    s2 = log.commit(operation="ingest", job_id="once", added=[fe("data/DIFFERENT.parquet")])
+    assert s2.version == s1.version  # replayed commit is a no-op
+    assert log.current_version() == 1
+    assert [e.path for e in log.files()] == ["data/a.parquet"]
+
+
+def test_remove_rewrites_only_touched_manifests(table_root):
+    log = TableLog(table_root)
+    log.create()
+    log.commit(operation="ingest", job_id="j1", added=[fe("data/a.parquet")])
+    log.commit(operation="ingest", job_id="j2", added=[fe("data/b.parquet")])
+    m_before = log.snapshot().manifests
+    s3 = log.commit(
+        operation="compact",
+        job_id="j3",
+        added=[fe("data/ab.parquet", 20)],
+        removed_paths={"data/a.parquet"},
+        read_paths={"data/a.parquet"},
+        base_version=2,
+    )
+    # manifest holding b.parquet is carried BY NAME (structural sharing)
+    assert m_before[1] in s3.manifests
+    assert sorted(e.path for e in log.files()) == ["data/ab.parquet", "data/b.parquet"]
+
+
+def test_safe_rebase_vs_true_conflict(table_root):
+    log = TableLog(table_root)
+    log.create()
+    log.commit(operation="ingest", job_id="j1", added=[fe("data/a.parquet")])
+    log.commit(operation="ingest", job_id="j2", added=[fe("data/b.parquet")])
+    base = log.current_version()
+
+    # concurrent commit that only ADDS: our commit rebases silently
+    log.commit(operation="ingest", job_id="j3", added=[fe("data/c.parquet")])
+    s = log.commit(
+        operation="compact",
+        job_id="j4",
+        added=[fe("data/a2.parquet")],
+        removed_paths={"data/a.parquet"},
+        read_paths={"data/a.parquet"},
+        base_version=base,
+    )
+    assert s.version == 4
+    assert "data/c.parquet" in [e.path for e in log.files()]
+
+    # concurrent commit REMOVED a file we depend on: true conflict
+    base = log.current_version()
+    log.commit(
+        operation="merge",
+        job_id="j5",
+        added=[fe("data/b2.parquet")],
+        removed_paths={"data/b.parquet"},
+        read_paths={"data/b.parquet"},
+        base_version=base,
+    )
+    with pytest.raises(CommitConflict):
+        log.commit(
+            operation="compact",
+            job_id="j6",
+            added=[fe("data/bc.parquet")],
+            removed_paths={"data/b.parquet"},
+            read_paths={"data/b.parquet"},
+            base_version=base,
+        )
+    # disjoint file sets: both commit fine (compaction ⟂ merge commute)
+    s = log.commit(
+        operation="compact",
+        job_id="j7",
+        added=[fe("data/c2.parquet")],
+        removed_paths={"data/c.parquet"},
+        read_paths={"data/c.parquet"},
+        base_version=base,
+    )
+    assert s.operation == "compact"
+
+
+def test_expire_refcounted(table_root):
+    log = TableLog(table_root)
+    log.create()
+    a = touch_data(log, "a.parquet")
+    b = touch_data(log, "b.parquet")
+    c = touch_data(log, "c.parquet")
+    log.commit(operation="ingest", job_id="j1", added=[fe(a)])
+    log.commit(operation="ingest", job_id="j2", added=[fe(b)])
+    # compact replaces a+b with c
+    log.commit(
+        operation="compact",
+        job_id="j3",
+        added=[fe(c, 20)],
+        removed_paths={a, b},
+        read_paths={a, b},
+        base_version=2,
+    )
+    res = log.expire_snapshots(keep_last=1, retain_seconds=0.0)
+    assert sorted(res["expired_snapshots"]) == [1, 2]
+    # a and b are dead (only referenced by expired snapshots); c survives
+    assert sorted(res["deleted_files"]) == sorted([a, b])
+    assert not os.path.exists(os.path.join(log.root, a))
+    assert os.path.exists(os.path.join(log.root, c))
+    # current snapshot still scans
+    assert [e.path for e in log.files()] == [c]
+    # second expire is a no-op
+    res2 = log.expire_snapshots(keep_last=1, retain_seconds=0.0)
+    assert res2["expired_snapshots"] == []
+
+
+def test_expire_retention_floor(table_root):
+    log = TableLog(table_root)
+    log.create()
+    a = touch_data(log, "a.parquet")
+    log.commit(operation="ingest", job_id="j1", added=[fe(a)])
+    log.commit(operation="ingest", job_id="j2", added=[fe(touch_data(log, "b.parquet"))])
+    # retain window covers everything -> nothing expires
+    res = log.expire_snapshots(keep_last=1, retain_seconds=3600.0)
+    assert res["expired_snapshots"] == []
+    assert os.path.exists(os.path.join(log.root, a))
+
+
+def test_never_delete_file_shared_with_live_snapshot(table_root):
+    log = TableLog(table_root)
+    log.create()
+    a = touch_data(log, "a.parquet")
+    b = touch_data(log, "b.parquet")
+    log.commit(operation="ingest", job_id="j1", added=[fe(a)])
+    log.commit(operation="ingest", job_id="j2", added=[fe(b)])  # head references a AND b
+    res = log.expire_snapshots(keep_last=1, retain_seconds=0.0)
+    assert res["expired_snapshots"] == [1]
+    assert res["deleted_files"] == []  # a is shared with the live head
+    assert os.path.exists(os.path.join(log.root, a))
+
+
+def test_partition_lineage_checkpoint(table_root):
+    log = TableLog(table_root)
+    log.create()
+    log.record_partition("job9", "0003", {"inputs": ["x"], "outputs": ["y"], "rows": 7})
+    log.record_partition("job9", "0001", {"inputs": ["a"], "outputs": ["b"], "rows": 3})
+    got = log.committed_partitions("job9")
+    assert set(got) == {"0001", "0003"}
+    assert got["0003"]["rows"] == 7
+    # idempotent overwrite
+    log.record_partition("job9", "0003", {"inputs": ["x"], "outputs": ["y"], "rows": 7})
+    assert len(log.committed_partitions("job9")) == 2
+    log.clear_job("job9")
+    assert log.committed_partitions("job9") == {}
+
+
+def test_orphan_sweep(table_root):
+    log = TableLog(table_root)
+    log.create()
+    a = touch_data(log, "a.parquet")
+    orphan = touch_data(log, "orphan.parquet")
+    log.commit(operation="ingest", job_id="j1", added=[fe(a)])
+    os.utime(os.path.join(log.root, orphan), (0, 0))  # make it old
+    swept = log.sweep_orphans(grace_seconds=60.0)
+    assert swept == [orphan]
+    assert os.path.exists(os.path.join(log.root, a))
+
+
+def test_snapshot_json_roundtrip(table_root):
+    log = TableLog(table_root)
+    log.create()
+    s = log.commit(
+        operation="ingest",
+        job_id="j1",
+        added=[fe("data/a.parquet")],
+        summary={"note": "hello"},
+    )
+    with open(os.path.join(log.txdir, f"snapshot-{s.version:010d}.json")) as f:
+        d = json.load(f)
+    assert d["summary"]["note"] == "hello"
+    assert d["summary"]["rows"] == 10
