@@ -1,0 +1,182 @@
+"""Bin-packing small-file compaction — file-granular, shuffle-free.
+
+The reference's ``OPTIMIZE`` (Delta compaction,
+``/root/reference/ofl/transform/spark/silver.py:368-374``) re-expressed
+Ray-Data-first (SURVEY.md §7.1 step 2):
+
+- The DRIVER plans bins purely from manifest stats (no data read): files
+  ordered by their min sort-key so bins preserve locality, greedily packed
+  to a target output size.
+- Each bin is an independent, idempotent, retry-safe task: read its files
+  (pyarrow, column-complete), sort, write ONE file, record a lineage
+  record ``{inputs → outputs, rows, z_range}`` in the job's checkpoint
+  dir. Bins are fanned out as a Dataset of plan rows
+  (``from_items(bins) → map_batches``) so Ray schedules them with
+  backpressure like any other stage.
+- Resume: a killed run re-executes only bins with no lineage record
+  (streaming-checkpoint semantics, ``docs/STREAMING.md:120-129``); the
+  final commit is assembled FROM the records, so the records are the
+  source of truth, and a replayed commit no-ops on ``job_id``.
+
+At 100 TB the plan is O(files) driver-side metadata (~1e6 entries for 100MB
+files) and every byte of data moves exactly once, bin-local, with no
+all-to-all exchange.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from open_finance_lakehouse_ray.stages.writer import write_table_file
+from open_finance_lakehouse_ray.state.commit_actor import commit_via_actor_or_direct
+from open_finance_lakehouse_ray.state.txlog import FileEntry, Snapshot, TableLog
+
+DEFAULT_TARGET_BYTES = 96 * 1024 * 1024
+
+
+def plan_bins(
+    entries: list[FileEntry],
+    *,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files_per_bin: int = 2,
+) -> list[list[FileEntry]]:
+    """Greedy locality-preserving bin-packing over manifest stats.
+
+    Files are ordered by (z_range.min if clustered else min conv_id) so a
+    bin's output file covers a tight key range; files already at/above the
+    target are left alone. Only bins that actually merge ≥2 files are
+    returned — compacting a lone small file is wasted I/O unless it is
+    being re-sorted.
+    """
+
+    def order_key(e: FileEntry):
+        if e.z_range:
+            return (0, e.z_range[0], "")
+        c = e.stats.get("conv_id")
+        t = e.stats.get("turn_idx")
+        return (1, t[0] if t else 0, c[0] if c else "")
+
+    small = sorted((e for e in entries if e.bytes < target_bytes), key=order_key)
+    bins: list[list[FileEntry]] = []
+    cur: list[FileEntry] = []
+    cur_bytes = 0
+    for e in small:
+        if cur and cur_bytes + e.bytes > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(e)
+        cur_bytes += e.bytes
+    if cur:
+        bins.append(cur)
+    return [b for b in bins if len(b) >= min_files_per_bin]
+
+
+def _compact_bin(
+    root: str, job_id: str, bin_id: str, paths: list[str], sort_by: tuple[str, ...]
+) -> dict[str, Any]:
+    """Rewrite one bin (runs inside a Ray task). Idempotent: if the lineage
+    record already exists (resume), the recorded outputs are reused."""
+    log = TableLog(root)
+    done = log.get_partition(job_id, bin_id)
+    if done is not None:
+        return done
+    table = pa.concat_tables(
+        [pq.read_table(os.path.join(root, p)) for p in paths]
+    ).combine_chunks()
+    entry = write_table_file(root, table, sort_by=sort_by, prefix="compact")
+    record = {
+        "inputs": paths,
+        "outputs": [entry.to_json()],
+        "rows": entry.rows,
+        "z_range": entry.z_range,
+    }
+    log.record_partition(job_id, bin_id, record)
+    return record
+
+
+def compact(
+    root: str,
+    *,
+    job_id: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    sort_by: tuple[str, ...] = ("conv_id", "turn_idx"),
+    max_retries_on_conflict: int = 3,
+) -> Snapshot | None:
+    """Compact the table's small files. Returns the new snapshot, or None
+    when there is nothing to compact. On :class:`CommitConflict` (a
+    concurrent MERGE rewrote a planned input) the job REPLANS against the
+    new head — the rebase rule of SURVEY.md §7.4.1 — under a fresh
+    attempt-scoped job id so stale lineage records are never reused."""
+    from open_finance_lakehouse_ray.state.txlog import CommitConflict
+
+    log = TableLog(root)
+    for attempt in range(max_retries_on_conflict + 1):
+        attempt_job = job_id if attempt == 0 else f"{job_id}~replan{attempt}"
+        existing = log.find_commit(attempt_job)
+        if existing is not None:
+            return existing
+        base_version = log.current_version()
+        entries = log.files(base_version)
+        bins = plan_bins(entries, target_bytes=target_bytes)
+        if not bins:
+            return None
+
+        plan_rows = [
+            {
+                "bin_id": f"{i:06d}",
+                "paths": [e.path for e in b],
+            }
+            for i, b in enumerate(bins)
+        ]
+        records = (
+            rd.from_items(plan_rows, override_num_blocks=len(plan_rows))
+            .map_batches(
+                _make_bin_runner(root, attempt_job, sort_by),
+                batch_size=1,
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        removed = {p for b in bins for p in (e.path for e in b)}
+        added = [
+            FileEntry.from_json(o)
+            for r in log.committed_partitions(attempt_job).values()
+            for o in r["outputs"]
+        ]
+        assert len(records) == len(bins)
+        try:
+            return commit_via_actor_or_direct(
+                log,
+                operation="compact",
+                job_id=attempt_job,
+                added=added,
+                removed_paths=removed,
+                read_paths=removed,
+                base_version=base_version,
+                summary={
+                    "bins": len(bins),
+                    "files_in": len(removed),
+                    "files_out": len(added),
+                },
+            )
+        except CommitConflict:
+            if attempt == max_retries_on_conflict:
+                raise
+            continue
+    return None
+
+
+def _make_bin_runner(root: str, job_id: str, sort_by: tuple[str, ...]):
+    def _run(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            rec = _compact_bin(root, job_id, row["bin_id"], row["paths"], sort_by)
+            out.append({"bin_id": row["bin_id"], "rows": rec["rows"]})
+        return pa.Table.from_pylist(out)
+
+    return _run

@@ -1,0 +1,68 @@
+"""Ingest: land a Dataset into a transcript table with a real commit.
+
+The end-to-end slice of SURVEY.md §7.1 step 1 — the Ray analog of
+``land_bronze`` (``/root/reference/ofl/ingestion/landing.py:36-85``):
+contract gate → stats-collecting file writes → snapshot commit. Lineage
+lives in the commit record (job_id = the reference's per-run ``load_id``,
+``landing.py:45``) rather than per-row columns.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray.data as rd
+
+from open_finance_lakehouse_ray.stages.validate import validate_batch
+from open_finance_lakehouse_ray.stages.writer import make_stats_writer, meta_rows_to_entries
+from open_finance_lakehouse_ray.state.commit_actor import commit_via_actor_or_direct
+from open_finance_lakehouse_ray.state.txlog import Snapshot, TableLog
+
+
+def ingest_dataset(
+    ds: rd.Dataset,
+    root: str,
+    *,
+    job_id: str,
+    mode: str = "append",
+    validate: bool = True,
+    sort_within_files: tuple[str, ...] = ("conv_id", "turn_idx"),
+    summary: dict[str, Any] | None = None,
+) -> Snapshot:
+    """Write ``ds`` into the table at ``root`` and commit one snapshot.
+
+    ``mode="append"`` adds files; ``mode="overwrite"`` replaces the live
+    file set (the reference's per-source landing modes,
+    ``landing.py:38-41``). Streaming end to end: blocks flow from the
+    source through validation into per-block file writes; only tiny
+    metadata rows ever reach the driver.
+    """
+    log = TableLog(root)
+    log.create()
+    existing = log.find_commit(job_id)
+    if existing is not None:
+        return existing  # idempotent replay before any work
+
+    if validate:
+        ds = ds.map_batches(validate_batch, batch_format="pyarrow")
+    meta = ds.map_batches(
+        make_stats_writer(root, sort_by=sort_within_files, prefix="ingest"),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    entries = meta_rows_to_entries(meta.take_all())
+
+    removed: set[str] = set()
+    base_version = log.current_version()
+    if mode == "overwrite" and base_version is not None:
+        removed = {e.path for e in log.files(base_version)}
+    return commit_via_actor_or_direct(
+        log,
+        operation="ingest",
+        job_id=job_id,
+        added=entries,
+        removed_paths=removed,
+        read_paths=set(),
+        base_version=base_version,
+        summary={"mode": mode, **(summary or {})},
+    )

@@ -375,6 +375,14 @@ class TableLog:
         os.makedirs(jdir, exist_ok=True)
         _atomic_write_json(self.staging, os.path.join(jdir, f"part-{part_id}.json"), record)
 
+    def get_partition(self, job_id: str, part_id: str) -> dict[str, Any] | None:
+        path = os.path.join(self.job_dir(job_id), f"part-{part_id}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     def committed_partitions(self, job_id: str) -> dict[str, dict[str, Any]]:
         jdir = self.job_dir(job_id)
         if not os.path.isdir(jdir):

@@ -1,0 +1,244 @@
+"""Two-process idempotence / kill-resume / concurrency harness.
+
+Modeled on the reference's measured-not-asserted evidence discipline
+(``/root/reference/tools/streaming_idempotence.py:57-92,109-183``): each
+scenario runs maintenance jobs in SEPARATE OS processes, the verdict is
+TABLE STATE read back by an independent reader (DuckDB over our Parquet —
+"the writer is not the witness"), and the script exits non-zero on any
+mismatch.
+
+Scenarios (FIXTURES.md F5):
+  double-run   — the same compaction/merge job runs twice in two fresh
+                 processes; run 2 must be a no-op (same snapshot version,
+                 identical table metrics).
+  kill-resume  — a compaction is SIGKILLed mid-run; the resumed process
+                 re-executes only uncommitted bins; the final state equals
+                 an uninterrupted run's state.
+  concurrent   — a compaction and a MERGE race from the same base
+                 snapshot; overlapping file sets must conflict-and-replan,
+                 and the final scan must equal the serial execution.
+
+Usage:  python tools/maintenance_harness.py [--scenario all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ----------------------------------------------------------------- workers
+# Each worker runs in a fresh process with its own Ray session.
+
+WORKER_SRC = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ['HARNESS_REPO'])
+import ray
+
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+cmd = sys.argv[1]
+root = sys.argv[2]
+
+if cmd == "ingest":
+    import ray.data as rd
+    from open_finance_lakehouse_ray.sources.transcripts import build_transcripts
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    tab = build_transcripts(seed=42, n_convs=int(sys.argv[3]))
+    ds = rd.from_arrow(tab).repartition(32)
+    snap = ingest_dataset(ds, root, job_id="harness-ingest")
+    print(json.dumps({"version": snap.version, "rows": snap.summary["rows"]}))
+elif cmd == "compact":
+    from open_finance_lakehouse_ray.pipelines.compact import compact
+    slow = os.environ.get("HARNESS_SLOW_BIN_S")
+    if slow:  # make each bin slow so a SIGKILL lands mid-job
+        import open_finance_lakehouse_ray.pipelines.compact as cp
+        orig = cp._compact_bin
+        def slow_bin(*a, **k):
+            time.sleep(float(slow))
+            return orig(*a, **k)
+        cp._compact_bin = slow_bin
+    snap = compact(root, job_id=sys.argv[3], target_bytes=1 * 1024 * 1024)
+    print(json.dumps({"version": None if snap is None else snap.version}))
+elif cmd == "merge":
+    from open_finance_lakehouse_ray.sources.transcripts import build_transcripts, late_turns
+    from open_finance_lakehouse_ray.pipelines.merge import merge_into
+    base = build_transcripts(seed=42, n_convs=int(sys.argv[4]))
+    late = late_turns(base, n_updates=30, n_inserts=15, n_stale=10)
+    snap = merge_into(root, late, job_id=sys.argv[3], num_buckets=8)
+    print(json.dumps({"version": snap.version, "op": snap.operation}))
+ray.shutdown()
+"""
+
+
+def run_worker(args: list[str], env: dict | None = None, timeout: float = 600.0):
+    full_env = dict(os.environ, HARNESS_REPO=REPO)
+    if env:
+        full_env.update(env)
+    p = subprocess.run(
+        [sys.executable, "-c", WORKER_SRC, *args],
+        capture_output=True,
+        text=True,
+        env=full_env,
+        timeout=timeout,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(f"worker {args} failed:\n{p.stdout}\n{p.stderr}")
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def independent_state(root: str) -> dict:
+    """Read table state with DuckDB — never through the engine under test."""
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    log = TableLog(root)
+    con = duckdb.connect()
+    row = con.execute(
+        "select count(*), count(distinct conv_id || '#' || turn_idx), "
+        "       sum(hash(conv_id || '#' || turn_idx || '#' || text)) "
+        "from read_parquet($1)",
+        [log.file_paths()],
+    ).fetchone()
+    con.close()
+    return {
+        "version": log.current_version(),
+        "rows": row[0],
+        "distinct_keys": row[1],
+        "content_hash": str(row[2]),
+        "files": len(log.files()),
+    }
+
+
+def scenario_double_run(scratch: str) -> dict:
+    root = os.path.join(scratch, "double")
+    run_worker(["ingest", root, "40"])
+    r1 = run_worker(["compact", root, "compact-A"])
+    s1 = independent_state(root)
+    r2 = run_worker(["compact", root, "compact-A"])  # fresh process, same job
+    s2 = independent_state(root)
+    ok = r1["version"] == r2["version"] and s1 == s2
+    return {"ok": ok, "run1": r1, "run2": r2, "state1": s1, "state2": s2}
+
+
+def scenario_kill_resume(scratch: str) -> dict:
+    root = os.path.join(scratch, "kill")
+    ref_root = os.path.join(scratch, "kill-ref")
+    run_worker(["ingest", root, "40"])
+    shutil.copytree(root, ref_root)
+
+    # uninterrupted reference run
+    run_worker(["compact", ref_root, "compact-K"])
+    ref_state = independent_state(ref_root)
+
+    # killed run: slow bins, SIGKILL mid-flight
+    p = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "compact", root, "compact-K"],
+        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_SLOW_BIN_S": "1.5"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    time.sleep(12)  # let ingest-read + a few slow bins commit records
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    partial = len(TableLog(root).committed_partitions("compact-K"))
+
+    # resumed run (fresh process, no slowdown)
+    run_worker(["compact", root, "compact-K"])
+    got_state = independent_state(root)
+
+    comparable = {k: ref_state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    got_comp = {k: got_state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    return {
+        "ok": comparable == got_comp,
+        "bins_committed_before_kill": partial,
+        "reference": ref_state,
+        "resumed": got_state,
+    }
+
+
+def scenario_concurrent(scratch: str) -> dict:
+    root = os.path.join(scratch, "concurrent")
+    run_worker(["ingest", root, "40"])
+    # launch compaction (slowed) and merge simultaneously from the same base
+    pc_ = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "compact", root, "compact-C"],
+        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_SLOW_BIN_S": "0.5"},
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    pm = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "merge", root, "merge-C", "40"],
+        env={**os.environ, "HARNESS_REPO": REPO},
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    out_c, err_c = pc_.communicate(timeout=900)
+    out_m, err_m = pm.communicate(timeout=900)
+    if pc_.returncode != 0 or pm.returncode != 0:
+        return {"ok": False, "compact_err": err_c[-2000:], "merge_err": err_m[-2000:]}
+    state = independent_state(root)
+
+    # serial reference: ingest -> merge -> compact on a fresh copy
+    ref_root = os.path.join(scratch, "concurrent-ref")
+    run_worker(["ingest", ref_root, "40"])
+    run_worker(["merge", ref_root, "merge-C", "40"])
+    run_worker(["compact", ref_root, "compact-C2"])
+    ref = independent_state(ref_root)
+
+    comparable = {k: ref[k] for k in ("rows", "distinct_keys", "content_hash")}
+    got = {k: state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    ops = [TableLog(root).snapshot(v).operation for v in TableLog(root).versions()]
+    return {"ok": comparable == got, "ops": ops, "concurrent": state, "serial": ref}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenario", default="all",
+                    choices=["all", "double-run", "kill-resume", "concurrent"])
+    args = ap.parse_args()
+    scratch = tempfile.mkdtemp(prefix="ofl-harness-")
+    scenarios = {
+        "double-run": scenario_double_run,
+        "kill-resume": scenario_kill_resume,
+        "concurrent": scenario_concurrent,
+    }
+    todo = list(scenarios) if args.scenario == "all" else [args.scenario]
+    failed = False
+    results = {}
+    for name in todo:
+        t0 = time.time()
+        try:
+            res = scenarios[name](scratch)
+        except Exception as e:  # noqa: BLE001
+            res = {"ok": False, "error": str(e)[-2000:]}
+        res["elapsed_s"] = round(time.time() - t0, 1)
+        results[name] = res
+        print(f"[{name}] {'PASS' if res['ok'] else 'FAIL'} ({res['elapsed_s']}s)")
+        if not res["ok"]:
+            failed = True
+    print(json.dumps(results, indent=2, default=str))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
