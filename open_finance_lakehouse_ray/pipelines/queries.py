@@ -1,0 +1,1045 @@
+"""Driver-facing query registry: every implemented operator/pipeline from
+SURVEY.md §2 as a callable over the testdata tables, paired (where the
+semantics are SQL-expressible) with a DuckDB oracle string computing the
+same result with the same column names — the correctness gate.
+
+The transcript-maintenance queries derive a transcript table from
+``lineitem`` deterministically (both in Ray and in SQL), then run REAL
+maintenance — ingest as small files, compact, Z-order, MERGE, expire —
+against a scratch table under /tmp and return the post-maintenance scan.
+The SQL oracle computes the expected scan straight from the parquet, so
+"maintenance never changes query results" is machine-checked by the
+driver at sf=0.01.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# --------------------------------------------------------------------------
+# transcript construction from lineitem (deterministic, mirrored in SQL)
+# --------------------------------------------------------------------------
+
+TX_CONSTRUCT_SQL = """
+    SELECT 'conv-' || lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS conv_id,
+           CAST(l_linenumber AS INTEGER) AS turn_idx,
+           CASE WHEN l_linenumber % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+           'conv-' || lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || ':' ||
+               CAST(l_linenumber AS VARCHAR) || ':' || l_returnflag || ':' ||
+               CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS text,
+           CAST(NULL AS VARCHAR) AS tool,
+           l_shipdate AS ts
+    FROM lineitem
+"""
+
+# latest-wins dedup (keys are NOT unique in lineitem): max ts, then max text
+TX_DEDUP_SQL = f"""
+    SELECT conv_id, turn_idx, role, text, tool, ts FROM ({TX_CONSTRUCT_SQL})
+    QUALIFY row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, text DESC) = 1
+"""
+
+
+def _mod(arr: pa.Array | pa.ChunkedArray, m: int) -> pa.Array:
+    """Arrow has no modulo kernel (pyarrow 16) — hop through numpy."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array(arr.to_numpy(zero_copy_only=False).astype(np.int64) % m)
+
+
+def transcripts_from_lineitem(sf_dir: str) -> rd.Dataset:
+    """Ray mirror of TX_CONSTRUCT_SQL — vectorized Arrow kernels only."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_shipdate"],
+    )
+
+    def build(t: pa.Table) -> pa.Table:
+        okey = pc.utf8_lpad(pc.cast(t["l_orderkey"], pa.string()), 10, "0")
+        conv = pc.binary_join_element_wise("conv-", okey, "")
+        turn = pc.cast(t["l_linenumber"], pa.int32())
+        role = pc.if_else(
+            pc.equal(_mod(t["l_linenumber"], 2), 1),
+            pa.scalar("user"),
+            pa.scalar("assistant"),
+        )
+        text = pc.binary_join_element_wise(
+            conv,
+            pc.cast(turn, pa.string()),
+            t["l_returnflag"],
+            pc.cast(pc.cast(t["l_quantity"], pa.int64()), pa.string()),
+            ":",
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": turn,
+                "role": role,
+                "text": text,
+                "tool": pa.nulls(t.num_rows, pa.string()),
+                "ts": t["l_shipdate"],
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def _scratch_root(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"oflr-{tag}-")
+
+
+def _scan_sorted(root: str) -> pa.Table:
+    from open_finance_lakehouse_ray.pipelines.scan import validation_scan
+
+    return validation_scan(root)
+
+
+# --------------------------------------------------------------------------
+# flagship maintenance queries
+# --------------------------------------------------------------------------
+
+
+def q_tx_maintenance_roundtrip(sf_dir: str) -> pa.Table:
+    """ingest(dedup'd, small files) → compact → zorder → scan. The scan
+    must equal the oracle construction — maintenance changes nothing."""
+    from open_finance_lakehouse_ray.pipelines.compact import compact
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.merge import dedup_exact
+    from open_finance_lakehouse_ray.pipelines.zorder import zorder
+
+    root = _scratch_root("roundtrip")
+    tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+    ingest_dataset(tx.repartition(24), root, job_id="rt-ingest")
+    compact(root, job_id="rt-compact", target_bytes=8 * 1024 * 1024)
+    zorder(root, job_id="rt-zorder")
+    return _scan_sorted(root)
+
+
+Q_TX_ROUNDTRIP_SQL = f"SELECT * FROM ({TX_DEDUP_SQL}) ORDER BY conv_id, turn_idx"
+
+
+MERGE_UPDATES_SQL = f"""
+    SELECT conv_id, turn_idx, role,
+           'UPD:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS text,
+           tool, ts + INTERVAL 40 DAY AS ts
+    FROM ({TX_DEDUP_SQL}) WHERE CAST(substr(conv_id, 6) AS BIGINT) % 7 = 0 AND turn_idx <= 2
+"""
+MERGE_INSERTS_SQL = f"""
+    SELECT conv_id, 900 + turn_idx AS turn_idx, role,
+           'INS:' || conv_id || ':' || CAST(900 + turn_idx AS VARCHAR) AS text,
+           tool, ts + INTERVAL 40 DAY AS ts
+    FROM ({TX_DEDUP_SQL}) WHERE CAST(substr(conv_id, 6) AS BIGINT) % 13 = 0
+"""
+MERGE_STALE_SQL = f"""
+    SELECT conv_id, turn_idx, role, 'STALE-MUST-NOT-APPEAR' AS text,
+           tool, ts - INTERVAL 40 DAY AS ts
+    FROM ({TX_DEDUP_SQL}) WHERE CAST(substr(conv_id, 6) AS BIGINT) % 11 = 0 AND turn_idx = 1
+"""
+
+
+def _merge_updates(tx: rd.Dataset) -> rd.Dataset:
+    """Ray mirror of the three MERGE source slices above."""
+
+    def build(t: pa.Table) -> pa.Table:
+        okey = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99), pa.int64())
+        turn = t["turn_idx"]
+        day40 = 40 * 86_400_000_000
+
+        def shift(ts, us):
+            return pc.cast(pc.add(pc.cast(ts, pa.int64()), us), pa.timestamp("us"))
+
+        upd_mask = pc.and_(pc.equal(_mod(okey, 7), 0), pc.less_equal(turn, 2))
+        upd = t.filter(upd_mask)
+        upd_text = pc.binary_join_element_wise(
+            "UPD:", upd["conv_id"], ":", pc.cast(upd["turn_idx"], pa.string()), ""
+        )
+        upd_t = pa.table(
+            {
+                "conv_id": upd["conv_id"],
+                "turn_idx": upd["turn_idx"],
+                "role": upd["role"],
+                "text": upd_text,
+                "tool": upd["tool"],
+                "ts": shift(upd["ts"], day40),
+            }
+        )
+
+        ins = t.filter(pc.equal(_mod(okey, 13), 0))
+        ins_turn = pc.cast(pc.add(ins["turn_idx"], 900), pa.int32())
+        ins_text = pc.binary_join_element_wise(
+            "INS:", ins["conv_id"], ":", pc.cast(ins_turn, pa.string()), ""
+        )
+        ins_t = pa.table(
+            {
+                "conv_id": ins["conv_id"],
+                "turn_idx": ins_turn,
+                "role": ins["role"],
+                "text": ins_text,
+                "tool": ins["tool"],
+                "ts": shift(ins["ts"], day40),
+            }
+        )
+
+        stale = t.filter(pc.and_(pc.equal(_mod(okey, 11), 0), pc.equal(turn, 1)))
+        stale_t = pa.table(
+            {
+                "conv_id": stale["conv_id"],
+                "turn_idx": stale["turn_idx"],
+                "role": stale["role"],
+                "text": pa.array(["STALE-MUST-NOT-APPEAR"] * stale.num_rows),
+                "tool": stale["tool"],
+                "ts": shift(stale["ts"], -day40),
+            }
+        )
+        return pa.concat_tables([upd_t, ins_t, stale_t])
+
+    return tx.map_batches(build, batch_format="pyarrow")
+
+
+def q_tx_merge_upsert(sf_dir: str) -> pa.Table:
+    """Full MERGE INTO: base table on disk, late-turn updates/inserts/
+    stale-duplicates upserted, post-merge scan returned."""
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.merge import dedup_exact, merge_into
+
+    root = _scratch_root("merge")
+    tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+    ingest_dataset(tx.repartition(24), root, job_id="mg-ingest")
+    updates = _merge_updates(dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16))
+    merge_into(root, updates, job_id="mg-merge", num_buckets=16)
+    return _scan_sorted(root)
+
+
+Q_TX_MERGE_SQL = f"""
+    WITH base AS ({TX_DEDUP_SQL}),
+    unioned AS (
+        SELECT *, 0 AS _src FROM base
+        UNION ALL SELECT *, 1 AS _src FROM ({MERGE_UPDATES_SQL})
+        UNION ALL SELECT *, 1 AS _src FROM ({MERGE_INSERTS_SQL})
+        UNION ALL SELECT *, 1 AS _src FROM ({MERGE_STALE_SQL})
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts FROM unioned
+    QUALIFY row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, _src DESC, text DESC) = 1
+    ORDER BY conv_id, turn_idx
+"""
+
+
+def q_tx_expire_invariance(sf_dir: str) -> pa.Table:
+    """ingest → compact → expire(force) → scan: vacuuming history must not
+    change the scan (and the deleted pre-compaction files must not be
+    needed)."""
+    from open_finance_lakehouse_ray.pipelines.compact import compact
+    from open_finance_lakehouse_ray.pipelines.expire import expire
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.merge import dedup_exact
+
+    root = _scratch_root("expire")
+    tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+    ingest_dataset(tx.repartition(24), root, job_id="ex-ingest")
+    compact(root, job_id="ex-compact", target_bytes=8 * 1024 * 1024)
+    expire(root, keep_last=1, force=True)
+    return _scan_sorted(root)
+
+
+def q_tx_key_metrics(sf_dir: str) -> pa.Table:
+    """A8 reconciliation report over the RAW constructed transcripts
+    (duplicate keys present by construction): rows, distinct keys,
+    duplicates, ts range — distributed bucketed exact count."""
+    from open_finance_lakehouse_ray.functions.hashing import add_bucket_column
+
+    tx = transcripts_from_lineitem(sf_dir)
+    tagged = tx.map_batches(
+        lambda t: add_bucket_column(t, 16), batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r": [len(g)],
+                "d": [g.drop_duplicates(["conv_id", "turn_idx"]).shape[0]],
+                "lo": [g["ts"].min()],
+                "hi": [g["ts"].max()],
+            }
+        )
+
+    parts = (
+        tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
+    )
+    return pa.table(
+        {
+            "n_rows": [int(parts["r"].sum())],
+            "distinct_keys": [int(parts["d"].sum())],
+            "duplicate_keys": [int(parts["r"].sum() - parts["d"].sum())],
+            "min_ts": [parts["lo"].min().to_pydatetime()],
+            "max_ts": [parts["hi"].max().to_pydatetime()],
+        }
+    )
+
+
+Q_TX_METRICS_SQL = f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS distinct_keys,
+           COUNT(*) - COUNT(DISTINCT conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS duplicate_keys,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM ({TX_CONSTRUCT_SQL})
+"""
+
+
+# --------------------------------------------------------------------------
+# events-table operators (A1/A3/A4/A5/A6, J4, M8, A8 analogs)
+# --------------------------------------------------------------------------
+
+MINUTE_US = 60_000_000
+
+
+def _events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def q_ev_ohlc_1m(sf_dir: str) -> pa.Table:
+    """Event-time 1-minute OHLC bars per event_type — the A1 windowed
+    aggregate (``ofl/streaming/silver.py:107-140``) with deterministic
+    open/close via (ts, event_id) min_by/max_by. Scalable shape:
+    per-batch PARTIAL bars (shrinks the shuffle to one row per
+    (type, window) per batch), then a small grouped merge."""
+    ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["window_start"] = (
+            df["ts"].astype("int64") // MINUTE_US * MINUTE_US
+        )
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        g = df.groupby(["event_type", "window_start"], sort=False)
+        out = g.agg(
+            open=("value", "first"),
+            close=("value", "last"),
+            high=("value", "max"),
+            low=("value", "min"),
+            volume=("value", "sum"),
+            n_events=("value", "size"),
+            _first_key=("ts", "first"),
+            _last_key=("ts", "last"),
+            _first_id=("event_id", "first"),
+            _last_id=("event_id", "last"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_first_key", "_first_id"], kind="mergesort")
+        opn = g["open"].iloc[0]
+        g2 = g.sort_values(["_last_key", "_last_id"], kind="mergesort")
+        cls = g2["close"].iloc[-1]
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "window_start": [g["window_start"].iloc[0]],
+                "open": [opn],
+                "high": [g["high"].max()],
+                "low": [g["low"].min()],
+                "close": [cls],
+                "volume": [round(g["volume"].sum(), 2)],
+                "n_events": [int(g["n_events"].sum())],
+            }
+        )
+
+    bars = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    bars["window_start"] = pd.to_datetime(bars["window_start"], unit="us")
+    bars = bars.sort_values(["event_type", "window_start"])
+    return pa.Table.from_pandas(bars, preserve_index=False)
+
+
+Q_EV_OHLC_SQL = """
+    WITH w AS (
+        SELECT *, make_timestamp(epoch_us(ts) // 60000000 * 60000000) AS window_start,
+               row_number() OVER (PARTITION BY event_type,
+                   epoch_us(ts) // 60000000 ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type,
+                   epoch_us(ts) // 60000000 ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, window_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           ROUND(SUM(value), 2) AS volume,
+           COUNT(*) AS n_events
+    FROM w GROUP BY event_type, window_start
+    ORDER BY event_type, window_start
+"""
+
+
+def q_ev_latest_per_user(sf_dir: str) -> pa.Table:
+    """Top-1-per-group (the reference's month-end snapshot / latest-wins
+    pattern, A3): each user's latest event by (ts, event_id)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["ts", "event_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("user_id", sort=False).tail(1), preserve_index=False
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], kind="mergesort").tail(1)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    return pa.Table.from_pandas(
+        out[["user_id", "event_id", "event_type", "value", "ts"]], preserve_index=False
+    )
+
+
+Q_EV_LATEST_SQL = """
+    SELECT user_id, event_id, event_type, value, ts FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+"""
+
+
+def q_ev_monthly_type_mean(sf_dir: str) -> pa.Table:
+    """A5 monthly mean: avg(value) by (month, event_type), distributed as
+    per-batch (sum, count) partials + tiny final — never a raw-row shuffle."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["month"] = df["ts"].values.astype("datetime64[M]")
+        g = df.groupby(["month", "event_type"]).agg(
+            s=("value", "sum"), n=("value", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["month", "event_type"], sort=True).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+    out = g.reset_index()
+    out["avg_value"] = (out["s"] / out["n"]).round(4)
+    out["n_events"] = out["n"].astype("int64")
+    out["month"] = pd.to_datetime(out["month"])
+    return pa.Table.from_pandas(
+        out[["month", "event_type", "avg_value", "n_events"]], preserve_index=False
+    )
+
+
+Q_EV_MONTHLY_SQL = """
+    SELECT date_trunc('month', ts) AS month, event_type,
+           ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_ev_pivot_daily(sf_dir: str) -> pa.Table:
+    """A4 pivot-by-filter: per day, max(value) FILTER (WHERE type=k) for a
+    fixed set of event types."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].values.astype("datetime64[D]")
+        g = df.pivot_table(
+            index="day", columns="event_type", values="value", aggfunc="max"
+        )
+        g = g.reindex(columns=types)
+        g.columns = [f"max_{c}" for c in types]
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("day", sort=True).max().reset_index()
+    out["day"] = pd.to_datetime(out["day"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q_EV_PIVOT_SQL = """
+    SELECT date_trunc('day', ts) AS day,
+           MAX(value) FILTER (WHERE event_type = 'click') AS max_click,
+           MAX(value) FILTER (WHERE event_type = 'view') AS max_view,
+           MAX(value) FILTER (WHERE event_type = 'purchase') AS max_purchase,
+           MAX(value) FILTER (WHERE event_type = 'signup') AS max_signup,
+           MAX(value) FILTER (WHERE event_type = 'error') AS max_error
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ev_rolling_avg(sf_dir: str) -> pa.Table:
+    """A6 rolling window: per user, mean of the last 5 values ordered by
+    (ts, event_id) — sort-within-group ``map_groups``."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g["rolling_avg"] = g["value"].rolling(5, min_periods=1).mean().round(4)
+        return g[["event_id", "user_id", "rolling_avg"]]
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(roll, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q_EV_ROLLING_SQL = """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+    FROM events ORDER BY event_id
+"""
+
+
+def q_ev_asof_last_view(sf_dir: str) -> pa.Table:
+    """J4 as-of lookup: for every click, the same user's latest 'view'
+    at-or-before it — per-group sorted as-of search in map_groups."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        view_ts = g["ts"].where(g["event_type"] == "view")
+        g["last_view_ts"] = view_ts.ffill()
+        clicks = g[g["event_type"] == "click"]
+        return clicks[["event_id", "user_id", "last_view_ts"]]
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q_EV_ASOF_SQL = """
+    WITH t AS (
+        SELECT event_id, user_id, event_type,
+               MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_view_ts
+        FROM events
+    )
+    SELECT event_id, user_id, last_view_ts FROM t
+    WHERE event_type = 'click' ORDER BY event_id
+"""
+
+
+def q_ev_validity_tag(sf_dir: str) -> pa.Table:
+    """M8 validity tagging: parse the JSON-ish props column; malformed rows
+    survive with _valid=false instead of failing the job (tag-then-split,
+    ``ofl/streaming/bronze.py:109-142``)."""
+    ds = _events(sf_dir, ["event_id", "props"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.struct_field(ext, "k")
+        valid = pc.is_valid(k)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "k": pc.cast(k, pa.int64()),
+                "_valid": valid,
+            }
+        )
+
+    out = ds.map_batches(tag, batch_format="pyarrow").to_pandas().sort_values("event_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q_EV_VALIDITY_SQL = """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+           regexp_extract(props, '"k": (\\d+)', 1) IS NOT NULL
+               AND regexp_extract(props, '"k": (\\d+)', 1) != '' AS _valid
+    FROM events ORDER BY event_id
+"""
+
+
+def q_ev_table_metrics(sf_dir: str) -> pa.Table:
+    """A8 single-row table metrics from per-batch partials."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": [t.num_rows],
+                "sv": [pc.sum(t["value"]).as_py()],
+                "lo": [pc.min(t["ts"]).as_py()],
+                "hi": [pc.max(t["ts"]).as_py()],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    users = ds.unique("user_id")
+    return pa.table(
+        {
+            "n_rows": [int(parts["n"].sum())],
+            "n_users": [len(users)],
+            "total_value": [round(float(parts["sv"].sum()), 2)],
+            "min_ts": [parts["lo"].min().to_pydatetime()],
+            "max_ts": [parts["hi"].max().to_pydatetime()],
+        }
+    )
+
+
+Q_EV_METRICS_SQL = """
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS total_value,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational operators (M5/M7/M11, J2/J3, A2, A9, §2.7 union)
+# --------------------------------------------------------------------------
+
+
+def q_li_pricing_summary(sf_dir: str) -> pa.Table:
+    """The canonical grouped aggregate (reference A2/A5 family): lineitem
+    summary by (returnflag, linestatus) via ray.data native aggregates."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+    )
+    out["sum_qty"] = out["sum_qty"].round(0).astype("int64")
+    out["sum_revenue"] = out["sum_revenue"].round(2)
+    out["avg_disc"] = out["avg_disc"].round(4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q_LI_PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_ord_revenue_by_nation(sf_dir: str) -> pa.Table:
+    """J2 broadcast join: the small dims (customer, nation) are put in the
+    object store ONCE and looked up per batch — no shuffle join."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    lookup = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    ref = ray.put(dict(zip(lookup["c_custkey"], lookup["n_name"])))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def join(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = t["o_custkey"].to_pandas()
+        names = keys.map(m)
+        df = pd.DataFrame({"n_name": names, "price": t["o_totalprice"].to_pandas()})
+        g = df.groupby("n_name").agg(s=("price", "sum"), n=("price", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(join, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("n_name", sort=True).agg(s=("s", "sum"), n=("n", "sum")).reset_index()
+    out["revenue"] = out["s"].round(2)
+    out["n_orders"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out[["n_name", "revenue", "n_orders"]], preserve_index=False)
+
+
+Q_ORD_REVENUE_SQL = """
+    SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_li_gap_check(sf_dir: str) -> pa.Table:
+    """A9 dense-grid assertion analog: orders whose distinct line numbers
+    don't form a contiguous 1..max run."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        # shrink the shuffle: batch-local distinct (duplicates ACROSS
+        # batches are handled by the exact per-group pass below)
+        return pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(), preserve_index=False
+        )
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["l_linenumber"].nunique()
+        mx = g["l_linenumber"].max()
+        if n == mx:
+            return pd.DataFrame({"l_orderkey": [], "n_lines": [], "max_line": []})
+        return pd.DataFrame(
+            {"l_orderkey": [g["l_orderkey"].iloc[0]], "n_lines": [n], "max_line": [mx]}
+        )
+
+    bad = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .map_groups(per_order, batch_format="pandas")
+        .to_pandas()
+        .sort_values("l_orderkey")
+    )
+    bad = bad.astype({"l_orderkey": "int64", "n_lines": "int64", "max_line": "int64"})
+    return pa.Table.from_pandas(bad.reset_index(drop=True), preserve_index=False)
+
+
+Q_LI_GAP_SQL = """
+    SELECT l_orderkey, COUNT(DISTINCT l_linenumber) AS n_lines,
+           MAX(l_linenumber) AS max_line
+    FROM lineitem GROUP BY l_orderkey
+    HAVING COUNT(DISTINCT l_linenumber) != MAX(l_linenumber)
+    ORDER BY l_orderkey
+"""
+
+
+def q_party_union(sf_dir: str) -> pa.Table:
+    """§2.7 union-by-name with null-filled missing columns (M6):
+    customer ∪ supplier into one 'party' relation."""
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "party_key": t["c_custkey"],
+                "name": t["c_name"],
+                "acctbal": pc.round(t["c_acctbal"], 2, round_mode="half_towards_infinity"),
+                "kind": pa.array(["customer"] * t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "party_key": t["s_suppkey"],
+                "name": t["s_name"],
+                "acctbal": pa.nulls(t.num_rows, pa.float64()),
+                "kind": pa.array(["supplier"] * t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = cust.union(supp).to_pandas().sort_values(["kind", "party_key"])
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_PARTY_UNION_SQL = """
+    SELECT c_custkey AS party_key, c_name AS name,
+           ROUND(c_acctbal, 2) AS acctbal, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), 'supplier' FROM supplier
+    ORDER BY kind, party_key
+"""
+
+
+# --------------------------------------------------------------------------
+# documents / embeddings (training-data operators)
+# --------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def q_doc_near_dup_pairs(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup candidates verified by exact 3-shingle Jaccard
+    (threshold 0.8)."""
+    from open_finance_lakehouse_ray.pipelines.dedup import minhash_near_dup_pairs
+
+    out = minhash_near_dup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.8
+    ).to_pandas()
+    out["jaccard"] = out["jaccard"].round(3)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q_DOC_NEAR_DUP_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in range(1, len(w) - 1)]) s
+           FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+                 len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ORDER BY id_a, id_b
+"""
+
+
+def q_doc_token_stats(sf_dir: str) -> pa.Table:
+    from open_finance_lakehouse_ray.pipelines.textpipe import token_stats
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(token_stats, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "n_chars", "avg_token_len"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_TOKEN_SQL = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           length(text) AS n_chars,
+           ROUND((length(text) - (length(text) - length(replace(text, ' ', ''))))::DOUBLE
+                 / GREATEST(len(regexp_extract_all(text, '\S+')), 1), 4) AS avg_token_len
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_quality(sf_dir: str) -> pa.Table:
+    from open_finance_lakehouse_ray.pipelines.textpipe import QualityScorer
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
+        .select_columns(["doc_id", "stop_ratio"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_QUALITY_SQL = r"""
+    SELECT doc_id,
+           ROUND((len(regexp_extract_all(text, '\b(a|and|in|is|it|of|the|to)\b'))
+                 )::DOUBLE / GREATEST(len(regexp_extract_all(text, '\S+')), 1), 4)
+               AS stop_ratio
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(sf_dir: str) -> pa.Table:
+    from open_finance_lakehouse_ray.pipelines.textpipe import fingerprints
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fingerprints, batch_format="pyarrow")
+        .select_columns(["doc_id", "md5"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_FINGERPRINT_SQL = """
+    SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_langid(sf_dir: str) -> pa.Table:
+    """Language-ID heuristic (stopword vote) — no SQL oracle (heuristic
+    scoring isn't reasonably SQL-expressible); the driver's rows-only
+    check applies."""
+    from open_finance_lakehouse_ray.pipelines.textpipe import LangId
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .select_columns(["doc_id", "lang", "pred_lang", "lang_conf"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def q_doc_simhash_pairs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs (hamming ≤ 3) — rows-only check (bit-level
+    hash arithmetic has no SQL analog)."""
+    from open_finance_lakehouse_ray.pipelines.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_multimodal(sf_dir: str) -> pa.Table:
+    """Binary-payload plumbing: text→bytes→actor-pool decode→features.
+    n_bytes and checksum are SQL-checkable; features are engine-side."""
+    from open_finance_lakehouse_ray.pipelines.multimodal import multimodal_pipeline
+
+    out = (
+        multimodal_pipeline(_docs(sf_dir, ["doc_id", "text"]))
+        .select_columns(["doc_id", "n_bytes", "checksum"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# checksum oracle sums codepoints == UTF-8 byte values for ASCII corpora
+Q_DOC_MULTIMODAL_SQL = """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           CAST(list_sum(list_transform(string_split(text, ''),
+                x -> ascii(x))) AS BIGINT) AS checksum
+    FROM documents ORDER BY doc_id
+"""
+
+
+def _emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_emb_knn(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-3 for the first 8 vectors as queries."""
+    import pyarrow.parquet as pq
+
+    from open_finance_lakehouse_ray.pipelines.similarity import brute_force_topk
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 8)
+    queries = np.stack(qt["embedding"].to_pandas().to_numpy())
+    qids = qt["vec_id"].to_numpy()
+    out = brute_force_topk(_emb(sf_dir), queries, qids, k=3).to_pandas()
+    return pa.Table.from_pandas(
+        out[["query_id", "neighbor_id", "rank"]], preserve_index=False
+    )
+
+
+Q_EMB_KNN_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, e.embedding) AS cos,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+                            e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 3
+    ORDER BY query_id, rank
+"""
+
+
+def q_emb_label_centroids(sf_dir: str) -> pa.Table:
+    from open_finance_lakehouse_ray.pipelines.similarity import label_centroid_report
+
+    return label_centroid_report(_emb(sf_dir))
+
+
+Q_EMB_CENTROID_SQL = """
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(embedding[1]), 4) AS mean_dim0,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> x * x)))), 4)
+               AS mean_norm
+    FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "tx_maintenance_roundtrip": q_tx_maintenance_roundtrip,
+    "tx_merge_upsert": q_tx_merge_upsert,
+    "tx_expire_invariance": q_tx_expire_invariance,
+    "tx_key_metrics": q_tx_key_metrics,
+    "ev_ohlc_1m": q_ev_ohlc_1m,
+    "ev_latest_per_user": q_ev_latest_per_user,
+    "ev_monthly_type_mean": q_ev_monthly_type_mean,
+    "ev_pivot_daily": q_ev_pivot_daily,
+    "ev_rolling_avg": q_ev_rolling_avg,
+    "ev_asof_last_view": q_ev_asof_last_view,
+    "ev_validity_tag": q_ev_validity_tag,
+    "ev_table_metrics": q_ev_table_metrics,
+    "li_pricing_summary": q_li_pricing_summary,
+    "ord_revenue_by_nation": q_ord_revenue_by_nation,
+    "li_gap_check": q_li_gap_check,
+    "party_union": q_party_union,
+    "doc_near_dup_pairs": q_doc_near_dup_pairs,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_langid": q_doc_langid,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
+    "doc_multimodal": q_doc_multimodal,
+    "emb_knn": q_emb_knn,
+    "emb_label_centroids": q_emb_label_centroids,
+}
+
+ORACLES = {
+    "tx_maintenance_roundtrip": Q_TX_ROUNDTRIP_SQL,
+    "tx_merge_upsert": Q_TX_MERGE_SQL,
+    "tx_expire_invariance": Q_TX_ROUNDTRIP_SQL,
+    "tx_key_metrics": Q_TX_METRICS_SQL,
+    "ev_ohlc_1m": Q_EV_OHLC_SQL,
+    "ev_latest_per_user": Q_EV_LATEST_SQL,
+    "ev_monthly_type_mean": Q_EV_MONTHLY_SQL,
+    "ev_pivot_daily": Q_EV_PIVOT_SQL,
+    "ev_rolling_avg": Q_EV_ROLLING_SQL,
+    "ev_asof_last_view": Q_EV_ASOF_SQL,
+    "ev_validity_tag": Q_EV_VALIDITY_SQL,
+    "ev_table_metrics": Q_EV_METRICS_SQL,
+    "li_pricing_summary": Q_LI_PRICING_SQL,
+    "ord_revenue_by_nation": Q_ORD_REVENUE_SQL,
+    "li_gap_check": Q_LI_GAP_SQL,
+    "party_union": Q_PARTY_UNION_SQL,
+    "doc_near_dup_pairs": Q_DOC_NEAR_DUP_SQL,
+    "doc_token_stats": Q_DOC_TOKEN_SQL,
+    "doc_quality": Q_DOC_QUALITY_SQL,
+    "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
+    # doc_langid, doc_simhash_pairs: heuristic/bit-level — rows-only
+    "doc_multimodal": Q_DOC_MULTIMODAL_SQL,
+    "emb_knn": Q_EMB_KNN_SQL,
+    "emb_label_centroids": Q_EMB_CENTROID_SQL,
+}

@@ -1,0 +1,173 @@
+"""Similarity search over an embedding column (``list<float>``):
+brute-force cosine top-k baseline + LSH-bucketed scale path.
+
+Pattern: the QUERY matrix is broadcast once (``ray.put``), every data
+batch does one numpy matmul against it and emits its local top-k
+candidates; a final tiny per-query merge keeps the global top-k. The
+corpus streams — nothing materializes but (num_queries × k) rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(
+    emb: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    Deterministic tie-break: on equal cosine, the smaller neighbor id
+    ranks first (never ``first()`` on undefined order)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), q))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64))
+        sims = qm @ m.T  # (nq, nbatch)
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        for qi in range(len(qids)):
+            part = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in part:
+                rows["query_id"].append(int(qids[qi]))
+                rows["neighbor_id"].append(int(ids[j]))
+                rows["cosine"].append(float(sims[qi, j]))
+        return pa.table(rows)
+
+    cand = emb.map_batches(stage, batch_format="pyarrow").to_pandas()
+    if exclude_self:
+        cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    cand = cand.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = cand.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    top["cosine"] = top["cosine"].round(4)
+    return pa.Table.from_pandas(
+        top[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False
+    )
+
+
+def lsh_bucketed_topk(
+    emb: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 3,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> pa.Table:
+    """Approximate top-k: multi-table random-hyperplane LSH. Each of
+    ``n_tables`` independent tables assigns a ``n_planes``-bit bucket; a
+    batch row is scored for a query iff they share a bucket in ANY table
+    (the standard recall amplifier: per-table collision p^n_planes, miss
+    probability (1-p^n_planes)^n_tables). Same output schema as
+    :func:`brute_force_topk`; recall < 1 by design — this is the 100 TB
+    path where the full matmul is unaffordable."""
+    rng = np.random.default_rng(seed)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    planes = rng.standard_normal((n_tables, n_planes, q.shape[1]))
+
+    def signatures(m: np.ndarray) -> np.ndarray:
+        """(n_rows, n_tables) bucket ids."""
+        out = np.zeros((m.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (m @ planes[t].T) > 0
+            out[:, t] = bits @ (1 << np.arange(n_planes))
+        return out
+
+    q_sigs = signatures(q)
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), q, q_sigs))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        qids, qm, qsig = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64))
+        sigs = signatures(m)
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi, qid in enumerate(qids):
+            mask = (sigs == qsig[qi][None, :]).any(axis=1)
+            if not mask.any():
+                continue
+            sims = qm[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k + 1, len(sub_ids))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            for j in part:
+                rows["query_id"].append(int(qid))
+                rows["neighbor_id"].append(int(sub_ids[j]))
+                rows["cosine"].append(float(sims[j]))
+        return pa.table(rows)
+
+    cand = emb.map_batches(stage, batch_format="pyarrow").to_pandas()
+    cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    if len(cand) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    cand = cand.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = cand.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    top["cosine"] = top["cosine"].round(4)
+    return pa.Table.from_pandas(
+        top[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False
+    )
+
+
+def label_centroid_report(emb: rd.Dataset) -> pa.Table:
+    """Per-label aggregate over embeddings: count, mean of dim0, mean L2
+    norm — partial sums per batch, tiny final merge (the pre-aggregate
+    pattern; no full-vector shuffle)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        m = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        df = pd.DataFrame(
+            {
+                "label": labels,
+                "dim0": m[:, 0],
+                "norm": np.linalg.norm(m, axis=1),
+            }
+        )
+        g = df.groupby("label").agg(
+            n=("dim0", "size"), s_dim0=("dim0", "sum"), s_norm=("norm", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("label", sort=True).agg(
+        n=("n", "sum"), s_dim0=("s_dim0", "sum"), s_norm=("s_norm", "sum")
+    )
+    out = pd.DataFrame(
+        {
+            "label": g.index.astype("int32"),
+            "n": g["n"].astype("int64"),
+            "mean_dim0": (g["s_dim0"] / g["n"]).round(4),
+            "mean_norm": (g["s_norm"] / g["n"]).round(4),
+        }
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
