@@ -1,0 +1,152 @@
+"""Thin CLI + maintenance-job registry.
+
+The reference drives everything through a registry + thin CLI
+(``/root/reference/ofl/cli.py:159-219``; the YAML series registry,
+``ofl/registry.py:95-111``, where adding a unit of work is one entry).
+Here the registry maps maintenance job names to pipeline entry points with
+per-table config from a JSON file or flags.
+
+    python -m open_finance_lakehouse_ray.cli ingest  --root T --source S
+    python -m open_finance_lakehouse_ray.cli compact --root T
+    python -m open_finance_lakehouse_ray.cli zorder  --root T [--curve hilbert]
+    python -m open_finance_lakehouse_ray.cli merge   --root T --updates U
+    python -m open_finance_lakehouse_ray.cli rewrite-manifests --root T
+    python -m open_finance_lakehouse_ray.cli expire  --root T [--force]
+    python -m open_finance_lakehouse_ray.cli report  --root T
+    python -m open_finance_lakehouse_ray.cli check   --root T
+
+Owns its Ray session (scripts do; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import uuid
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ofl-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, **flags):
+        sp = sub.add_parser(name)
+        sp.add_argument("--root", required=True)
+        sp.add_argument("--job-id", default=None)
+        for f, kw in flags.items():
+            sp.add_argument(f, **kw)
+        return sp
+
+    add("ingest", **{"--source": {"required": True},
+                     "--mode": {"default": "append", "choices": ["append", "overwrite"]}})
+    add("compact", **{"--target-bytes": {"type": int, "default": 96 * 1024 * 1024}})
+    add("zorder", **{"--curve": {"default": "morton", "choices": ["morton", "hilbert"]}})
+    add("merge", **{"--updates": {"required": True},
+                    "--strategy": {"default": "auto",
+                                   "choices": ["auto", "broadcast", "shuffle"]}})
+    add("rewrite-manifests")
+    add("expire", **{"--keep-last": {"type": int, "default": 1},
+                     "--retain-hours": {"type": float, "default": 168.0},
+                     "--force": {"action": "store_true"},
+                     "--dry-run": {"action": "store_true"}})
+    add("report")
+    add("check")
+    args = p.parse_args(argv)
+
+    job_id = args.job_id or f"{args.cmd}-{uuid.uuid4().hex[:12]}"
+    out: dict = {"cmd": args.cmd, "job_id": job_id}
+
+    needs_ray = args.cmd in ("ingest", "compact", "zorder", "merge", "rewrite-manifests", "check")
+    if needs_ray:
+        _ray_session(args.num_cpus)
+
+    if args.cmd == "ingest":
+        import ray.data as rd
+
+        from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+
+        snap = ingest_dataset(
+            rd.read_parquet(args.source), args.root, job_id=job_id, mode=args.mode
+        )
+        out["snapshot"] = snap.version
+    elif args.cmd == "compact":
+        from open_finance_lakehouse_ray.pipelines.compact import compact
+
+        snap = compact(args.root, job_id=job_id, target_bytes=args.target_bytes)
+        out["snapshot"] = None if snap is None else snap.version
+    elif args.cmd == "zorder":
+        from open_finance_lakehouse_ray.pipelines.zorder import zorder
+
+        snap = zorder(args.root, job_id=job_id, curve=args.curve)
+        out["snapshot"] = None if snap is None else snap.version
+    elif args.cmd == "merge":
+        import ray.data as rd
+
+        from open_finance_lakehouse_ray.pipelines.merge import merge_into
+
+        snap = merge_into(
+            args.root, rd.read_parquet(args.updates), job_id=job_id,
+            strategy=args.strategy,
+        )
+        out["snapshot"] = snap.version
+    elif args.cmd == "rewrite-manifests":
+        from open_finance_lakehouse_ray.pipelines.rewrite import rewrite_manifests
+
+        snap = rewrite_manifests(args.root, job_id=job_id)
+        out["snapshot"] = snap.version
+        out["summary"] = snap.summary
+    elif args.cmd == "expire":
+        from open_finance_lakehouse_ray.pipelines.expire import expire
+
+        out.update(
+            expire(
+                args.root,
+                keep_last=args.keep_last,
+                retain_seconds=args.retain_hours * 3600.0,
+                force=args.force,
+                dry_run=args.dry_run,
+            )
+        )
+    elif args.cmd == "report":
+        from open_finance_lakehouse_ray.pipelines.metrics import manifest_report
+
+        out.update(manifest_report(args.root))
+    elif args.cmd == "check":
+        from open_finance_lakehouse_ray.pipelines.checks import CheckError, run_checks
+
+        try:
+            out["checks"] = run_checks(args.root)
+        except CheckError as e:
+            out["failed_check"] = e.name
+            out["violations"] = e.violations.num_rows
+            print(json.dumps(out, default=str))
+            return 1
+
+    print(json.dumps(out, default=str))
+    if needs_ray:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

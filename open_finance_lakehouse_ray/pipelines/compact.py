@@ -39,10 +39,14 @@ from open_finance_lakehouse_ray.state.txlog import FileEntry, Snapshot, TableLog
 DEFAULT_TARGET_BYTES = 96 * 1024 * 1024
 
 
+DEFAULT_MAX_ROWS_PER_BIN = 768 * 1024
+
+
 def plan_bins(
     entries: list[FileEntry],
     *,
     target_bytes: int = DEFAULT_TARGET_BYTES,
+    max_rows: int = DEFAULT_MAX_ROWS_PER_BIN,
     min_files_per_bin: int = 2,
 ) -> list[list[FileEntry]]:
     """Greedy locality-preserving bin-packing over manifest stats.
@@ -65,12 +69,17 @@ def plan_bins(
     bins: list[list[FileEntry]] = []
     cur: list[FileEntry] = []
     cur_bytes = 0
+    cur_rows = 0
     for e in small:
-        if cur and cur_bytes + e.bytes > target_bytes:
+        # cap on BYTES (output file size) and on ROWS (task memory/latency
+        # — compressed bytes understate decompressed work on text-heavy
+        # tables, and a bin is one task's unit of read+sort+write)
+        if cur and (cur_bytes + e.bytes > target_bytes or cur_rows + e.rows > max_rows):
             bins.append(cur)
-            cur, cur_bytes = [], 0
+            cur, cur_bytes, cur_rows = [], 0, 0
         cur.append(e)
         cur_bytes += e.bytes
+        cur_rows += e.rows
     if cur:
         bins.append(cur)
     return [b for b in bins if len(b) >= min_files_per_bin]

@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -101,15 +102,35 @@ def _make_bucket_apply(root: str, job_id: str):
     return _apply
 
 
+BROADCAST_MAX_BYTES = 512 * 1024 * 1024
+
+
 def merge_into(
     root: str,
     updates: rd.Dataset | pa.Table,
     *,
     job_id: str,
     num_buckets: int | None = None,
+    strategy: str = "auto",
     max_retries_on_conflict: int = 3,
 ) -> Snapshot:
     """Upsert ``updates`` (transcript schema) into the table at ``root``.
+
+    Strategies:
+
+    - ``"broadcast"`` — the late-arrival fast path. Updates are put in the
+      object store ONCE; each affected target file is rewritten by an
+      independent task (read file → latest-wins apply of the update keys
+      that land in it → write); unmatched keys become one insert file in a
+      driver-side phase 2. NO target-row shuffle: data volume moved =
+      affected files once (map-parallel) + |updates|. Requires updates to
+      fit the object store (``BROADCAST_MAX_BYTES``) and the table to hold
+      unique keys (the post-MERGE invariant — each key lives in exactly
+      one file, so per-file apply is globally correct).
+    - ``"shuffle"`` — the general path (works on tables with duplicate
+      keys and arbitrarily large updates): hash-bucket both sides on the
+      full merge key and dedup per bucket.
+    - ``"auto"`` — broadcast when the updates fit, else shuffle.
 
     On :class:`CommitConflict` (a concurrent compaction rewrote an affected
     target file between our plan and our commit) the merge REPLANS against
@@ -123,7 +144,10 @@ def merge_into(
     for attempt in range(max_retries_on_conflict + 1):
         attempt_job = job_id if attempt == 0 else f"{job_id}~replan{attempt}"
         try:
-            return _merge_attempt(root, updates, job_id=attempt_job, num_buckets=num_buckets)
+            return _merge_attempt(
+                root, updates, job_id=attempt_job, num_buckets=num_buckets,
+                strategy=strategy,
+            )
         except CommitConflict as e:
             last = e
             continue
@@ -136,6 +160,7 @@ def _merge_attempt(
     *,
     job_id: str,
     num_buckets: int | None = None,
+    strategy: str = "auto",
 ) -> Snapshot:
     log = TableLog(root)
     existing = log.find_commit(job_id)
@@ -149,7 +174,35 @@ def _merge_attempt(
         updates = rd.from_arrow(updates)
     updates = updates.map_batches(conform_batch, batch_format="pyarrow")
 
-    # update-side key range (tiny aggregate — updates << table)
+    upd_table: pa.Table | None = None
+    if strategy in ("auto", "broadcast"):
+        # single streaming pull of the (small, by the late-arrival
+        # assumption) updates to the driver — ONE pipeline execution gives
+        # us key range, count and the broadcast payload together
+        pulled: list[pa.Table] = []
+        nbytes = 0
+        for b in updates.iter_batches(batch_format="pyarrow", batch_size=None):
+            pulled.append(b)
+            nbytes += b.nbytes
+            if strategy == "auto" and nbytes > BROADCAST_MAX_BYTES:
+                pulled = []
+                break
+        else:
+            upd_table = pa.concat_tables(pulled) if pulled else None
+
+    if upd_table is not None:
+        if upd_table.num_rows == 0:
+            return log.snapshot(base_version)
+        upd_lo = pc.min(upd_table["conv_id"]).as_py()
+        upd_hi = pc.max(upd_table["conv_id"]).as_py()
+        affected, _ = prune_affected(entries, upd_lo, upd_hi)
+        return _merge_broadcast(
+            log, upd_table, affected, base_version=base_version, job_id=job_id,
+            n_updates=upd_table.num_rows,
+        )
+
+    # ---- shuffle path (updates too large to broadcast, or forced) ----
+    updates = updates.materialize()
     rng = updates.map_batches(
         lambda t: pa.table(
             {
@@ -206,6 +259,139 @@ def _merge_attempt(
             "buckets": num_buckets,
             "files_affected": len(affected),
             "files_untouched": len(entries) - len(affected),
+        },
+    )
+
+
+def _merge_broadcast(
+    log: TableLog,
+    updates: pa.Table,
+    affected: list[FileEntry],
+    *,
+    base_version: int | None,
+    job_id: str,
+    n_updates: int,
+) -> Snapshot:
+    """Broadcast merge: per-affected-file read-modify-write tasks + one
+    insert pass for unmatched keys. See :func:`merge_into` docstring."""
+    import ray
+
+    root = log.root
+    upd_table = updates
+    if upd_table is None or upd_table.num_rows == 0:
+        return log.snapshot(base_version)
+    # latest-wins dedup WITHIN updates first (cheap, driver-side: updates
+    # are small by the broadcast precondition)
+    updf = upd_table.to_pandas().sort_values(
+        ["conv_id", "turn_idx", "ts", "text"], kind="mergesort"
+    ).drop_duplicates(list(MERGE_KEY), keep="last")
+    upd_ref = ray.put(updf)
+
+    plan_rows = [
+        {"file_id": f"{i:06d}", "path": e.path}
+        for i, e in enumerate(affected)
+    ]
+
+    def apply_file(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from open_finance_lakehouse_ray.stages.writer import write_table_file
+
+        upd = ray.get(upd_ref)
+        out = []
+        for row in batch.to_pylist():
+            part_id = row["file_id"]
+            done = log.get_partition(job_id, part_id)
+            if done is None:
+                target = pq.read_table(os.path.join(root, row["path"])).to_pandas()
+                # update rows whose KEY exists in this file (each key lives
+                # in exactly one file — table invariant)
+                tkeys = pd.MultiIndex.from_frame(target[list(MERGE_KEY)])
+                ukeys = pd.MultiIndex.from_frame(upd[list(MERGE_KEY)])
+                hit = ukeys.isin(tkeys)
+                matched = upd[hit]
+                if len(matched) == 0:
+                    done = {"matched_keys": [], "outputs": [], "rows": len(target),
+                            "unchanged": True, "inputs": [row["path"]]}
+                else:
+                    target["_src"] = np.int8(0)
+                    matched = matched.copy()
+                    matched["_src"] = np.int8(1)
+                    g = pd.concat([target, matched], ignore_index=True).sort_values(
+                        ["conv_id", "turn_idx", "ts", "_src", "text"], kind="mergesort"
+                    ).drop_duplicates(list(MERGE_KEY), keep="last").drop(columns=["_src"])
+                    from open_finance_lakehouse_ray.stages.validate import conform_batch
+
+                    entry = write_table_file(
+                        root, conform_batch(pa.Table.from_pandas(g, preserve_index=False)),
+                        prefix="merge",
+                    )
+                    done = {
+                        "matched_keys": [
+                            [str(c), int(t)]
+                            for c, t in zip(matched["conv_id"], matched["turn_idx"])
+                        ],
+                        "outputs": [entry.to_json()],
+                        "rows": entry.rows,
+                        "unchanged": False,
+                        "inputs": [row["path"]],
+                    }
+                log.record_partition(job_id, part_id, done)
+            out.append({"file_id": part_id, "rows": done["rows"]})
+        return pa.Table.from_pylist(out) if out else pa.table({"file_id": [], "rows": []})
+
+    if plan_rows:
+        rd.from_items(plan_rows, override_num_blocks=len(plan_rows)).map_batches(
+            apply_file, batch_size=1, batch_format="pyarrow"
+        ).take_all()
+
+    # phase 2: keys matched nowhere -> the insert file (exactly once)
+    records = log.committed_partitions(job_id)
+    matched_all = {
+        tuple(k) for pid, r in records.items() if pid != "inserts"
+        for k in r.get("matched_keys", [])
+    }
+    ins_rec = records.get("inserts")
+    if ins_rec is None:
+        ukeys = [
+            (str(c), int(t)) for c, t in zip(updf["conv_id"], updf["turn_idx"])
+        ]
+        ins_mask = [k not in matched_all for k in ukeys]
+        inserts = updf[np.array(ins_mask, dtype=bool)] if any(ins_mask) else updf.iloc[:0]
+        outputs = []
+        if len(inserts):
+            from open_finance_lakehouse_ray.stages.validate import conform_batch
+
+            entry = write_table_file(
+                root, conform_batch(pa.Table.from_pandas(inserts, preserve_index=False)),
+                prefix="merge-ins",
+            )
+            outputs = [entry.to_json()]
+        ins_rec = {"outputs": outputs, "rows": int(len(inserts)), "inputs": []}
+        log.record_partition(job_id, "inserts", ins_rec)
+
+    records = log.committed_partitions(job_id)
+    added, removed = [], set()
+    for pid, r in records.items():
+        if r.get("unchanged"):
+            continue
+        for o in r.get("outputs", []):
+            added.append(FileEntry.from_json(o))
+        removed.update(p for p in r.get("inputs", []))
+
+    return commit_via_actor_or_direct(
+        log,
+        operation="merge",
+        job_id=job_id,
+        added=added,
+        removed_paths=removed,
+        read_paths={e.path for e in affected},
+        base_version=base_version,
+        summary={
+            "updates": n_updates,
+            "strategy": "broadcast",
+            "files_affected": len(affected),
+            "files_rewritten": len(removed),
         },
     )
 

@@ -148,7 +148,14 @@ def _merge_updates(tx: rd.Dataset) -> rd.Dataset:
     """Ray mirror of the three MERGE source slices above."""
 
     def build(t: pa.Table) -> pa.Table:
-        okey = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99), pa.int64())
+        # trailing digits of conv_id = the order key (robust to replica
+        # prefixes like "r3-conv-…" used by bench scaling)
+        okey = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t["conv_id"], r"(?P<okey>[0-9]+)$"), "okey"
+            ),
+            pa.int64(),
+        )
         turn = t["turn_idx"]
         day40 = 40 * 86_400_000_000
 
@@ -193,7 +200,9 @@ def _merge_updates(tx: rd.Dataset) -> rd.Dataset:
                 "conv_id": stale["conv_id"],
                 "turn_idx": stale["turn_idx"],
                 "role": stale["role"],
-                "text": pa.array(["STALE-MUST-NOT-APPEAR"] * stale.num_rows),
+                "text": pa.array(
+                    ["STALE-MUST-NOT-APPEAR"] * stale.num_rows, type=pa.string()
+                ),
                 "tool": stale["tool"],
                 "ts": shift(stale["ts"], -day40),
             }
@@ -334,28 +343,54 @@ def q_ev_ohlc_1m(sf_dir: str) -> pa.Table:
         ).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["_first_key", "_first_id"], kind="mergesort")
-        opn = g["open"].iloc[0]
-        g2 = g.sort_values(["_last_key", "_last_id"], kind="mergesort")
-        cls = g2["close"].iloc[-1]
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "open": [opn],
-                "high": [g["high"].max()],
-                "low": [g["low"].min()],
-                "close": [cls],
-                "volume": [round(g["volume"].sum(), 2)],
-                "n_events": [int(g["n_events"].sum())],
-            }
+    def add_coarse_bucket(t: pa.Table) -> pa.Table:
+        # many tiny (type, window) groups → Python-per-group map_groups is
+        # the slow shape; shuffle on a COARSE bucket instead and merge all
+        # of a bucket's windows vectorized in one pandas pass
+        wb = (
+            t["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+            // MINUTE_US
+            % 32
         )
+        return t.append_column("_wb", pa.array(wb))
+
+    def final_merge(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ["event_type", "window_start"]
+        a = g.sort_values(["_first_key", "_first_id"], kind="mergesort").groupby(
+            keys, sort=False
+        )
+        opn = a["open"].first()
+        first_key = a["_first_key"].first()
+        first_id = a["_first_id"].first()
+        b = g.sort_values(["_last_key", "_last_id"], kind="mergesort").groupby(
+            keys, sort=False
+        )
+        cls = b["close"].last()
+        agg = g.groupby(keys, sort=False).agg(
+            high=("high", "max"),
+            low=("low", "min"),
+            volume=("volume", "sum"),
+            n_events=("n_events", "sum"),
+        )
+        out = (
+            agg.join(opn.rename("open"))
+            .join(cls.rename("close"))
+            .join(first_key.rename("_fk"))
+            .join(first_id.rename("_fi"))
+            .reset_index()
+        )
+        out["volume"] = out["volume"].round(2)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[
+            ["event_type", "window_start", "open", "high", "low", "close",
+             "volume", "n_events"]
+        ]
 
     bars = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .map_groups(final, batch_format="pandas")
+        .map_batches(add_coarse_bucket, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(final_merge, batch_format="pandas")
         .to_pandas()
     )
     bars["window_start"] = pd.to_datetime(bars["window_start"], unit="us")
@@ -716,19 +751,24 @@ def q_li_gap_check(sf_dir: str) -> pa.Table:
             t.to_pandas().drop_duplicates(), preserve_index=False
         )
 
-    def per_order(g: pd.DataFrame) -> pd.DataFrame:
-        n = g["l_linenumber"].nunique()
-        mx = g["l_linenumber"].max()
-        if n == mx:
-            return pd.DataFrame({"l_orderkey": [], "n_lines": [], "max_line": []})
-        return pd.DataFrame(
-            {"l_orderkey": [g["l_orderkey"].iloc[0]], "n_lines": [n], "max_line": [mx]}
+    def add_coarse_bucket(t: pa.Table) -> pa.Table:
+        b = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64) % 64
+        return t.append_column("_ob", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL of this bucket's orders in one pandas pass
+        g = g.drop_duplicates(["l_orderkey", "l_linenumber"])
+        agg = g.groupby("l_orderkey").agg(
+            n_lines=("l_linenumber", "nunique"), max_line=("l_linenumber", "max")
         )
+        bad = agg[agg["n_lines"] != agg["max_line"]].reset_index()
+        return bad
 
     bad = (
         ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .map_groups(per_order, batch_format="pandas")
+        .map_batches(add_coarse_bucket, batch_format="pyarrow")
+        .groupby("_ob")
+        .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values("l_orderkey")
     )

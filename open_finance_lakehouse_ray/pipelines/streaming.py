@@ -1,0 +1,256 @@
+"""Micro-batch streaming lane: checkpointed, exactly-once, event-time
+windowed aggregation — the reference's streaming architecture
+(``/root/reference/ofl/streaming/bronze.py:197-292`` +
+``silver.py:143-262``) re-expressed as Ray-Data micro-batches.
+
+Semantics preserved (SURVEY.md §2.9):
+
+- **Source**: a watched directory of files, processed in name order, at
+  most ``max_files_per_trigger`` per micro-batch (backpressure,
+  ``ofl/config.py:55-58``); ``run_available_now`` drains then exits
+  (``Trigger.AvailableNow``, ``bronze.py:88-106``).
+- **Bronze**: parse + validity tagging; bad rows go to a dead-letter
+  table verbatim with a reason, replayable (``bronze.py:171-182``);
+  appends are idempotent — the batch id is the txn version
+  (``txnAppId``/``txnVersion``, ``bronze.py:185-194``): a replayed batch
+  commits as a no-op.
+- **Silver**: watermark (max event time − delay, one-batch lag) →
+  exact dedup on ``event_key`` with state bounded by the watermark
+  ("a sum is not idempotent" — dedup BEFORE aggregation,
+  ``silver.py:103-105``) → tumbling event-time windows; a window is
+  appended once the watermark passes its end; late rows are dropped
+  silently but COUNTED (``dropped_late``, ``silver.py:265-291``).
+- **Checkpoint**: offsets (processed files) claimed before work, state
+  persisted after each batch; restart resumes at the next batch id
+  (``docs/STREAMING.md:120-141``). One checkpoint per query — bronze and
+  silver each own theirs (``paths.py:33-37``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from open_finance_lakehouse_ray.functions.windows import (
+    WatermarkState,
+    window_end,
+    window_start,
+)
+from open_finance_lakehouse_ray.state.txlog import TableLog, _atomic_write_json
+
+
+class StreamCheckpoint:
+    """JSON checkpoint: processed files, watermark state, bounded dedup
+    keys, open (unfinalized) windows, metrics."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def load(self) -> dict[str, Any]:
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {
+                "batch_id": 0,
+                "processed": [],
+                "max_event_us": None,
+                "seen_keys": {},  # key -> ts_us (pruned below watermark)
+                "open_windows": {},  # "key|wstart" -> partial agg
+                "metrics": {"rows_in": 0, "rows_valid": 0, "dropped_late": 0,
+                            "dropped_dup": 0, "bars_emitted": 0},
+            }
+
+    def save(self, state: dict[str, Any]) -> None:
+        _atomic_write_json(
+            os.path.dirname(self.path) or ".", self.path, state
+        )
+
+
+def _merge_bar(bar: dict | None, g: pd.DataFrame) -> dict:
+    """Fold a (sorted) slice of one window's rows into its partial bar —
+    deterministic open/close via (ts, event_id) min/max keys (never
+    ``first()`` on undefined order, ``ofl/streaming/silver.py:39-44``)."""
+    first = g.iloc[0]
+    last = g.iloc[-1]
+    upd = {
+        "open": float(first["value"]),
+        "close": float(last["value"]),
+        "high": float(g["value"].max()),
+        "low": float(g["value"].min()),
+        "volume": float(g["value"].sum()),
+        "n_events": int(len(g)),
+        "_first_key": [int(first["ts_us"]), int(first["event_id"])],
+        "_last_key": [int(last["ts_us"]), int(last["event_id"])],
+    }
+    if bar is None:
+        return upd
+    out = dict(bar)
+    if upd["_first_key"] < bar["_first_key"]:
+        out["open"], out["_first_key"] = upd["open"], upd["_first_key"]
+    if upd["_last_key"] > bar["_last_key"]:
+        out["close"], out["_last_key"] = upd["close"], upd["_last_key"]
+    out["high"] = max(bar["high"], upd["high"])
+    out["low"] = min(bar["low"], upd["low"])
+    out["volume"] = bar["volume"] + upd["volume"]
+    out["n_events"] = bar["n_events"] + upd["n_events"]
+    return out
+
+
+class StreamProcessor:
+    """Drives the bronze→silver lane over a directory of event Parquet
+    files (schema: event_id, ts, user_id, event_type, value, props)."""
+
+    def __init__(
+        self,
+        source_dir: str,
+        bronze_root: str,
+        silver_root: str,
+        checkpoint_dir: str,
+        *,
+        window_us: int = 60_000_000,
+        delay_us: int = 120_000_000,
+        max_files_per_trigger: int = 64,
+    ):
+        self.source_dir = source_dir
+        self.bronze = TableLog(bronze_root)
+        self.bronze.create()
+        self.dead = TableLog(os.path.join(bronze_root, "_dead_letter"))
+        self.dead.create()
+        self.silver = TableLog(silver_root)
+        self.silver.create()
+        self.ckpt = StreamCheckpoint(os.path.join(checkpoint_dir, "stream.json"))
+        self.window_us = window_us
+        self.delay_us = delay_us
+        self.max_files = max_files_per_trigger
+
+    # ------------------------------------------------------------------
+
+    def _pending_files(self, state: dict[str, Any]) -> list[str]:
+        done = set(state["processed"])
+        names = sorted(
+            n for n in os.listdir(self.source_dir)
+            if n.endswith(".parquet") and n not in done
+        )
+        return names[: self.max_files]
+
+    def run_available_now(self) -> dict[str, Any]:
+        """Drain-then-exit: process micro-batches until no new files."""
+        while True:
+            state = self.ckpt.load()
+            files = self._pending_files(state)
+            if not files:
+                break
+            self._process_batch(state, files)
+        return self.ckpt.load()["metrics"]
+
+    # ------------------------------------------------------------------
+
+    def _process_batch(self, state: dict[str, Any], files: list[str]) -> None:
+        batch_id = state["batch_id"]
+        tables = [
+            pq.read_table(os.path.join(self.source_dir, f)) for f in files
+        ]
+        raw = pa.concat_tables(tables)
+        df = raw.to_pandas()
+        df["ts_us"] = df["ts"].astype("int64")
+        df["event_key"] = df["event_type"].astype(str) + ":" + df["event_id"].astype(str)
+        state["metrics"]["rows_in"] += len(df)
+
+        # --- bronze: validity tag + dead-letter split (M8/S15) ---
+        valid_mask = df["value"].notna() & df["ts"].notna()
+        dead = df[~valid_mask].copy()
+        good = df[valid_mask]
+        state["metrics"]["rows_valid"] += len(good)
+        if len(dead):
+            dead["_reason"] = "missing_required_fields:value_or_ts"
+            self._append(self.dead, dead.drop(columns=["ts_us", "event_key"]),
+                         f"dead-{batch_id}", ("event_id",))
+        self._append(self.bronze, good.drop(columns=["ts_us", "event_key"]),
+                     f"bronze-{batch_id}", ("event_id",))
+
+        # --- silver: watermark -> dedup -> window fold -> finalize ---
+        wm = WatermarkState(self.delay_us, state["max_event_us"])
+        wm.advance(int(good["ts_us"].max()) if len(good) else None)
+        watermark = wm.current  # one-batch lag: last batch's max - delay
+
+        if watermark is not None:
+            late = good["ts_us"] < watermark  # strictly-before is late
+            state["metrics"]["dropped_late"] += int(late.sum())
+            good = good[~late]
+
+        # exact dedup with state bounded by the watermark
+        seen = state["seen_keys"]
+        # duplicates against state AND within the batch (first occurrence
+        # in deterministic (ts, event_id) order wins)
+        good = good.sort_values(["ts_us", "event_id"], kind="mergesort")
+        dup = (
+            good["event_key"].map(lambda k: k in seen).astype(bool)
+            | good["event_key"].duplicated(keep="first")
+        )
+        state["metrics"]["dropped_dup"] += int(dup.sum())
+        good = good[~dup.to_numpy()]
+        for k, t in zip(good["event_key"], good["ts_us"]):
+            seen[k] = int(t)
+        if watermark is not None:
+            state["seen_keys"] = {k: t for k, t in seen.items() if t >= watermark}
+
+        # fold into open windows
+        if len(good):
+            g = good.copy()
+            g["wstart"] = (g["ts_us"] // self.window_us) * self.window_us
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            for (etype, ws), grp in g.groupby(["event_type", "wstart"], sort=False):
+                key = f"{etype}|{int(ws)}"
+                state["open_windows"][key] = _merge_bar(
+                    state["open_windows"].get(key), grp
+                )
+
+        # finalize windows whose end the watermark passed (append-once)
+        emitted = []
+        for key in sorted(state["open_windows"]):
+            etype, ws = key.rsplit("|", 1)
+            wend = window_end(int(ws), self.window_us)
+            if watermark is not None and watermark >= wend:
+                bar = state["open_windows"].pop(key)
+                emitted.append(
+                    {
+                        "event_type": etype,
+                        "window_start": int(ws),
+                        **{k: v for k, v in bar.items() if not k.startswith("_")},
+                    }
+                )
+        if emitted:
+            bars = pd.DataFrame(emitted)
+            bars["window_start"] = pd.to_datetime(bars["window_start"], unit="us")
+            self._append(self.silver, bars, f"silver-{batch_id}",
+                         ("event_type", "window_start"))
+            state["metrics"]["bars_emitted"] += len(emitted)
+
+        # checkpoint: claim offsets + state AFTER the idempotent writes
+        state["processed"] = sorted(set(state["processed"]) | set(files))
+        state["batch_id"] = batch_id + 1
+        state["max_event_us"] = wm.max_event_us
+        self.ckpt.save(state)
+
+    def _append(
+        self, log: TableLog, df: pd.DataFrame, job_id: str, sort_by: tuple[str, ...]
+    ) -> None:
+        """Idempotent micro-batch append: job_id carries the batch id, so a
+        replayed batch (checkpoint written but process died before...) is a
+        log-level no-op — the txnAppId/txnVersion guard."""
+        if log.find_commit(job_id) is not None:
+            return
+        from open_finance_lakehouse_ray.stages.writer import write_table_file
+
+        table = pa.Table.from_pandas(df, preserve_index=False)
+        entry = write_table_file(
+            log.root, table, stats_cols=(), sort_by=sort_by, prefix="stream"
+        )
+        log.commit(operation="stream-append", job_id=job_id, added=[entry])

@@ -51,17 +51,44 @@ def ts_range_from_entries(entries) -> tuple[int, int]:
     return (min(los), max(his))
 
 
-def make_zkey_stage(ts_lo: int, ts_hi: int, curve: str = "morton"):
+def make_zkey_stage(
+    ts_lo: int,
+    ts_hi: int,
+    curve: str = "morton",
+    conv_boundaries: np.ndarray | None = None,
+):
     """Vectorized map_batches stage: append the 63-bit interleave key.
 
-    d0 = top 21 bits of hash64(conv_id) — conversations scatter uniformly;
+    d0 = the conv_id dimension. With ``conv_boundaries`` (sampled
+    equal-frequency quantiles of conv_id) it is ORDER-PRESERVING:
+    ``searchsorted(boundaries, conv) << 9 | hash(conv) & 511`` — monotone
+    bucket in the high bits (so post-zorder files carry TIGHT raw conv_id
+    min/max stats and MERGE/scan pruning on conv_id works), hash spread in
+    the low bits (intra-bucket balance). Equal-frequency buckets absorb
+    Zipf skew the way a plain hash would. Without boundaries it falls back
+    to the pure hash (adversarial key distributions).
     d1 = turn_idx clamped to 21 bits; d2 = ts scaled into 21 bits over the
-    table-global range.
+    table-global range — all deterministic functions of the table, not of
+    this run.
     """
     interleave = morton3 if curve == "morton" else hilbert3
 
     def _add(batch: pa.Table) -> pa.Table:
-        h = hash64_strings(batch["conv_id"]) >> np.uint64(64 - BITS)
+        h_full = hash64_strings(batch["conv_id"])
+        if conv_boundaries is not None and len(conv_boundaries) > 0:
+            conv_np = np.asarray(
+                batch["conv_id"].to_pylist() if batch["conv_id"].null_count else
+                batch["conv_id"].to_numpy(zero_copy_only=False),
+                dtype="U64",
+            )
+            bucket = np.searchsorted(conv_boundaries, conv_np, side="right").astype(
+                np.uint64
+            )
+            h = ((bucket << np.uint64(9)) | (h_full & np.uint64(511))) & np.uint64(
+                DIM_MAX
+            )
+        else:
+            h = h_full >> np.uint64(64 - BITS)
         turn = (
             batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
@@ -72,6 +99,32 @@ def make_zkey_stage(ts_lo: int, ts_hi: int, curve: str = "morton"):
         return batch.append_column(ZKEY, pa.array(z, type=pa.int64()))
 
     return _add
+
+
+def sample_conv_boundaries(
+    ds: rd.Dataset,
+    *,
+    n_buckets: int = 4096,
+    n_sample: int = 16384,
+    seed: int = 5,
+    total_rows: int | None = None,
+) -> np.ndarray:
+    """Equal-frequency conv_id bucket boundaries from a cheap sample —
+    the same sample-then-range-partition idea as a distributed sort's
+    boundary pass, reused so the cluster key is monotone in conv_id."""
+    total = total_rows if total_rows is not None else ds.count()
+    frac = min(1.0, (4.0 * n_sample) / max(1, total))
+    frac_rows = [
+        r["conv_id"]
+        for r in ds.select_columns(["conv_id"])
+        .random_sample(frac, seed=seed)
+        .take(n_sample)
+    ]
+    if not frac_rows:
+        return np.array([], dtype="U64")
+    s = np.sort(np.asarray(frac_rows, dtype="U64"))
+    idx = np.linspace(0, len(s) - 1, min(n_buckets, len(s)) + 1)[1:-1].astype(int)
+    return np.unique(s[idx])
 
 
 def zorder(
@@ -96,14 +149,31 @@ def zorder(
 
     paths = [f"{root}/{e.path}" for e in entries]
     ds = rd.read_parquet(paths)
-    ds = ds.map_batches(make_zkey_stage(ts_lo, ts_hi, curve), batch_format="pyarrow")
+    # boundary sample from a SUBSET of files (conv column only) — cheap
+    # regardless of table size; per-file manifest conv ranges tell us
+    # nothing pre-clustering, so a data sample it is
+    stride = max(1, len(paths) // 16)
+    sampled_rows = sum(e.rows for e in entries[::stride])
+    boundaries = sample_conv_boundaries(
+        rd.read_parquet(paths[::stride], columns=["conv_id"]),
+        total_rows=sampled_rows,
+    )
+    ds = ds.map_batches(
+        make_zkey_stage(ts_lo, ts_hi, curve, conv_boundaries=boundaries),
+        batch_format="pyarrow",
+    )
+    # coarsen block count ahead of the sort: the all-to-all exchange costs
+    # O(blocks^2) object transfers — fewer, larger partitions beat many
+    # tiny ones; 64 keeps every CPU of a 4-node-equivalent busy
+    ds = ds.repartition(64)
     ds = ds.sort(ZKEY)
     if target_rows_per_file:
         total = sum(e.rows for e in entries)
         nfiles = max(1, total // target_rows_per_file)
         ds = ds.repartition(nfiles)  # order-preserving split/coalesce
     meta = ds.map_batches(
-        make_stats_writer(root, zkey_col=ZKEY, prefix="zorder"),
+        # globally sorted upstream: the writer only stats+writes (presort off)
+        make_stats_writer(root, zkey_col=ZKEY, prefix="zorder", presorted=True),
         batch_size=None,
         batch_format="pyarrow",
     )

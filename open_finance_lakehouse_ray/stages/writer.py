@@ -65,22 +65,29 @@ def write_table_file(
     zkey_col: str | None = None,
     prefix: str = "part",
     row_group_rows: int = 128 * 1024,
+    presorted: bool = False,
 ) -> FileEntry:
-    """Sort, stat, write one Parquet file; return its manifest entry."""
+    """Sort (unless ``presorted`` upstream, e.g. after a global
+    ``Dataset.sort``), stat, write one zstd Parquet file; return its
+    manifest entry."""
     z_range = None
     if zkey_col is not None and zkey_col in table.column_names:
         mm = pc.min_max(table[zkey_col])
         if mm["min"].as_py() is not None:
             z_range = [int(mm["min"].as_py()), int(mm["max"].as_py())]
-        sort_keys = [(zkey_col, "ascending")] + [(c, "ascending") for c in sort_by]
-        table = table.sort_by(sort_keys)
+        if not presorted:
+            sort_keys = [(zkey_col, "ascending")] + [(c, "ascending") for c in sort_by]
+            table = table.sort_by(sort_keys)
         table = table.drop_columns([zkey_col])
-    elif sort_by:
+    elif sort_by and not presorted:
         table = table.sort_by([(c, "ascending") for c in sort_by])
     stats = column_stats(table, list(stats_cols))
     rel = os.path.join("data", f"{prefix}-{uuid.uuid4().hex}.parquet")
     full = os.path.join(root, rel)
-    pq.write_table(table, full, row_group_size=row_group_rows)
+    pq.write_table(
+        table, full, row_group_size=row_group_rows,
+        compression="zstd", compression_level=3,
+    )
     return FileEntry(
         path=rel,
         rows=table.num_rows,
@@ -132,6 +139,7 @@ def make_stats_writer(
     sort_by: tuple[str, ...] = ("conv_id", "turn_idx"),
     zkey_col: str | None = None,
     prefix: str = "part",
+    presorted: bool = False,
 ):
     """A ``map_batches`` sink: one input block -> one data file -> one
     metadata row. Use with ``batch_size=None, batch_format="pyarrow"`` so
@@ -148,6 +156,7 @@ def make_stats_writer(
             sort_by=sort_by,
             zkey_col=zkey_col,
             prefix=prefix,
+            presorted=presorted,
         )
         return entry_to_meta_row(entry)
 

@@ -55,6 +55,17 @@ class CommitActor:
         return snap.to_json()
 
 
+_ACTOR_CACHE: dict[str, "ray.actor.ActorHandle"] = {}
+
+
+def _get_actor(root: str):
+    a = _ACTOR_CACHE.get(root)
+    if a is None:
+        a = CommitActor.remote(root)
+        _ACTOR_CACHE[root] = a
+    return a
+
+
 def commit_via_actor_or_direct(
     log: TableLog,
     *,
@@ -71,7 +82,7 @@ def commit_via_actor_or_direct(
     if ray.is_initialized():
         from .txlog import CommitConflict
 
-        actor = CommitActor.remote(log.root)
+        actor = _get_actor(log.root)
         try:
             d = ray.get(
                 actor.commit.remote(
@@ -89,8 +100,13 @@ def commit_via_actor_or_direct(
             if isinstance(e.cause, CommitConflict):
                 raise e.cause from None
             raise
-        finally:
-            ray.kill(actor)
+        except ray.exceptions.RayActorError:
+            _ACTOR_CACHE.pop(log.root, None)  # died actor: fall back direct
+            return log.commit(
+                operation=operation, job_id=job_id, added=added,
+                removed_paths=removed_paths, read_paths=read_paths,
+                base_version=base_version, summary=summary,
+            )
     return log.commit(
         operation=operation,
         job_id=job_id,

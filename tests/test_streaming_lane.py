@@ -1,0 +1,169 @@
+"""Streaming lane tests: checkpoint resume, idempotent replay, late-drop
+accounting, dead-letter split, exact reconciliation — the behaviors the
+reference measures in docs/STREAMING.md:236-300,546-570."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from open_finance_lakehouse_ray.pipelines.streaming import StreamProcessor
+from open_finance_lakehouse_ray.state.txlog import TableLog
+
+MIN = 60_000_000
+BASE = 1_700_000_000_000_000
+
+
+def make_events(
+    ids, minutes, etype="click", value=1.0, nulls=False
+) -> pa.Table:
+    n = len(ids)
+    return pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(
+                [BASE + int(m * MIN) for m in minutes], pa.timestamp("us")
+            ),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array([etype] * n),
+            "value": pa.array(
+                [None if nulls and i % 2 == 0 else value + i for i in range(n)],
+                pa.float64(),
+            ),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+
+
+@pytest.fixture()
+def lane(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name: str, table: pa.Table):
+        pq.write_table(table, src / name)
+
+    proc = StreamProcessor(
+        str(src),
+        str(tmp_path / "bronze"),
+        str(tmp_path / "silver"),
+        str(tmp_path / "ckpt"),
+        window_us=MIN,
+        delay_us=2 * MIN,
+        max_files_per_trigger=1,
+    )
+    return src, write, proc, tmp_path
+
+
+def silver_bars(tmp_path) -> pd.DataFrame:
+    log = TableLog(str(tmp_path / "silver"))
+    if log.current_version() is None:
+        return pd.DataFrame()
+    return pa.concat_tables(
+        [pq.read_table(p) for p in log.file_paths()]
+    ).to_pandas()
+
+
+def test_windows_finalize_once_watermark_passes(lane):
+    src, write, proc, tmp = lane
+    write("a.parquet", make_events([1, 2], [0.1, 0.5]))  # window 0
+    write("b.parquet", make_events([3], [5.0]))  # pushes max event to minute 5
+    write("c.parquet", make_events([4], [6.0]))  # watermark -> 5-2=3 > end(0)
+    proc.run_available_now()
+    bars = silver_bars(tmp)
+    assert len(bars) == 1  # only window 0 finalized (1 and 5 still open)
+    row = bars.iloc[0]
+    assert row["n_events"] == 2
+    assert row["open"] == 1.0 and row["close"] == 2.0
+    m = proc.ckpt.load()["metrics"]
+    assert m["bars_emitted"] == 1 and m["dropped_late"] == 0
+
+
+def test_late_rows_dropped_and_counted_on_watermark_survives(lane):
+    src, write, proc, tmp = lane
+    write("a.parquet", make_events([1], [10.0]))  # max=10
+    write("b.parquet", make_events([2], [10.5]))
+    # batch c sees the watermark established THROUGH batch b (one-batch
+    # lag): 10.5 - 2 = 8.5. Strictly-before (7.0) drops; ON it survives.
+    write("c.parquet", make_events([3, 4], [7.0, 8.5]))
+    proc.run_available_now()
+    m = proc.ckpt.load()["metrics"]
+    assert m["dropped_late"] == 1
+    assert m["rows_valid"] == 4
+
+
+def test_exact_dedup_before_aggregate(lane):
+    src, write, proc, tmp = lane
+    write("a.parquet", make_events([1, 1], [0.1, 0.2]))  # same event_key twice
+    write("b.parquet", make_events([1], [0.3]))  # and again in a later batch
+    write("c.parquet", make_events([9], [9.0]))
+    write("d.parquet", make_events([10], [9.5]))
+    proc.run_available_now()
+    m = proc.ckpt.load()["metrics"]
+    assert m["dropped_dup"] == 2
+    bars = silver_bars(tmp)
+    w0_start = (BASE + int(0.1 * MIN)) // MIN * MIN  # epoch-floored window
+    w0 = bars[bars["window_start"] == pd.Timestamp(w0_start, unit="us")]
+    assert len(w0) == 1 and w0.iloc[0]["n_events"] == 1  # a sum is not idempotent
+
+
+def test_dead_letter_split(lane):
+    src, write, proc, tmp = lane
+    write("a.parquet", make_events([1, 2, 3, 4], [0.1, 0.2, 0.3, 0.4], nulls=True))
+    proc.run_available_now()
+    dead = TableLog(str(tmp / "bronze" / "_dead_letter"))
+    assert dead.current_version() is not None
+    t = pa.concat_tables([pq.read_table(p) for p in dead.file_paths()])
+    assert t.num_rows == 2
+    assert set(t["_reason"].to_pylist()) == {"missing_required_fields:value_or_ts"}
+    m = proc.ckpt.load()["metrics"]
+    assert m["rows_in"] == 4 and m["rows_valid"] == 2
+
+
+def test_checkpoint_resume_and_idempotent_replay(lane, tmp_path):
+    src, write, proc, tmp = lane
+    for i in range(6):
+        write(f"f{i}.parquet", make_events([i], [float(i)]))
+    proc.run_available_now()
+    state1 = proc.ckpt.load()
+    bronze_v1 = TableLog(str(tmp / "bronze")).current_version()
+    bars1 = silver_bars(tmp)
+
+    # drain again with nothing new: a fresh processor must no-op entirely
+    proc2 = StreamProcessor(
+        str(src), str(tmp / "bronze"), str(tmp / "silver"), str(tmp / "ckpt"),
+        window_us=MIN, delay_us=2 * MIN, max_files_per_trigger=1,
+    )
+    proc2.run_available_now()
+    assert TableLog(str(tmp / "bronze")).current_version() == bronze_v1
+    assert proc2.ckpt.load()["batch_id"] == state1["batch_id"]
+    pd.testing.assert_frame_equal(silver_bars(tmp), bars1)
+
+    # new file arrives: resume processes exactly the new one
+    write("g9.parquet", make_events([99], [9.0]))
+    proc2.run_available_now()
+    assert proc2.ckpt.load()["batch_id"] == state1["batch_id"] + 1
+
+
+def test_replayed_batch_is_log_level_noop(lane):
+    """Simulate 'append done, checkpoint lost': replaying the batch with
+    the same batch id must not double-append (txn guard)."""
+    src, write, proc, tmp = lane
+    write("a.parquet", make_events([1], [0.1]))
+    proc.run_available_now()
+    state = proc.ckpt.load()
+    bronze = TableLog(str(tmp / "bronze"))
+    v = bronze.current_version()
+    rows_before = sum(e.rows for e in bronze.files())
+    # roll the checkpoint back one batch (as if the save was lost)
+    state["batch_id"] -= 1
+    state["processed"] = []
+    proc.ckpt.save(state)
+    proc.run_available_now()
+    assert bronze.current_version() == v  # replay appended nothing
+    assert sum(e.rows for e in bronze.files()) == rows_before
