@@ -1083,3 +1083,331 @@ ORACLES = {
     "emb_knn": Q_EMB_KNN_SQL,
     "emb_label_centroids": Q_EMB_CENTROID_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# second wave: the reference's distinctive mart shapes (A3/A6, J4/J5/J7, M12)
+# --------------------------------------------------------------------------
+
+
+def q_ord_month_end_snapshot(sf_dir: str) -> pa.Table:
+    """A3 month-end snapshot: each customer's LAST order per month
+    (row_number over (customer, month) order by date desc, key desc = 1 —
+    ``mart_macro_dashboard.sql:3-13``)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["month"] = df["o_orderdate"].values.astype("datetime64[M]")
+        df = df.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(["o_custkey", "month"], sort=False).tail(1),
+            preserve_index=False,
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        return g.groupby(["o_custkey", "month"], sort=False).tail(1)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64) % 32
+        return t.append_column("_b", pa.array(b))
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .drop(columns=["_b"])
+        .sort_values(["o_custkey", "month"])
+    )
+    out["month"] = pd.to_datetime(out["month"])
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return pa.Table.from_pandas(
+        out[["o_custkey", "month", "o_orderkey", "o_totalprice"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+Q_ORD_SNAPSHOT_SQL = """
+    SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+           o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ORDER BY o_custkey, month
+"""
+
+
+def q_ev_compound_growth(sf_dir: str) -> pa.Table:
+    """A6 geometric compounding over a rolling window: each DAY's mean
+    'purchase' value scaled to a rate r=avg/1000; 12-day compound
+    ``exp(sum(ln(1+r)))-1`` (``mart_inflation_panel.sql:12-13``); only
+    full 12-day windows (``mart_real_interest.sql:28-30``; days because
+    the events table spans one month)."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"] == "purchase"]
+        if len(df) == 0:
+            return pa.table({"day": pa.array([], pa.timestamp("us")),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        df["day"] = df["ts"].values.astype("datetime64[D]")
+        g = df.groupby("day").agg(s=("value", "sum"), n=("value", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = parts.groupby("day", sort=True).agg(s=("s", "sum"), n=("n", "sum"))
+    rate = (m["s"] / m["n"]) / 1000.0
+    lg = np.log1p(rate)
+    roll = lg.rolling(12).sum()
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(m.index),
+            "compound_12d": (np.expm1(roll)).round(6),
+        }
+    ).dropna()
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_EV_COMPOUND_SQL = """
+    WITH m AS (
+        SELECT date_trunc('day', ts) AS day, AVG(value) / 1000.0 AS r
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), w AS (
+        SELECT day,
+               SUM(ln(1 + r)) OVER (ORDER BY day
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS s,
+               COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS k
+        FROM m
+    )
+    SELECT day, ROUND(exp(s) - 1, 6) AS compound_12d
+    FROM w WHERE k = 12 ORDER BY day
+"""
+
+
+def q_ev_monthly_real_diff(sf_dir: str) -> pa.Table:
+    """J5 co-grouped monthly join (SELIC × IPCA analog): monthly mean of
+    'purchase' joined to monthly mean of 'click' on month; the 'real'
+    spread (1+a)/(1+b)-1 with rates scaled by /1000."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(["purchase", "click"])]
+        df["month"] = df["ts"].values.astype("datetime64[M]")
+        g = df.groupby(["month", "event_type"]).agg(
+            s=("value", "sum"), n=("value", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["month", "event_type"], sort=True).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+    means = (g["s"] / g["n"]).unstack("event_type") / 1000.0
+    means = means.dropna(subset=["purchase", "click"])
+    out = pd.DataFrame(
+        {
+            "month": pd.to_datetime(means.index),
+            "real_diff": (
+                (1 + means["purchase"]) / (1 + means["click"]) - 1
+            ).round(6).values,
+        }
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_EV_REALDIFF_SQL = """
+    WITH p AS (SELECT date_trunc('month', ts) AS month, AVG(value)/1000.0 AS r
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         c AS (SELECT date_trunc('month', ts) AS month, AVG(value)/1000.0 AS r
+               FROM events WHERE event_type = 'click' GROUP BY 1)
+    SELECT p.month, ROUND((1 + p.r) / (1 + c.r) - 1, 6) AS real_diff
+    FROM p JOIN c USING (month) ORDER BY p.month
+"""
+
+
+def q_reconcile_customers(sf_dir: str) -> pa.Table:
+    """J7 FULL OUTER reconciliation: coverage must agree both ways —
+    customers with no orders and order-custkeys missing from the customer
+    dim are each their own violation reason
+    (``checks/assert_real_interest_ipca_recomputes.sql:51-64``)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust_keys = set(
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+        ["c_custkey"].to_pylist()
+    )
+    ref = ray.put(cust_keys)
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        seen = set(t["o_custkey"].to_pylist())
+        return pa.table(
+            {
+                "custkey": pa.array(sorted(seen), pa.int64()),
+                "in_dim": pa.array([k in keys for k in sorted(seen)]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    ordered = parts.drop_duplicates("custkey")
+    with_orders = set(ordered["custkey"])
+    missing_dim = ordered[~ordered["in_dim"]]["custkey"].tolist()
+    no_orders = sorted(cust_keys - with_orders)
+    out = pd.DataFrame(
+        {
+            "custkey": missing_dim + no_orders,
+            "reason": ["order_without_customer"] * len(missing_dim)
+            + ["customer_without_orders"] * len(no_orders),
+        }
+    ).sort_values(["reason", "custkey"])
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_RECONCILE_SQL = """
+    WITH o AS (SELECT DISTINCT o_custkey FROM orders)
+    SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'order_without_customer'
+                ELSE 'customer_without_orders' END AS reason
+    FROM o FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NULL OR c.c_custkey IS NULL
+    ORDER BY reason, custkey
+"""
+
+
+def q_ev_value_bands(sf_dir: str) -> pa.Table:
+    """M12 scalar CASE classifier (curve-shape / bond-type analog):
+    band events by value and count per (event_type, band)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        band = pc.if_else(
+            pc.less(v, 10.0),
+            pa.scalar("small"),
+            pc.if_else(
+                pc.less(v, 100.0), pa.scalar("medium"), pa.scalar("large")
+            ),
+        )
+        return pa.table({"event_type": t["event_type"], "band": band})
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby(["event_type", "band"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "band"])
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_EV_BANDS_SQL = """
+    SELECT event_type,
+           CASE WHEN value < 10 THEN 'small'
+                WHEN value < 100 THEN 'medium'
+                ELSE 'large' END AS band,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY event_type, band
+"""
+
+
+def q_ev_interp_purchase(sf_dir: str) -> pa.Table:
+    """J4 bracketing interpolation (the DI-curve point build,
+    ``mart_di_curve_points.sql:47-115``): each purchase's value linearly
+    interpolated between the user's nearest view strictly-before and
+    strictly-after; NO extrapolation — unbracketed purchases are dropped.
+    Per-group sorted as-of search in map_groups."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def interp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        is_view = g["event_type"] == "view"
+        ts_us = g["ts"].astype("int64")
+        below_v = g["value"].where(is_view).shift().ffill()
+        below_t = ts_us.where(is_view).shift().ffill()
+        rev = slice(None, None, -1)
+        above_v = g["value"].where(is_view)[rev].shift()[rev].bfill()
+        above_t = ts_us.where(is_view)[rev].shift()[rev].bfill()
+        p = g[g["event_type"] == "purchase"].index
+        out = pd.DataFrame(
+            {
+                "event_id": g.loc[p, "event_id"],
+                "user_id": g.loc[p, "user_id"],
+                "interp_value": below_v[p]
+                + (above_v[p] - below_v[p])
+                * (ts_us[p] - below_t[p])
+                / (above_t[p] - below_t[p]),
+            }
+        ).dropna()
+        out["interp_value"] = out["interp_value"].round(4)
+        return out
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(interp, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_EV_INTERP_SQL = """
+    WITH t AS (
+        SELECT event_id, user_id, event_type, value, ts,
+               MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tb,
+               MAX(CASE WHEN event_type = 'view' THEN
+                   CAST(ROW(epoch_us(ts), value) AS ROW(t BIGINT, v DOUBLE)) END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below,
+               MIN(CASE WHEN event_type = 'view' THEN
+                   CAST(ROW(epoch_us(ts), value) AS ROW(t BIGINT, v DOUBLE)) END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS above
+        FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(below.v + (above.v - below.v) *
+                 (epoch_us(ts) - below.t)::DOUBLE / (above.t - below.t), 4)
+               AS interp_value
+    FROM t
+    WHERE event_type = 'purchase' AND below IS NOT NULL AND above IS NOT NULL
+    ORDER BY event_id
+"""
+
+
+QUERIES.update(
+    {
+        "ord_month_end_snapshot": q_ord_month_end_snapshot,
+        "ev_compound_growth": q_ev_compound_growth,
+        "ev_monthly_real_diff": q_ev_monthly_real_diff,
+        "reconcile_customers": q_reconcile_customers,
+        "ev_value_bands": q_ev_value_bands,
+        "ev_interp_purchase": q_ev_interp_purchase,
+    }
+)
+ORACLES.update(
+    {
+        "ord_month_end_snapshot": Q_ORD_SNAPSHOT_SQL,
+        "ev_compound_growth": Q_EV_COMPOUND_SQL,
+        "ev_monthly_real_diff": Q_EV_REALDIFF_SQL,
+        "reconcile_customers": Q_RECONCILE_SQL,
+        "ev_value_bands": Q_EV_BANDS_SQL,
+        "ev_interp_purchase": Q_EV_INTERP_SQL,
+    }
+)

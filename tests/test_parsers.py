@@ -1,0 +1,69 @@
+"""Parser tests against synthetic bytes — the reference's technique #4
+(tests/test_b3_arquivos.py:22-30: handcrafted records with real layouts)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from open_finance_lakehouse_ray.functions import parsers as p
+
+
+def test_decimal_comma():
+    arr = pa.array(["12,34", "-0,5", "7", "abc", None])
+    out = p.parse_decimal_comma(arr).to_pylist()
+    assert out == [12.34, -0.5, 7.0, None, None]
+
+
+def test_decimal_comma_thousands_dots():
+    arr = pa.array(["1.234,56", "10.000.000,99", "2,5"])
+    out = p.parse_decimal_comma(arr, thousands_dot=True).to_pylist()
+    assert out == [1234.56, 10000000.99, 2.5]
+
+
+def test_br_and_iso_dates_mixed():
+    arr = pa.array(["29/02/2024", "2024-01-31", "31/02/2024", "garbage", None])
+    out = p.parse_br_or_iso_date(arr).to_pylist()
+    assert out[0].isoformat() == "2024-02-29T00:00:00"  # leap day parses
+    assert out[1].isoformat() == "2024-01-31T00:00:00"
+    assert out[2] is None  # impossible BR date -> null, not error
+    assert out[3] is None and out[4] is None
+
+
+def test_fixed_width_slicer_with_implied_decimals():
+    # 24-byte synthetic layout: ticker[0:8] price[8:16] qty[16:24]
+    lines = pa.array(
+        [
+            "PETR4   0001234500000100",
+            "VALE3   0005432100000250",
+        ]
+    )
+    out = p.slice_fixed_width(
+        lines,
+        {"ticker": (0, 8), "price": (8, 8), "qty": (16, 8)},
+        implied_decimals={"price": 2},
+    )
+    assert out["ticker"].to_pylist() == ["PETR4", "VALE3"]
+    assert out["price"].to_pylist() == [123.45, 543.21]
+    assert out["qty"].to_pylist() == ["00000100", "00000250"]
+
+
+def test_json_lines_tag_then_split():
+    lines = pa.array(
+        [
+            '{"sym": "BTC", "px": 42}',
+            'not json at all',
+            '{"sym": "ETH"}',  # missing px
+        ]
+    )
+    out = p.parse_json_lines(
+        lines,
+        {
+            "sym": r'"sym": "(?P<sym>\w+)"',
+            "px": r'"px": (?P<px>\d+)',
+        },
+    )
+    assert out["_valid"].to_pylist() == [True, False, False]
+    assert out["_reason"].to_pylist() == [
+        None, "unparseable_json", "missing_required_fields",
+    ]
+    assert out["sym"].to_pylist() == ["BTC", None, "ETH"]
