@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
                     "--strategy": {"default": "auto",
                                    "choices": ["auto", "broadcast", "shuffle"]}})
     add("rewrite-manifests")
+    add("maintain", **{"--target-bytes": {"type": int, "default": 96 * 1024 * 1024},
+                       "--curve": {"default": "morton", "choices": ["morton", "hilbert"]},
+                       "--retain-hours": {"type": float, "default": 168.0},
+                       "--force-expire": {"action": "store_true"}})
     add("expire", **{"--keep-last": {"type": int, "default": 1},
                      "--retain-hours": {"type": float, "default": 168.0},
                      "--force": {"action": "store_true"},
@@ -74,7 +78,9 @@ def main(argv: list[str] | None = None) -> int:
     job_id = args.job_id or f"{args.cmd}-{uuid.uuid4().hex[:12]}"
     out: dict = {"cmd": args.cmd, "job_id": job_id}
 
-    needs_ray = args.cmd in ("ingest", "compact", "zorder", "merge", "rewrite-manifests", "check")
+    needs_ray = args.cmd in (
+        "ingest", "compact", "zorder", "merge", "rewrite-manifests", "check", "maintain",
+    )
     if needs_ray:
         _ray_session(args.num_cpus)
 
@@ -107,6 +113,19 @@ def main(argv: list[str] | None = None) -> int:
             strategy=args.strategy,
         )
         out["snapshot"] = snap.version
+    elif args.cmd == "maintain":
+        from open_finance_lakehouse_ray.pipelines.maintain import maintain
+
+        out.update(
+            maintain(
+                args.root,
+                job_id=job_id,
+                target_bytes=args.target_bytes,
+                curve=args.curve,
+                retain_seconds=args.retain_hours * 3600.0,
+                force_expire=args.force_expire,
+            )
+        )
     elif args.cmd == "rewrite-manifests":
         from open_finance_lakehouse_ray.pipelines.rewrite import rewrite_manifests
 

@@ -128,6 +128,7 @@ def compact(
         attempt_job = job_id if attempt == 0 else f"{job_id}~replan{attempt}"
         existing = log.find_commit(attempt_job)
         if existing is not None:
+            log.clear_job(attempt_job)  # replayed commit: records are stale
             return existing
         base_version = log.current_version()
         entries = log.files(base_version)
@@ -159,7 +160,7 @@ def compact(
         ]
         assert len(records) == len(bins)
         try:
-            return commit_via_actor_or_direct(
+            snap = commit_via_actor_or_direct(
                 log,
                 operation="compact",
                 job_id=attempt_job,
@@ -173,6 +174,11 @@ def compact(
                     "files_out": len(added),
                 },
             )
+            # the snapshot is now the durable record; stale per-partition
+            # records must not survive to be "resumed" by a future job that
+            # reuses this job id after the snapshot expires
+            log.clear_job(attempt_job)
+            return snap
         except CommitConflict:
             if attempt == max_retries_on_conflict:
                 raise

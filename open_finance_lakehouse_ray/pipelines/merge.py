@@ -165,6 +165,7 @@ def _merge_attempt(
     log = TableLog(root)
     existing = log.find_commit(job_id)
     if existing is not None:
+        log.clear_job(job_id)  # replayed commit: lineage records are stale
         return existing
     base_version = log.current_version()
     entries = log.files(base_version)
@@ -246,7 +247,7 @@ def _merge_attempt(
         for r in log.committed_partitions(job_id).values()
         for o in r["outputs"]
     ]
-    return commit_via_actor_or_direct(
+    snap = commit_via_actor_or_direct(
         log,
         operation="merge",
         job_id=job_id,
@@ -261,6 +262,8 @@ def _merge_attempt(
             "files_untouched": len(entries) - len(affected),
         },
     )
+    log.clear_job(job_id)  # snapshot is the durable record now
+    return snap
 
 
 def _merge_broadcast(
@@ -379,7 +382,7 @@ def _merge_broadcast(
             added.append(FileEntry.from_json(o))
         removed.update(p for p in r.get("inputs", []))
 
-    return commit_via_actor_or_direct(
+    snap = commit_via_actor_or_direct(
         log,
         operation="merge",
         job_id=job_id,
@@ -394,6 +397,8 @@ def _merge_broadcast(
             "files_rewritten": len(removed),
         },
     )
+    log.clear_job(job_id)  # snapshot is the durable record now
+    return snap
 
 
 def dedup_exact(ds: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset:

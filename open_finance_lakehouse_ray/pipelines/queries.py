@@ -1411,3 +1411,79 @@ ORACLES.update(
         "ev_interp_purchase": Q_EV_INTERP_SQL,
     }
 )
+
+
+def q_dim_date(sf_dir: str) -> pa.Table:
+    """The generated calendar dimension (``dimensions.py:96-106``:
+    ``explode(sequence(...))`` 1980–2035; here one year at daily grain with
+    the usual derived parts, incl. last_day and ISO day-of-week)."""
+    days = pd.date_range("2024-01-01", "2024-12-31", freq="D")
+    out = pd.DataFrame(
+        {
+            "date": days,
+            "year": days.year.astype("int64"),
+            "quarter": days.quarter.astype("int64"),
+            "month": days.month.astype("int64"),
+            "dow": days.dayofweek.astype("int64") + 1,  # ISO 1=Mon
+            "month_end": days + pd.offsets.MonthEnd(0),
+        }
+    )
+    # a generated dimension is driver-side by nature (tiny), then becomes a
+    # broadcastable Dataset; return the table for the gate
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q_DIM_DATE_SQL = """
+    SELECT d AS date,
+           CAST(EXTRACT(year FROM d) AS BIGINT) AS year,
+           CAST(EXTRACT(quarter FROM d) AS BIGINT) AS quarter,
+           CAST(EXTRACT(month FROM d) AS BIGINT) AS month,
+           CAST(isodow(d) AS BIGINT) AS dow,
+           CAST(last_day(d) AS TIMESTAMP) AS month_end
+    FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-12-31',
+                         INTERVAL 1 DAY) t(d)
+    ORDER BY d
+"""
+
+
+def q_ev_ohlc_daily_rollup(sf_dir: str) -> pa.Table:
+    """J8 mart-on-mart: the daily rollup READS the 1-minute bars mart
+    (the one inter-mart edge, ``mart_di_curve_slope`` over
+    ``mart_di_curve_points``) — avg per-bar volume and bar count per
+    (event_type, day) computed FROM q_ev_ohlc_1m's result."""
+    bars = q_ev_ohlc_1m(sf_dir).to_pandas()  # the upstream mart
+    bars["day"] = bars["window_start"].values.astype("datetime64[D]")
+    g = bars.groupby(["event_type", "day"], sort=True).agg(
+        n_bars=("n_events", "size"),
+        avg_bar_volume=("volume", "mean"),
+        day_high=("high", "max"),
+        day_low=("low", "min"),
+    ).reset_index()
+    g["avg_bar_volume"] = g["avg_bar_volume"].round(4)
+    g["day"] = pd.to_datetime(g["day"])
+    g["n_bars"] = g["n_bars"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+Q_EV_OHLC_DAILY_SQL = f"""
+    WITH bars AS ({Q_EV_OHLC_SQL.replace("ORDER BY event_type, window_start", "")})
+    SELECT event_type, date_trunc('day', window_start) AS day,
+           COUNT(*) AS n_bars,
+           ROUND(AVG(volume), 4) AS avg_bar_volume,
+           MAX(high) AS day_high, MIN(low) AS day_low
+    FROM bars GROUP BY 1, 2 ORDER BY event_type, day
+"""
+
+
+QUERIES.update(
+    {
+        "dim_date": q_dim_date,
+        "ev_ohlc_daily_rollup": q_ev_ohlc_daily_rollup,
+    }
+)
+ORACLES.update(
+    {
+        "dim_date": Q_DIM_DATE_SQL,
+        "ev_ohlc_daily_rollup": Q_EV_OHLC_DAILY_SQL,
+    }
+)

@@ -129,9 +129,12 @@ def rewrite_manifests(
         },
         committed_at=time.time(),
     )
-    while not _atomic_create_json(
+    if _atomic_create_json(
         log.staging, log._snapshot_path(snap.version), snap.to_json()
     ):
+        log._write_txn_marker(snap)
+        return snap
+    else:
         # a concurrent commit advanced the head; manifest rewrite touches no
         # data files, so rebasing is re-running against the new head
         return rewrite_manifests(
@@ -140,7 +143,6 @@ def rewrite_manifests(
             backfill_stats=backfill_stats,
             target_entries_per_manifest=target_entries_per_manifest,
         )
-    return snap
 
 
 def _make_footer_reader(root: str):

@@ -250,12 +250,42 @@ class TableLog:
     def file_paths(self, version: int | None = None) -> list[str]:
         return [os.path.join(self.root, e.path) for e in self.files(version)]
 
+    def _txn_marker_path(self, job_id: str) -> str:
+        return os.path.join(self.txdir, "txns", f"{job_id}.json")
+
     def find_commit(self, job_id: str) -> Snapshot | None:
+        """Look up a committed job. The durable txn marker (written at
+        commit, NEVER expired — the Delta ``txnAppId`` ledger surviving
+        VACUUM) is the fast path; scanning snapshots is the fallback for
+        logs written before markers existed. If the marker's snapshot has
+        been expired, a tombstone Snapshot (operation ``"expired"``) is
+        returned so a replay still no-ops."""
+        try:
+            with open(self._txn_marker_path(job_id)) as f:
+                d = json.load(f)
+            try:
+                return self.snapshot(int(d["version"]))
+            except StaleTableError:
+                return Snapshot(
+                    version=int(d["version"]), parent=None, operation="expired",
+                    job_id=job_id, manifests=[], removed_paths=[], added_paths=[],
+                    summary={}, committed_at=float(d.get("committed_at") or 0.0),
+                )
+        except FileNotFoundError:
+            pass
         for v in self.versions():
             s = self.snapshot(v)
             if s.job_id == job_id:
                 return s
         return None
+
+    def _write_txn_marker(self, snap: Snapshot) -> None:
+        path = self._txn_marker_path(snap.job_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _atomic_write_json(
+            self.staging, path,
+            {"version": snap.version, "committed_at": snap.committed_at},
+        )
 
     # ---------- writes ----------
 
@@ -338,6 +368,7 @@ class TableLog:
                 committed_at=time.time(),
             )
             if _atomic_create_json(self.staging, self._snapshot_path(new_version), snap.to_json()):
+                self._write_txn_marker(snap)
                 return snap
             # lost the CAS: loop — next pass re-checks conflicts vs new head
             if base_version is None:

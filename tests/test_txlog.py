@@ -221,3 +221,23 @@ def test_snapshot_json_roundtrip(table_root):
         d = json.load(f)
     assert d["summary"]["note"] == "hello"
     assert d["summary"]["rows"] == 10
+
+
+def test_txn_marker_survives_expire(table_root):
+    """Replay protection survives VACUUM — the Delta txnAppId ledger
+    semantics: after the committing snapshot is expired, the same job_id
+    still no-ops (tombstone), and its stale lineage records are gone."""
+    log = TableLog(table_root)
+    log.create()
+    a = touch_data(log, "a.parquet")
+    b = touch_data(log, "b.parquet")
+    log.commit(operation="ingest", job_id="jA", added=[fe(a)])
+    log.commit(operation="ingest", job_id="jB", added=[fe(b)])
+    res = log.expire_snapshots(keep_last=1, retain_seconds=0.0)
+    assert res["expired_snapshots"] == [1]
+    found = log.find_commit("jA")
+    assert found is not None
+    assert found.operation == "expired"  # tombstone, not a live snapshot
+    assert found.version == 1
+    # live snapshot still resolves normally
+    assert log.find_commit("jB").operation == "ingest"
