@@ -49,17 +49,30 @@ def minhash_signatures(
     texts: list[str], num_perm: int = 128, k: int = 3, seed: int = 7
 ) -> np.ndarray:
     """(n_docs, num_perm) uint64 MinHash signatures. Permutations are the
-    standard universal-hash family h_i(x) = (a_i x + b_i) mod p."""
+    standard universal-hash family h_i(x) = (a_i x + b_i) mod p.
+
+    Fully vectorized across the BATCH: one (num_perm × total_shingles)
+    matrix + ``np.minimum.reduceat`` at doc offsets — no per-doc numpy
+    dispatch (the per-doc loop was the hot-path overhead at bench scale).
+    """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(MERSENNE), num_perm, dtype=np.uint64)
-    b = rng.integers(0, int(MERSENNE), num_perm, dtype=np.uint64)
+    # odd multiplier => x -> a*x + b is a BIJECTION mod 2^64: a true
+    # permutation family with no modular reduction in the hot loop
+    a = rng.integers(1, 2**63, num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, num_perm, dtype=np.uint64)
     sigs = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, hs in enumerate(_shingle_hashes(texts, k)):
-        if len(hs) == 0:
-            continue
-        # (num_perm, n_shingles) — vectorized over both axes
-        m = (a[:, None] * (hs[None, :] % MERSENNE) + b[:, None]) % MERSENNE
-        sigs[i] = m.min(axis=1)
+    per_doc = _shingle_hashes(texts, k)
+    lengths = np.array([len(h) for h in per_doc], dtype=np.int64)
+    nonempty = np.where(lengths > 0)[0]
+    if len(nonempty) == 0:
+        return sigs
+    flat = np.concatenate([per_doc[i] for i in nonempty])
+    offsets = np.zeros(len(nonempty), dtype=np.int64)
+    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+    # (num_perm, total_shingles) permuted hashes, reduced per doc segment
+    m = a[:, None] * flat[None, :] + b[:, None]  # uint64 wraparound
+    mins = np.minimum.reduceat(m, offsets, axis=1)  # (num_perm, n_nonempty)
+    sigs[nonempty] = mins.T
     return sigs
 
 

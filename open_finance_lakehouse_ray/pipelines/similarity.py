@@ -138,6 +138,86 @@ def lsh_bucketed_topk(
     )
 
 
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 13) -> np.ndarray:
+    """Tiny deterministic k-means on a driver-side sample (the coarse
+    quantizer trainer). Sample scale only — the full corpus never
+    materializes."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(
+    emb: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> pa.Table:
+    """IVF approximate top-k: a k-means coarse quantizer (trained on a
+    driver-side sample) assigns every vector an inverted list; a query
+    scores only batch rows whose list is among its ``n_probe`` nearest
+    centroids. The FAISS-IVF shape, Ray-Data-first: train once, broadcast
+    centroids, stream the corpus through one map_batches."""
+    pdf = emb.select_columns([vec_col]).limit(train_sample).to_pandas()
+    sample = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+    centroids = _kmeans(sample, n_lists, seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_probes = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q, centroids, q_probes))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        qids, qm, cents, probes = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64))
+        assign = (m @ cents.T).argmax(axis=1)
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi, qid in enumerate(qids):
+            mask = np.isin(assign, probes[qi])
+            if not mask.any():
+                continue
+            sims = qm[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k + 1, len(sub_ids))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            for j in part:
+                rows["query_id"].append(int(qid))
+                rows["neighbor_id"].append(int(sub_ids[j]))
+                rows["cosine"].append(float(sims[j]))
+        return pa.table(rows)
+
+    cand = emb.map_batches(stage, batch_format="pyarrow").to_pandas()
+    cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    if len(cand) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    cand = cand.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = cand.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    top["cosine"] = top["cosine"].round(4)
+    return pa.Table.from_pandas(
+        top[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False
+    )
+
+
 def label_centroid_report(emb: rd.Dataset) -> pa.Table:
     """Per-label aggregate over embeddings: count, mean of dim0, mean L2
     norm — partial sums per batch, tiny final merge (the pre-aggregate

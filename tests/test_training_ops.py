@@ -160,3 +160,25 @@ def test_multimodal_plumbing(ray_session):
         PayloadDecoder(mode="image")(t)
     with pytest.raises(ValueError):
         PayloadDecoder(mode="video")
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from open_finance_lakehouse_ray.pipelines.similarity import brute_force_topk, ivf_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    qt = pq.read_table(f"{SF}/embeddings.parquet").slice(0, 6)
+    queries = np.stack(qt["embedding"].to_pandas().to_numpy())
+    qids = qt["vec_id"].to_numpy()
+
+    exact = brute_force_topk(emb, queries, qids, k=3).to_pandas()
+    approx = ivf_topk(emb, queries, qids, k=3, n_lists=8, n_probe=4).to_pandas()
+    assert (approx.groupby("query_id")["rank"].max() <= 3).all()
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], how="inner")
+    # probing half the lists on low-dim random data: expect solid overlap
+    assert len(merged) >= len(exact) // 3
+    # determinism
+    again = ivf_topk(emb, queries, qids, k=3, n_lists=8, n_probe=4).to_pandas()
+    assert again.equals(approx)

@@ -3,7 +3,7 @@ detection, manifest reuse, reference-counted expire, orphan sweep.
 
 Mirrors the reference's measured-idempotence discipline
 (tools/streaming_idempotence.py) at the unit level; the two-process
-variant lives in test_resume_idempotence.py.
+variant lives in tools/maintenance_harness.py.
 """
 
 from __future__ import annotations
