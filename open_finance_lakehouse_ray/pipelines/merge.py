@@ -407,9 +407,20 @@ def dedup_exact(ds: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset:
     ``row_number() OVER (PARTITION BY key ORDER BY ingested_at DESC) = 1``
     (``silver.py:64-72``). Same bucketing as MERGE; returns a Dataset."""
     num_buckets = num_buckets or default_num_buckets()
-    tagged = ds.map_batches(
-        lambda t: add_bucket_column(t, num_buckets), batch_format="pyarrow"
-    )
+
+    def _local(t: pa.Table) -> pa.Table:
+        # map-side combiner: drop batch-local duplicates BEFORE the bucket
+        # shuffle (keep-last under the same ordering is associative, so
+        # local-then-global dedup equals global dedup) — shrinks the
+        # all-to-all volume by the local duplicate fraction
+        g = t.to_pandas().sort_values(
+            ["conv_id", "turn_idx", "ts", "text"], kind="mergesort"
+        ).drop_duplicates(list(MERGE_KEY), keep="last")
+        return add_bucket_column(
+            pa.Table.from_pandas(g, preserve_index=False), num_buckets
+        )
+
+    tagged = ds.map_batches(_local, batch_format="pyarrow")
 
     def _dedup(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["conv_id", "turn_idx", "ts", "text"], kind="mergesort")

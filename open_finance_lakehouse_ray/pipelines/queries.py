@@ -101,6 +101,17 @@ def _scan_sorted(root: str) -> pa.Table:
     return validation_scan(root)
 
 
+def _scan_and_cleanup(root: str) -> pa.Table:
+    """Materialize the validation scan, then remove the scratch table so
+    repeated gate runs don't accumulate /tmp debris."""
+    import shutil
+
+    try:
+        return _scan_sorted(root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # flagship maintenance queries
 # --------------------------------------------------------------------------
@@ -119,7 +130,7 @@ def q_tx_maintenance_roundtrip(sf_dir: str) -> pa.Table:
     ingest_dataset(tx.repartition(24), root, job_id="rt-ingest")
     compact(root, job_id="rt-compact", target_bytes=8 * 1024 * 1024)
     zorder(root, job_id="rt-zorder")
-    return _scan_sorted(root)
+    return _scan_and_cleanup(root)
 
 
 Q_TX_ROUNDTRIP_SQL = f"SELECT * FROM ({TX_DEDUP_SQL}) ORDER BY conv_id, turn_idx"
@@ -223,7 +234,7 @@ def q_tx_merge_upsert(sf_dir: str) -> pa.Table:
     ingest_dataset(tx.repartition(24), root, job_id="mg-ingest")
     updates = _merge_updates(dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16))
     merge_into(root, updates, job_id="mg-merge", num_buckets=16)
-    return _scan_sorted(root)
+    return _scan_and_cleanup(root)
 
 
 Q_TX_MERGE_SQL = f"""
@@ -256,7 +267,7 @@ def q_tx_expire_invariance(sf_dir: str) -> pa.Table:
     ingest_dataset(tx.repartition(24), root, job_id="ex-ingest")
     compact(root, job_id="ex-compact", target_bytes=8 * 1024 * 1024)
     expire(root, keep_last=1, force=True)
-    return _scan_sorted(root)
+    return _scan_and_cleanup(root)
 
 
 def q_tx_key_metrics(sf_dir: str) -> pa.Table:
