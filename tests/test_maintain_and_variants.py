@@ -75,3 +75,63 @@ def test_embedding_near_dup_pairs(ray_session):
     pairs = embedding_near_dup_pairs(ds, threshold=0.999).to_pandas()
     assert ((pairs["id_a"] == base.iloc[0]["vec_id"]) & (pairs["id_b"] == 9_999)).any()
     assert (pairs["cosine"] >= 0.999).all()
+
+
+def test_scan_equality_report_distributed(ray_session, tmp_path):
+    """The distributed bucket-digest equality check: equal tables match,
+    a one-byte text difference is caught, and no driver materialization
+    of either table is needed."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.scan import scan_equality_report
+
+    tab = build_transcripts(seed=42, n_convs=12)
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    ingest_dataset(rd.from_arrow(tab).repartition(5), root_a, job_id="eq-a")
+    ingest_dataset(rd.from_arrow(tab).repartition(9), root_b, job_id="eq-b")
+    rep = scan_equality_report(root_a, root_b, num_buckets=8)
+    assert rep["equal"] and rep["rows_a"] == rep["rows_b"] == tab.num_rows
+
+    # tamper one byte in one file of b
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    log = TableLog(root_b)
+    entry = log.files()[0]
+    path = os.path.join(root_b, entry.path)
+    t = pq.read_table(path)
+    texts = t["text"].to_pylist()
+    texts[0] = texts[0] + "!"
+    pq.write_table(
+        t.set_column(t.column_names.index("text"), "text", pa.array(texts)), path
+    )
+    rep2 = scan_equality_report(root_a, root_b, num_buckets=8)
+    assert not rep2["equal"]
+    assert len(rep2["mismatched_buckets"]) >= 1
+
+
+def test_time_travel_scan(small_table):
+    """Snapshot isolation for readers: scanning the PRE-merge version
+    after a merge returns the original content (old files are retained
+    until expire)."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.merge import merge_into
+    from open_finance_lakehouse_ray.pipelines.scan import validation_scan
+    from open_finance_lakehouse_ray.sources.transcripts import late_turns
+
+    root, tab = small_table
+    v1 = TableLog(root).current_version()
+    late = late_turns(tab, n_updates=8, n_inserts=6, n_stale=4)
+    merge_into(root, late, job_id="tt-merge", num_buckets=4)
+    assert TableLog(root).current_version() == v1 + 1
+
+    old = validation_scan(root, version=v1)
+    exp = tab.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert old["text"].to_pylist() == exp["text"].to_pylist()
+    new = validation_scan(root)
+    assert new.num_rows == tab.num_rows + 6  # inserts visible only at head
