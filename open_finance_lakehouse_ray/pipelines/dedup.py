@@ -298,5 +298,9 @@ def embedding_near_dup_pairs(
         return pa.table({"id_a": ia, "id_b": ib, "cosine": s})
 
     out = emb.map_batches(stage, batch_format="pyarrow").to_pandas()
+    if "id_a" not in out.columns:  # no pairs anywhere -> schemaless empty
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
     out = out.sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(out, preserve_index=False)

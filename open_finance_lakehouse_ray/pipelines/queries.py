@@ -1498,3 +1498,87 @@ ORACLES.update(
         "ev_ohlc_daily_rollup": Q_EV_OHLC_DAILY_SQL,
     }
 )
+
+
+def q_doc_dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup (hash-partition + per-group first): the documents table
+    unioned with a shifted copy of itself (seeded duplicates by
+    construction), deduped on content hash keeping the smallest doc_id —
+    returns the keeper ids."""
+    from open_finance_lakehouse_ray.functions.hashing import content_hash_column
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    copy = docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.add(t["doc_id"], 10_000), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    unioned = docs.union(copy).map_batches(
+        lambda t: content_hash_column(t, ["text"]), batch_format="pyarrow"
+    )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("doc_id")
+            .drop_duplicates("text", keep="first")[["doc_id"]]
+        )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = t["_chash"].to_numpy(zero_copy_only=False).astype(np.int64) % 32
+        return t.append_column("_b", pa.array(np.abs(b)))
+
+    out = (
+        unioned.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(keep_first, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_DEDUP_SQL = """
+    WITH unioned AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000, text FROM documents
+    )
+    SELECT doc_id FROM unioned
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ORDER BY doc_id
+"""
+
+
+def q_emb_near_dup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (threshold 0.50) — the
+    brute-force broadcast path of `embedding_near_dup_pairs`; ids only
+    (float similarity stays engine-side to avoid f32/f64 hash skew)."""
+    from open_finance_lakehouse_ray.pipelines.dedup import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(_emb(sf_dir), threshold=0.50).to_pandas()
+    return pa.Table.from_pandas(
+        out[["id_a", "id_b"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+Q_EMB_NEAR_DUP_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.50
+    ORDER BY id_a, id_b
+"""
+
+
+QUERIES.update(
+    {
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "emb_near_dup": q_emb_near_dup,
+    }
+)
+ORACLES.update(
+    {
+        "doc_dedup_exact": Q_DOC_DEDUP_SQL,
+        "emb_near_dup": Q_EMB_NEAR_DUP_SQL,
+    }
+)
