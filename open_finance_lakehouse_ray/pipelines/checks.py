@@ -15,7 +15,6 @@ import os
 
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from open_finance_lakehouse_ray.functions.hashing import add_bucket_column

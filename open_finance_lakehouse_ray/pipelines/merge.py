@@ -29,7 +29,6 @@ Ray-Data-first (SURVEY.md §7.1 step 5):
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import numpy as np
 import pandas as pd
@@ -39,7 +38,6 @@ import ray
 import ray.data as rd
 
 from open_finance_lakehouse_ray.functions.hashing import add_bucket_column
-from open_finance_lakehouse_ray.sources.transcripts import TRANSCRIPT_SCHEMA
 from open_finance_lakehouse_ray.stages.validate import conform_batch
 from open_finance_lakehouse_ray.stages.writer import write_table_file
 from open_finance_lakehouse_ray.state.commit_actor import commit_via_actor_or_direct

@@ -36,11 +36,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from open_finance_lakehouse_ray.functions.windows import (
-    WatermarkState,
-    window_end,
-    window_start,
-)
+from open_finance_lakehouse_ray.functions.windows import WatermarkState, window_end
 from open_finance_lakehouse_ray.state.txlog import TableLog, _atomic_write_json
 
 
