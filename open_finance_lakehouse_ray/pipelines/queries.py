@@ -47,6 +47,13 @@ TX_DEDUP_SQL = f"""
 """
 
 
+def _round_half_away(x, n: int):
+    """DuckDB-compatible ROUND (half away from zero) for pandas/numpy —
+    numpy/pandas .round is half-even and diverges on .5 boundaries."""
+    f = 10.0 ** n
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def _mod(arr: pa.Array | pa.ChunkedArray, m: int) -> pa.Array:
     """Arrow has no modulo kernel (pyarrow 16) — hop through numpy."""
     if isinstance(arr, pa.ChunkedArray):
@@ -1470,7 +1477,7 @@ def q_ev_ohlc_daily_rollup(sf_dir: str) -> pa.Table:
         day_high=("high", "max"),
         day_low=("low", "min"),
     ).reset_index()
-    g["avg_bar_volume"] = g["avg_bar_volume"].round(4)
+    g["avg_bar_volume"] = _round_half_away(g["avg_bar_volume"], 4)
     g["day"] = pd.to_datetime(g["day"])
     g["n_bars"] = g["n_bars"].astype("int64")
     return pa.Table.from_pandas(g, preserve_index=False)
