@@ -109,6 +109,7 @@ def run_bench() -> dict:
             ).repartition(n_files),
             root,
             job_id="bench-ingest",
+            summary={"keys_unique": True},
         ),
     )
     timed("compact", lambda: compact(root, job_id="bench-compact",

@@ -60,10 +60,13 @@ def plan_bins(
 
     def order_key(e: FileEntry):
         if e.z_range:
-            return (0, e.z_range[0], "")
+            return (0, e.z_range[0], 0)
+        # non-clustered files: min conv_id first (the docstring contract and
+        # the files' own (conv_id, turn_idx) sort order) so bins keep
+        # conv_id locality and compacted files carry tight prune stats
         c = e.stats.get("conv_id")
         t = e.stats.get("turn_idx")
-        return (1, t[0] if t else 0, c[0] if c else "")
+        return (1, c[0] if c else "", t[0] if t else 0)
 
     small = sorted((e for e in entries if e.bytes < target_bytes), key=order_key)
     bins: list[list[FileEntry]] = []
@@ -89,10 +92,14 @@ def _compact_bin(
     root: str, job_id: str, bin_id: str, paths: list[str], sort_by: tuple[str, ...]
 ) -> dict[str, Any]:
     """Rewrite one bin (runs inside a Ray task). Idempotent: if the lineage
-    record already exists (resume), the recorded outputs are reused."""
+    record already exists (resume) AND was built from the same inputs, the
+    recorded outputs are reused. A record whose ``inputs`` differ from the
+    current plan (crash → concurrent commit → replan with the same job_id)
+    is stale and MUST be recomputed — resuming it would commit outputs
+    derived from files no longer at the table head."""
     log = TableLog(root)
     done = log.get_partition(job_id, bin_id)
-    if done is not None:
+    if done is not None and done.get("inputs") == paths:
         return done
     table = pa.concat_tables(
         [pq.read_table(os.path.join(root, p)) for p in paths]
@@ -153,11 +160,18 @@ def compact(
             .take_all()
         )
         removed = {p for b in bins for p in (e.path for e in b)}
-        added = [
-            FileEntry.from_json(o)
-            for r in log.committed_partitions(attempt_job).values()
-            for o in r["outputs"]
-        ]
+        # assemble the commit from THIS plan's records only: a crashed prior
+        # attempt may have left records for bin ids not in this plan (or
+        # built from different inputs) — those are stale debris, never
+        # committed (their data files fall to the orphan sweep)
+        parts = log.committed_partitions(attempt_job)
+        added = []
+        for row in plan_rows:
+            rec = parts.get(row["bin_id"])
+            assert rec is not None and rec.get("inputs") == row["paths"], (
+                f"bin {row['bin_id']}: missing or stale lineage record"
+            )
+            added.extend(FileEntry.from_json(o) for o in rec["outputs"])
         assert len(records) == len(bins)
         try:
             snap = commit_via_actor_or_direct(
@@ -172,6 +186,7 @@ def compact(
                     "bins": len(bins),
                     "files_in": len(removed),
                     "files_out": len(added),
+                    "keys_unique": log.keys_unique(base_version),
                 },
             )
             # the snapshot is now the durable record; stale per-partition

@@ -25,11 +25,15 @@ def expire(
     force: bool = False,
     sweep_orphans: bool = True,
     orphan_grace_seconds: float = 3600.0,
+    force_orphans: bool = False,
     dry_run: bool = False,
 ) -> dict[str, Any]:
     """Expire snapshots older than the retention floor; optionally sweep
-    never-committed orphan data files. ``force=True`` drops the floor to
-    zero (the explicit VACUUM guard override)."""
+    never-committed orphan data files. ``force=True`` drops the SNAPSHOT
+    retention floor to zero (the explicit VACUUM guard override) but keeps
+    the orphan grace window — files just written by an in-flight,
+    not-yet-committed compact/merge must survive a concurrent force-expire.
+    Zeroing the orphan grace is its own opt-in, ``force_orphans=True``."""
     log = TableLog(root)
     retain = 0.0 if force else retain_seconds
     result = log.expire_snapshots(
@@ -37,7 +41,8 @@ def expire(
     )
     result["orphans_swept"] = (
         log.sweep_orphans(
-            grace_seconds=0.0 if force else orphan_grace_seconds, dry_run=dry_run
+            grace_seconds=0.0 if force_orphans else orphan_grace_seconds,
+            dry_run=dry_run,
         )
         if sweep_orphans
         else []

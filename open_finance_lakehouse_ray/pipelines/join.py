@@ -1,0 +1,243 @@
+"""First-class equi-join operator — broadcast or hash-bucket, size-guarded.
+
+The reference joins mid-size relations in SQL (quotes × instrument
+registry, ``/root/reference/ofl/transform/gold/mart_di_curve_points.sql:38-42``;
+quotes × OI, ``mart_futures_curve.sql:42``). Ray Data has no first-class
+join at this API level, so this module provides one, Ray-Data-first:
+
+- ``strategy="broadcast"`` — the small side is materialized IN THE OBJECT
+  STORE (block refs, never the driver heap), concatenated + key-indexed by
+  ONE prep task, and read by an actor pool that builds its hash index ONCE
+  per actor in ``__init__`` (the stateful-stage rule); the big side then
+  streams through ``map_batches`` with zero shuffle.
+- ``strategy="shuffle"`` — both sides get a deterministic key-hash bucket,
+  are unioned under a null-filled superset schema (union-by-name), and
+  each bucket is joined independently by ``groupby(_jb).map_groups`` with
+  pandas' C merge. Because the bucket is a pure function of the FULL join
+  key, no key spans two buckets and per-bucket joins are globally correct
+  — including FULL OUTER.
+- ``strategy="auto"`` — broadcast when the right side fits
+  ``broadcast_max_bytes`` (size from block metadata, no pull) and the join
+  type allows it; else shuffle. ``outer`` always shuffles (an unmatched
+  right row must be emitted exactly once globally, which a per-batch
+  broadcast probe cannot decide).
+
+At 100 TB: the broadcast side is shipped once per node via the object
+store (tasks read it zero-copy), and the shuffle path's volume is exactly
+|left| + |right| moved once — the minimum for a general equi-join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+BROADCAST_MAX_BYTES = 512 * 1024 * 1024
+
+_JB = "_jb"
+_JSRC = "_jsrc"
+
+
+def _as_list(x: str | Iterable[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _key_buckets(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
+    """Deterministic bucket per row from the full join key (pandas'
+    C-implemented siphash with its fixed default key — stable across
+    processes and runs, the resume/scaling determinism contract)."""
+    h = pd.util.hash_pandas_object(df[keys].set_axis(range(len(df))), index=False)
+    return (h.to_numpy() % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _default_num_buckets() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, 2 * cpus)
+
+
+@ray.remote
+def _prep_right(refs: list, right_on: list[str], columns: list[str] | None):
+    """Concat the broadcast side's blocks in a task (driver never holds
+    the payload); returns the pandas frame that the joiner actors index."""
+    tables = [t for t in ray.get(list(refs)) if t.num_rows > 0]
+    if not tables:
+        return None
+    t = pa.concat_tables(tables)
+    if columns:
+        keep = list(dict.fromkeys(right_on + columns))
+        t = t.select([c for c in keep if c in t.column_names])
+    return t.to_pandas()
+
+
+class _BroadcastJoiner:
+    """Actor-pool stage: fetch + index the broadcast side ONCE per actor
+    (``__init__``), then stream left batches through pandas' hash join."""
+
+    def __init__(self, right_ref, left_on, right_on, how, suffix, r_names):
+        rdf = ray.get(right_ref)
+        self.right = (
+            rdf if rdf is not None
+            else pd.DataFrame({c: [] for c in r_names})
+        )
+        self.left_on = left_on
+        self.right_on = right_on
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ldf = batch.to_pandas()
+        if self.how in ("semi", "anti"):
+            rk = self.right[self.right_on].drop_duplicates()
+            m = ldf.merge(
+                rk, how="left", left_on=self.left_on, right_on=self.right_on,
+                indicator=True, suffixes=("", self.suffix),
+            )
+            mask = m["_merge"] == "both" if self.how == "semi" else m["_merge"] == "left_only"
+            return m[mask][ldf.columns.tolist()]
+        return ldf.merge(
+            self.right, how=self.how, left_on=self.left_on,
+            right_on=self.right_on, suffixes=("", self.suffix),
+        )
+
+
+def join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str | list[str],
+    *,
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    right_columns: list[str] | None = None,
+    strategy: str = "auto",
+    num_buckets: int | None = None,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """Equi-join two Datasets on key columns. ``how`` ∈ inner | left |
+    outer | semi | anti (semi/anti return left columns only). Overlapping
+    non-key right columns get ``suffix``. Returns a streaming Dataset."""
+    left_on = _as_list(on)
+    r_on = _as_list(right_on) if right_on is not None else left_on
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+
+    if strategy == "auto":
+        if how == "outer":
+            strategy = "shuffle"
+        else:
+            mat = right.materialize()
+            strategy = (
+                "broadcast"
+                if (mat.size_bytes() or 0) <= broadcast_max_bytes
+                else "shuffle"
+            )
+            right = mat
+
+    if strategy == "broadcast":
+        if how == "outer":
+            raise ValueError("outer join requires the shuffle strategy")
+        mat = right.materialize()  # no-op if auto already materialized it
+        right_ref = _prep_right.remote(mat.to_arrow_refs(), r_on, right_columns)
+        schema = mat.schema()
+        r_names = list(schema.names) if schema is not None else list(r_on)
+        if right_columns:
+            keep = set(r_on) | set(right_columns)
+            r_names = [c for c in r_names if c in keep]
+        return left.map_batches(
+            _BroadcastJoiner,
+            fn_constructor_args=(right_ref, left_on, r_on, how, suffix, r_names),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+
+    # ---------------- shuffle: hash-bucket both sides, join per bucket
+    nb = num_buckets or _default_num_buckets()
+    if right_columns is not None:
+        right = right.select_columns(list(dict.fromkeys(r_on + right_columns)))
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = [c for c in r_schema.names]
+    # right key columns are renamed onto the left key names; the remaining
+    # right columns keep their names unless they collide (then suffixed)
+    ren = dict(zip(r_on, left_on))
+    for c in r_cols:
+        if c not in ren:
+            ren[c] = c + suffix if c in l_cols else c
+    def _arrow_type(t) -> pa.DataType:
+        # ray.data Schema.types mixes pyarrow types (arrow-backed blocks)
+        # with numpy dtypes / python classes (pandas-backed blocks)
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    r_out = [ren[c] for c in r_cols]
+    r_types = {ren[c]: _arrow_type(t) for c, t in zip(r_schema.names, r_schema.types)}
+    l_types = {c: _arrow_type(t) for c, t in zip(l_schema.names, l_schema.types)}
+    all_cols = l_cols + [c for c in r_out if c not in l_cols]
+    all_types = {**r_types, **l_types}  # left wins for shared key columns
+
+    def widen(src: int):
+        def _w(t: pa.Table) -> pa.Table:
+            if src == 1:
+                t = t.rename_columns([ren[c] for c in t.column_names])
+            df = t.to_pandas()
+            b = _key_buckets(df, left_on, nb)
+            cols = {}
+            for c in all_cols:
+                cols[c] = (
+                    t[t.column_names.index(c)] if c in t.column_names
+                    else pa.nulls(t.num_rows, all_types[c])
+                )
+            out = pa.table(cols)
+            out = out.append_column(_JB, pa.array(b, pa.int64()))
+            return out.append_column(
+                _JSRC, pa.array(np.full(t.num_rows, src, dtype=np.int8))
+            )
+
+        return _w
+
+    unioned = left.map_batches(widen(0), batch_format="pyarrow").union(
+        right.map_batches(widen(1), batch_format="pyarrow")
+    )
+
+    r_only = [c for c in r_out if c not in l_cols]
+    l_only = [c for c in l_cols if c not in left_on]
+
+    # the union's null-fill widens pandas dtypes (int64+null -> float64);
+    # each side is null-free in ITS OWN columns, so cast back before the
+    # merge — only legitimate join nulls remain in the output
+    def _pd_casts(cols: list[str]) -> dict:
+        out = {}
+        for c in cols:
+            try:
+                out[c] = all_types[c].to_pandas_dtype()
+            except (NotImplementedError, TypeError):
+                pass
+        return out
+
+    l_cast = _pd_casts(left_on + l_only)
+    r_cast = _pd_casts(left_on + r_only)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g[_JSRC] == 0][left_on + l_only].astype(l_cast, copy=False)
+        rg = g[g[_JSRC] == 1][left_on + r_only].astype(r_cast, copy=False)
+        if how in ("semi", "anti"):
+            m = lg.merge(
+                rg[left_on].drop_duplicates(), how="left", on=left_on,
+                indicator=True,
+            )
+            mask = m["_merge"] == "both" if how == "semi" else m["_merge"] == "left_only"
+            return m[mask][left_on + l_only]
+        return lg.merge(rg, how=how, on=left_on)
+
+    return unioned.groupby(_JB).map_groups(per_bucket, batch_format="pandas")

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from open_finance_lakehouse_ray.pipelines.checks import run_checks
+from open_finance_lakehouse_ray.pipelines.checks import CheckError, run_checks
 from open_finance_lakehouse_ray.pipelines.compact import DEFAULT_TARGET_BYTES, compact
 from open_finance_lakehouse_ray.pipelines.expire import DEFAULT_RETAIN_SECONDS, expire
 from open_finance_lakehouse_ray.pipelines.metrics import manifest_report
@@ -38,9 +38,17 @@ def maintain(
     Re-clustering is skipped when per-file z-ranges are already mostly
     disjoint (``clustering_quality`` under the threshold) — a table that
     stays clustered shouldn't pay the global sort every run.
+
+    The check gate enforces the 'violations WITHHOLD publication' contract
+    end to end: snapshots published by compact/zorder are provisional until
+    the suite passes — on a breach the maintenance output is WITHDRAWN by a
+    time-travel :func:`~open_finance_lakehouse_ray.pipelines.restore.restore`
+    back to the pre-maintenance version, then :class:`CheckError` is
+    re-raised (and expire never runs, so the restored files are intact).
     """
     log = TableLog(root)
     out: dict[str, Any] = {"job_id": job_id}
+    pre_version = log.current_version()
 
     snap = compact(root, job_id=f"{job_id}/compact", target_bytes=target_bytes)
     out["compacted"] = None if snap is None else snap.version
@@ -57,7 +65,16 @@ def maintain(
         out["reclustered"] = None
 
     if with_checks:
-        out["checks"] = run_checks(root)  # raises (withholds expire) on breach
+        try:
+            out["checks"] = run_checks(root)
+        except CheckError:
+            # withdraw this run's maintenance snapshots: the table head
+            # must never be left in a state the check suite rejects
+            if pre_version is not None and log.current_version() != pre_version:
+                from open_finance_lakehouse_ray.pipelines.restore import restore
+
+                restore(root, to_version=pre_version, job_id=f"{job_id}/rollback")
+            raise
 
     out["expire"] = expire(
         root,

@@ -69,9 +69,12 @@ def prune_affected(
     return affected, untouched
 
 
-def _make_bucket_apply(root: str, job_id: str):
+def _make_bucket_apply(root: str, job_id: str, plan_base: int | None):
     """Per-bucket upsert: dedup latest-wins, write one file + lineage
-    record. Idempotent on resume via the record file."""
+    record. Idempotent on resume via the record file — but ONLY records
+    from the same plan (``plan_base`` = the table version the bucket's
+    input rows were read at). A record left by a crashed attempt against
+    an older head would otherwise resurrect pre-concurrent-commit data."""
 
     def _apply(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) == 0:
@@ -80,6 +83,8 @@ def _make_bucket_apply(root: str, job_id: str):
         part_id = f"{bucket:06d}"
         log = TableLog(root)
         done = log.get_partition(job_id, part_id)
+        if done is not None and done.get("plan_base") != plan_base:
+            done = None  # stale record from a different plan: recompute
         if done is None:
             g = group.sort_values(
                 ["conv_id", "turn_idx", "ts", "_src", "text"], kind="mergesort"
@@ -93,6 +98,7 @@ def _make_bucket_apply(root: str, job_id: str):
                 "outputs": [entry.to_json()],
                 "rows": entry.rows,
                 "z_range": entry.z_range,
+                "plan_base": plan_base,
             }
             log.record_partition(job_id, part_id, done)
         return pd.DataFrame({"bucket": [bucket], "rows": [done["rows"]]})
@@ -173,32 +179,36 @@ def _merge_attempt(
         updates = rd.from_arrow(updates)
     updates = updates.map_batches(conform_batch, batch_format="pyarrow")
 
-    upd_table: pa.Table | None = None
-    if strategy in ("auto", "broadcast"):
-        # single streaming pull of the (small, by the late-arrival
-        # assumption) updates to the driver — ONE pipeline execution gives
-        # us key range, count and the broadcast payload together
-        pulled: list[pa.Table] = []
-        nbytes = 0
-        for b in updates.iter_batches(batch_format="pyarrow", batch_size=None):
-            pulled.append(b)
-            nbytes += b.nbytes
-            if strategy == "auto" and nbytes > BROADCAST_MAX_BYTES:
-                pulled = []
-                break
-        else:
-            upd_table = pa.concat_tables(pulled) if pulled else None
+    # the broadcast path's per-file apply is only globally correct when
+    # each merge key lives in exactly ONE file — i.e. the table's keys are
+    # unique. ``auto`` must PROVE that (via the propagated snapshot
+    # attestation) before picking broadcast; on a plain-append table with
+    # duplicate keys spanning files, broadcast would update every copy and
+    # keep both, diverging from latest-wins MERGE. Forcing
+    # ``strategy="broadcast"`` is the caller attesting uniqueness.
+    if strategy == "auto" and not log.keys_unique(base_version):
+        strategy = "shuffle"
 
-    if upd_table is not None:
-        if upd_table.num_rows == 0:
-            return log.snapshot(base_version)
-        upd_lo = pc.min(upd_table["conv_id"]).as_py()
-        upd_hi = pc.max(upd_table["conv_id"]).as_py()
-        affected, _ = prune_affected(entries, upd_lo, upd_hi)
-        return _merge_broadcast(
-            log, upd_table, affected, base_version=base_version, job_id=job_id,
-            n_updates=upd_table.num_rows,
-        )
+    if strategy in ("auto", "broadcast"):
+        # materialize the updates IN THE OBJECT STORE (blocks never touch
+        # the driver heap); size/shape come from block metadata, and the
+        # dedup + broadcast payload is prepared by a task whose result
+        # stays in the store — the driver only ever holds tiny key stats
+        mat = updates.materialize()
+        nbytes = mat.size_bytes() or 0
+        if strategy == "broadcast" or nbytes <= BROADCAST_MAX_BYTES:
+            meta_ref, upd_ref = _prep_broadcast_updates.options(
+                num_returns=2
+            ).remote(mat.to_arrow_refs())
+            meta = ray.get(meta_ref)
+            if meta["n"] == 0:
+                return log.snapshot(base_version)
+            affected, _ = prune_affected(entries, meta["lo"], meta["hi"])
+            return _merge_broadcast(
+                log, upd_ref, affected, base_version=base_version, job_id=job_id,
+                n_updates=meta["n"],
+            )
+        updates = mat
 
     # ---- shuffle path (updates too large to broadcast, or forced) ----
     updates = updates.materialize()
@@ -237,12 +247,15 @@ def _merge_attempt(
     unioned = sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0]
 
     unioned.groupby("_bucket").map_groups(
-        _make_bucket_apply(root, job_id), batch_format="pandas"
+        _make_bucket_apply(root, job_id, base_version), batch_format="pandas"
     ).take_all()
 
+    # assemble from THIS plan's records only (a crashed prior attempt may
+    # have left records for other plans; their files fall to orphan sweep)
     added = [
         FileEntry.from_json(o)
         for r in log.committed_partitions(job_id).values()
+        if r.get("plan_base") == base_version
         for o in r["outputs"]
     ]
     snap = commit_via_actor_or_direct(
@@ -258,15 +271,39 @@ def _merge_attempt(
             "buckets": num_buckets,
             "files_affected": len(affected),
             "files_untouched": len(entries) - len(affected),
+            "keys_unique": log.keys_unique(base_version),
         },
     )
     log.clear_job(job_id)  # snapshot is the durable record now
     return snap
 
 
+@ray.remote
+def _prep_broadcast_updates(refs: list) -> tuple[dict, pd.DataFrame | None]:
+    """Task-side broadcast prep: concat the update blocks, latest-wins
+    dedup WITHIN the updates, return (key stats, deduped frame). Runs in a
+    worker so the driver heap is never the payload ceiling (the payload
+    ref is handed straight to the apply tasks)."""
+    tables = [t for t in ray.get(list(refs)) if t.num_rows > 0]
+    if not tables:
+        return {"n": 0, "lo": None, "hi": None}, None
+    t = pa.concat_tables(tables)
+    updf = (
+        t.to_pandas()
+        .sort_values(["conv_id", "turn_idx", "ts", "text"], kind="mergesort")
+        .drop_duplicates(list(MERGE_KEY), keep="last")
+    )
+    meta = {
+        "n": int(len(updf)),
+        "lo": str(updf["conv_id"].min()),
+        "hi": str(updf["conv_id"].max()),
+    }
+    return meta, updf
+
+
 def _merge_broadcast(
     log: TableLog,
-    updates: pa.Table,
+    upd_ref,
     affected: list[FileEntry],
     *,
     base_version: int | None,
@@ -274,19 +311,11 @@ def _merge_broadcast(
     n_updates: int,
 ) -> Snapshot:
     """Broadcast merge: per-affected-file read-modify-write tasks + one
-    insert pass for unmatched keys. See :func:`merge_into` docstring."""
+    insert pass for unmatched keys. See :func:`merge_into` docstring.
+    ``upd_ref`` is an object-store ref to the deduped update frame."""
     import ray
 
     root = log.root
-    upd_table = updates
-    if upd_table is None or upd_table.num_rows == 0:
-        return log.snapshot(base_version)
-    # latest-wins dedup WITHIN updates first (cheap, driver-side: updates
-    # are small by the broadcast precondition)
-    updf = upd_table.to_pandas().sort_values(
-        ["conv_id", "turn_idx", "ts", "text"], kind="mergesort"
-    ).drop_duplicates(list(MERGE_KEY), keep="last")
-    upd_ref = ray.put(updf)
 
     plan_rows = [
         {"file_id": f"{i:06d}", "path": e.path}
@@ -303,6 +332,11 @@ def _merge_broadcast(
         for row in batch.to_pylist():
             part_id = row["file_id"]
             done = log.get_partition(job_id, part_id)
+            if done is not None and (
+                done.get("inputs") != [row["path"]]
+                or done.get("plan_base") != base_version
+            ):
+                done = None  # stale record from a different plan: recompute
             if done is None:
                 target = pq.read_table(os.path.join(root, row["path"])).to_pandas()
                 # update rows whose KEY exists in this file (each key lives
@@ -313,7 +347,8 @@ def _merge_broadcast(
                 matched = upd[hit]
                 if len(matched) == 0:
                     done = {"matched_keys": [], "outputs": [], "rows": len(target),
-                            "unchanged": True, "inputs": [row["path"]]}
+                            "unchanged": True, "inputs": [row["path"]],
+                            "plan_base": base_version}
                 else:
                     target["_src"] = np.int8(0)
                     matched = matched.copy()
@@ -336,6 +371,7 @@ def _merge_broadcast(
                         "rows": entry.rows,
                         "unchanged": False,
                         "inputs": [row["path"]],
+                        "plan_base": base_version,
                     }
                 log.record_partition(job_id, part_id, done)
             out.append({"file_id": part_id, "rows": done["rows"]})
@@ -346,34 +382,15 @@ def _merge_broadcast(
             apply_file, batch_size=1, batch_format="pyarrow"
         ).take_all()
 
-    # phase 2: keys matched nowhere -> the insert file (exactly once)
-    records = log.committed_partitions(job_id)
-    matched_all = {
-        tuple(k) for pid, r in records.items() if pid != "inserts"
-        for k in r.get("matched_keys", [])
-    }
-    ins_rec = records.get("inserts")
-    if ins_rec is None:
-        ukeys = [
-            (str(c), int(t)) for c, t in zip(updf["conv_id"], updf["turn_idx"])
-        ]
-        ins_mask = [k not in matched_all for k in ukeys]
-        inserts = updf[np.array(ins_mask, dtype=bool)] if any(ins_mask) else updf.iloc[:0]
-        outputs = []
-        if len(inserts):
-            from open_finance_lakehouse_ray.stages.validate import conform_batch
-
-            entry = write_table_file(
-                root, conform_batch(pa.Table.from_pandas(inserts, preserve_index=False)),
-                prefix="merge-ins",
-            )
-            outputs = [entry.to_json()]
-        ins_rec = {"outputs": outputs, "rows": int(len(inserts)), "inputs": []}
-        log.record_partition(job_id, "inserts", ins_rec)
+    # phase 2: keys matched nowhere -> the insert file (exactly once);
+    # runs in a task so the update payload never lands on the driver
+    ray.get(_insert_pass.remote(root, job_id, upd_ref, base_version))
 
     records = log.committed_partitions(job_id)
     added, removed = [], set()
-    for pid, r in records.items():
+    for r in records.values():
+        if r.get("plan_base") != base_version:
+            continue  # stale record from a crashed prior plan
         if r.get("unchanged"):
             continue
         for o in r.get("outputs", []):
@@ -393,10 +410,46 @@ def _merge_broadcast(
             "strategy": "broadcast",
             "files_affected": len(affected),
             "files_rewritten": len(removed),
+            "keys_unique": log.keys_unique(base_version),
         },
     )
     log.clear_job(job_id)  # snapshot is the durable record now
     return snap
+
+
+@ray.remote
+def _insert_pass(root: str, job_id: str, updf, plan_base: int | None) -> int:
+    """Write the one insert file for update keys matched by NO affected
+    file (exactly once: idempotent on the 'inserts' record). Task-side so
+    the deduped update frame stays in the object store (the ref passed as
+    a task arg is dereferenced straight into this worker)."""
+    from open_finance_lakehouse_ray.stages.validate import conform_batch
+    from open_finance_lakehouse_ray.stages.writer import write_table_file
+
+    log = TableLog(root)
+    records = log.committed_partitions(job_id)
+    ins_rec = records.get("inserts")
+    if ins_rec is not None and ins_rec.get("plan_base") == plan_base:
+        return int(ins_rec["rows"])
+    matched_all = {
+        tuple(k) for pid, r in records.items()
+        if pid != "inserts" and r.get("plan_base") == plan_base
+        for k in r.get("matched_keys", [])
+    }
+    ukeys = [(str(c), int(t)) for c, t in zip(updf["conv_id"], updf["turn_idx"])]
+    ins_mask = [k not in matched_all for k in ukeys]
+    inserts = updf[np.array(ins_mask, dtype=bool)] if any(ins_mask) else updf.iloc[:0]
+    outputs = []
+    if len(inserts):
+        entry = write_table_file(
+            root, conform_batch(pa.Table.from_pandas(inserts, preserve_index=False)),
+            prefix="merge-ins",
+        )
+        outputs = [entry.to_json()]
+    ins_rec = {"outputs": outputs, "rows": int(len(inserts)), "inputs": [],
+               "plan_base": plan_base}
+    log.record_partition(job_id, "inserts", ins_rec)
+    return int(ins_rec["rows"])
 
 
 def dedup_exact(ds: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset:

@@ -134,7 +134,7 @@ def q_tx_maintenance_roundtrip(sf_dir: str) -> pa.Table:
 
     root = _scratch_root("roundtrip")
     tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
-    ingest_dataset(tx.repartition(24), root, job_id="rt-ingest")
+    ingest_dataset(tx.repartition(24), root, job_id="rt-ingest", summary={"keys_unique": True})
     compact(root, job_id="rt-compact", target_bytes=8 * 1024 * 1024)
     zorder(root, job_id="rt-zorder")
     return _scan_and_cleanup(root)
@@ -238,7 +238,7 @@ def q_tx_merge_upsert(sf_dir: str) -> pa.Table:
 
     root = _scratch_root("merge")
     tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
-    ingest_dataset(tx.repartition(24), root, job_id="mg-ingest")
+    ingest_dataset(tx.repartition(24), root, job_id="mg-ingest", summary={"keys_unique": True})
     updates = _merge_updates(dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16))
     merge_into(root, updates, job_id="mg-merge", num_buckets=16)
     return _scan_and_cleanup(root)
@@ -271,7 +271,7 @@ def q_tx_expire_invariance(sf_dir: str) -> pa.Table:
 
     root = _scratch_root("expire")
     tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
-    ingest_dataset(tx.repartition(24), root, job_id="ex-ingest")
+    ingest_dataset(tx.repartition(24), root, job_id="ex-ingest", summary={"keys_unique": True})
     compact(root, job_id="ex-compact", target_bytes=8 * 1024 * 1024)
     expire(root, keep_last=1, force=True)
     return _scan_and_cleanup(root)

@@ -1,0 +1,51 @@
+"""RESTORE VERSION AS OF — time-travel rollback as a forward commit.
+
+The analog of Delta's ``RESTORE`` (the reference's tables keep history for
+exactly this recovery story — ``/root/reference/ofl/platform/io.py:14-31``
+stores every table as versioned Delta): a NEW snapshot whose live file set
+equals a previous version's. Metadata-only — no data file is read, copied
+or rewritten; files re-enter the table by manifest reference, which is why
+restore is only valid while the target version's files are still retained
+(the expire retention floor protects exactly this window).
+
+Used by :func:`~open_finance_lakehouse_ray.pipelines.maintain.maintain` to
+withdraw maintenance output when the post-maintenance check suite finds a
+violation: the gate's contract is that a breach never leaves the breached
+state as the table head.
+"""
+
+from __future__ import annotations
+
+from open_finance_lakehouse_ray.state.commit_actor import commit_via_actor_or_direct
+from open_finance_lakehouse_ray.state.txlog import Snapshot, TableLog
+
+
+def restore(root: str, *, to_version: int, job_id: str) -> Snapshot:
+    """Commit a snapshot that restores the file set of ``to_version``.
+
+    Idempotent on ``job_id``. Raises ``StaleTableError`` if the target
+    version (or any of its manifests) has been expired — a restore past
+    the retention window is impossible by design.
+    """
+    log = TableLog(root)
+    existing = log.find_commit(job_id)
+    if existing is not None:
+        return existing
+    head = log.current_version()
+    target = {e.path: e for e in log.files(to_version)}
+    head_paths = {e.path for e in log.files(head)}
+    added = [e for p, e in target.items() if p not in head_paths]
+    removed = head_paths - set(target)
+    return commit_via_actor_or_direct(
+        log,
+        operation="restore",
+        job_id=job_id,
+        added=added,
+        removed_paths=removed,
+        read_paths=set(),
+        base_version=head,
+        summary={
+            "restored_to": to_version,
+            "keys_unique": log.keys_unique(to_version),
+        },
+    )

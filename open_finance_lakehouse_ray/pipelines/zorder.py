@@ -192,6 +192,7 @@ def zorder(
             "files_in": len(entries),
             "files_out": len(added),
             "ts_range": [ts_lo, ts_hi],
+            "keys_unique": log.keys_unique(base_version),
         },
     )
     # per-output-file lineage records (audit + parity with compaction)

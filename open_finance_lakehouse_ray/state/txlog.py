@@ -250,6 +250,35 @@ class TableLog:
     def file_paths(self, version: int | None = None) -> list[str]:
         return [os.path.join(self.root, e.path) for e in self.files(version)]
 
+    def keys_unique(self, version: int | None = None) -> bool:
+        """True iff merge-key uniqueness is ATTESTED at this snapshot.
+
+        The bit lives in each commit's summary: ingest writes the caller's
+        attestation (a deduped source landing into a fresh table), the
+        maintenance ops propagate their base's bit forward, and anything
+        un-attested defaults to False. For logs written before the bit
+        existed we walk the parent chain through uniqueness-preserving
+        operations; an expired (unwalkable) chain is conservatively False.
+        Used by MERGE's ``auto`` strategy: the broadcast fast path is only
+        correct on unique-key tables.
+        """
+        preserving = {"compact", "zorder", "merge", "rewrite-manifests",
+                      "restore", "expire"}
+        try:
+            snap = self.snapshot(version)
+        except StaleTableError:
+            return False
+        while True:
+            ku = snap.summary.get("keys_unique")
+            if ku is not None:
+                return bool(ku)
+            if snap.operation not in preserving or snap.parent is None:
+                return False
+            try:
+                snap = self.snapshot(snap.parent)
+            except StaleTableError:
+                return False
+
     def _txn_marker_path(self, job_id: str) -> str:
         return os.path.join(self.txdir, "txns", f"{job_id}.json")
 

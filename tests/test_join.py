@@ -1,0 +1,134 @@
+"""First-class equi-join operator: broadcast ≡ shuffle ≡ pandas oracle
+across join types, plus the auto size guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _mk(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 200),
+            "v": rng.integers(0, 1000, 200),
+            "name": [f"l{i}" for i in range(200)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.arange(0, 60, 2),  # half the key space, incl. keys absent on left
+            "w": np.arange(0, 60, 2) * 10,
+            "name": [f"r{i}" for i in range(30)],  # collides with left's 'name'
+        }
+    )
+    return (
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        left,
+        right,
+    )
+
+
+def _norm(df: pd.DataFrame, cols) -> pd.DataFrame:
+    out = df[cols].copy()
+    for c in cols:
+        if out[c].dtype == object or str(out[c].dtype).startswith("float"):
+            out[c] = out[c].astype("object").where(out[c].notna(), None)
+    return out.sort_values(cols, key=lambda s: s.map(lambda v: (v is None, v))).reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_join_matches_pandas(ray_session, how, strategy):
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    lds, rds, left, right = _mk(ray_session)
+    got = join(
+        lds, rds, on="k", right_on="rk", how=how, strategy=strategy,
+        num_buckets=7,
+    ).to_pandas()
+
+    if how in ("semi", "anti"):
+        m = left.merge(
+            right[["rk"]].drop_duplicates(), how="left", left_on="k",
+            right_on="rk", indicator=True,
+        )
+        mask = m["_merge"] == "both" if how == "semi" else m["_merge"] == "left_only"
+        exp = m[mask][["k", "v", "name"]]
+        cols = ["k", "v", "name"]
+    else:
+        exp = left.merge(right, how=how, left_on="k", right_on="rk",
+                         suffixes=("", "_r"))
+        exp = exp.drop(columns=["rk"])
+        cols = ["k", "v", "name", "w", "name_r"]
+    pd.testing.assert_frame_equal(_norm(got, cols), _norm(exp, cols))
+
+
+def test_outer_join_shuffle(ray_session):
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    lds, rds, left, right = _mk(ray_session)
+    got = join(lds, rds, on="k", right_on="rk", how="outer",
+               strategy="shuffle", num_buckets=7).to_pandas()
+    exp = left.merge(right, how="outer", left_on="k", right_on="rk",
+                     suffixes=("", "_r"))
+    # the operator carries the right key onto the left key column
+    exp["k"] = exp["k"].fillna(exp["rk"]).astype("int64")
+    exp = exp.drop(columns=["rk"])
+    cols = ["k", "v", "name", "w", "name_r"]
+    pd.testing.assert_frame_equal(_norm(got, cols), _norm(exp, cols))
+
+
+def test_auto_size_guard_picks_shuffle(ray_session):
+    """A right side above the byte cap must take the bucketed path (auto
+    never materializes it onto one worker)."""
+    from open_finance_lakehouse_ray.pipelines import join as jmod
+
+    lds, rds, left, right = _mk(ray_session)
+    got = jmod.join(
+        lds, rds, on="k", right_on="rk", how="inner", strategy="auto",
+        broadcast_max_bytes=1,  # force the guard
+        num_buckets=7,
+    ).to_pandas()
+    exp = left.merge(right, how="inner", left_on="k", right_on="rk",
+                     suffixes=("", "_r")).drop(columns=["rk"])
+    cols = ["k", "v", "name", "w", "name_r"]
+    pd.testing.assert_frame_equal(_norm(got, cols), _norm(exp, cols))
+
+
+def test_multi_key_join(ray_session):
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    left = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": ["x", "y", "x", "y", "x"],
+                         "v": [10, 20, 30, 40, 50]})
+    right = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"], "w": [7, 8, 9]})
+    got = join(rd.from_pandas(left), rd.from_pandas(right), on=["a", "b"],
+               how="inner", strategy="shuffle", num_buckets=4).to_pandas()
+    exp = left.merge(right, how="inner", on=["a", "b"])
+    cols = ["a", "b", "v", "w"]
+    pd.testing.assert_frame_equal(_norm(got, cols), _norm(exp, cols))
+
+
+def test_empty_right_side(ray_session):
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    left = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+    right = pd.DataFrame({"k": pd.array([], dtype="int64"),
+                          "w": pd.array([], dtype="int64")})
+    for strategy in ("broadcast", "shuffle"):
+        got = join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                   how="left", strategy=strategy, num_buckets=4).to_pandas()
+        assert sorted(got["k"].tolist()) == [1, 2]
+        assert got["w"].isna().all()
