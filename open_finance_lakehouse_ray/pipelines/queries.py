@@ -714,33 +714,38 @@ Q_LI_PRICING_SQL = """
 
 
 def q_ord_revenue_by_nation(sf_dir: str) -> pa.Table:
-    """J2 broadcast join: the small dims (customer, nation) are put in the
-    object store ONCE and looked up per batch — no shuffle join."""
-    import pyarrow.parquet as pq
-    import ray
+    """J2 dim join through the first-class join operator: ``auto`` picks
+    the broadcast strategy for the small customer→nation side (right side
+    materialized in the object store once, size-guarded — above the byte
+    cap it would fall back to the bucketed shuffle join automatically)."""
+    from open_finance_lakehouse_ray.pipelines.join import join
 
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    nat = pq.read_table(
+    nat = rd.read_parquet(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    lookup = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
-    ref = ray.put(dict(zip(lookup["c_custkey"], lookup["n_name"])))
-
-    ds = rd.read_parquet(
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    cust_nat = join(
+        cust, nat, on="c_nationkey", right_on="n_nationkey",
+        right_columns=["n_name"], strategy="auto",
+    )
+    orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
+    joined = join(
+        orders, cust_nat, on="o_custkey", right_on="c_custkey",
+        right_columns=["n_name"], strategy="auto",
+    )
 
-    def join(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        keys = t["o_custkey"].to_pandas()
-        names = keys.map(m)
-        df = pd.DataFrame({"n_name": names, "price": t["o_totalprice"].to_pandas()})
-        g = df.groupby("n_name").agg(s=("price", "sum"), n=("price", "size")).reset_index()
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("n_name").agg(
+            s=("o_totalprice", "sum"), n=("o_totalprice", "size")
+        ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ds.map_batches(join, batch_format="pyarrow").to_pandas()
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.groupby("n_name", sort=True).agg(s=("s", "sum"), n=("n", "sum")).reset_index()
     out["revenue"] = out["s"].round(2)
     out["n_orders"] = out["n"].astype("int64")
@@ -752,6 +757,57 @@ Q_ORD_REVENUE_SQL = """
     FROM orders JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_li_order_priority_revenue(sf_dir: str) -> pa.Table:
+    """J3 general equi-join, BOTH sides large (lineitem × orders on the
+    order key) through the first-class operator's hash-bucket shuffle path
+    — the reference's quotes × instrument-registry join shape
+    (``ofl/transform/gold/mart_di_curve_points.sql:38-42``) at a size where
+    no side can be broadcast. Revenue by order priority."""
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        right_columns=["o_orderpriority"], strategy="shuffle",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("o_orderpriority").agg(
+            s=("rev", "sum"), n=("rev", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("o_orderpriority", sort=True)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+        .reset_index()
+    )
+    out["revenue"] = _round_half_away(out["s"], 2)
+    out["n_items"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["o_orderpriority", "revenue", "n_items"]], preserve_index=False
+    )
+
+
+Q_LI_ORD_JOIN_SQL = """
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
@@ -947,9 +1003,9 @@ Q_DOC_FINGERPRINT_SQL = """
 
 
 def q_doc_langid(sf_dir: str) -> pa.Table:
-    """Language-ID heuristic (stopword vote) — no SQL oracle (heuristic
-    scoring isn't reasonably SQL-expressible); the driver's rows-only
-    check applies."""
+    """Language-ID heuristic: per-language stopword-regex vote, argmax with
+    alphabetical tie-break, confidence = top/total — SQL-expressible as a
+    CASE over summed ``regexp_extract_all`` counts, so hash-checked."""
     from open_finance_lakehouse_ray.pipelines.textpipe import LangId
 
     out = (
@@ -962,12 +1018,74 @@ def q_doc_langid(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def _stopword_count_expr(lang: str) -> str:
+    from open_finance_lakehouse_ray.pipelines.textpipe import STOPWORDS
+
+    return " + ".join(
+        rf"len(regexp_extract_all(text, '\b{w}\b'))" for w in sorted(STOPWORDS[lang])
+    )
+
+
+def _langid_sql() -> str:
+    return f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               {_stopword_count_expr("en")} AS s_en,
+               {_stopword_count_expr("es")} AS s_es,
+               {_stopword_count_expr("pt")} AS s_pt
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_pt THEN 'en'
+                WHEN s_es >= s_pt THEN 'es' ELSE 'pt' END AS pred_lang,
+           ROUND(CAST(GREATEST(s_en, s_es, s_pt) AS DOUBLE)
+                 / GREATEST(s_en + s_es + s_pt, 1), 4) AS lang_conf
+    FROM s ORDER BY doc_id
+    """
+
+
+Q_DOC_LANGID_SQL = _langid_sql()
+
+
 def q_doc_simhash_pairs(sf_dir: str) -> pa.Table:
-    """SimHash near-dup pairs (hamming ≤ 3) — rows-only check (bit-level
-    hash arithmetic has no SQL analog)."""
+    """SimHash near-dup pairs (hamming ≤ 3), distributed block-banded.
+    Hash-checked: the signature hash is DuckDB's ``hash()``, so the oracle
+    rebuilds the full 64-bit signatures and the hamming join in SQL."""
     from open_finance_lakehouse_ray.pipelines.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+# the oracle recomputes SimHash end to end: k=3 word shingles (every
+# position, multiplicity kept), per-bit ±1 votes over hash(s), bit set iff
+# vote > 0, then an exact hamming≤3 self-join on bit_count(xor(...))
+Q_DOC_SIMHASH_SQL = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, hash(array_to_string(words[i:i+2], ' ')) AS h
+        FROM w, LATERAL unnest(range(1, len(words) - 1)) AS t(i)
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM sh CROSS JOIN range(0, 64) AS r(j)
+        GROUP BY doc_id, j
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0
+                        THEN (1::UBIGINT << j)::HUGEINT ELSE 0 END) AS UBIGINT)
+                   AS sim
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    ORDER BY id_a, id_b
+"""
 
 
 def q_doc_multimodal(sf_dir: str) -> pa.Table:
@@ -1062,6 +1180,7 @@ QUERIES = {
     "ev_table_metrics": q_ev_table_metrics,
     "li_pricing_summary": q_li_pricing_summary,
     "ord_revenue_by_nation": q_ord_revenue_by_nation,
+    "li_order_priority_revenue": q_li_order_priority_revenue,
     "li_gap_check": q_li_gap_check,
     "party_union": q_party_union,
     "doc_near_dup_pairs": q_doc_near_dup_pairs,
@@ -1090,13 +1209,15 @@ ORACLES = {
     "ev_table_metrics": Q_EV_METRICS_SQL,
     "li_pricing_summary": Q_LI_PRICING_SQL,
     "ord_revenue_by_nation": Q_ORD_REVENUE_SQL,
+    "li_order_priority_revenue": Q_LI_ORD_JOIN_SQL,
     "li_gap_check": Q_LI_GAP_SQL,
     "party_union": Q_PARTY_UNION_SQL,
     "doc_near_dup_pairs": Q_DOC_NEAR_DUP_SQL,
     "doc_token_stats": Q_DOC_TOKEN_SQL,
     "doc_quality": Q_DOC_QUALITY_SQL,
     "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
-    # doc_langid, doc_simhash_pairs: heuristic/bit-level — rows-only
+    "doc_langid": Q_DOC_LANGID_SQL,
+    "doc_simhash_pairs": Q_DOC_SIMHASH_SQL,
     "doc_multimodal": Q_DOC_MULTIMODAL_SQL,
     "emb_knn": Q_EMB_KNN_SQL,
     "emb_label_centroids": Q_EMB_CENTROID_SQL,
@@ -1259,38 +1380,55 @@ def q_reconcile_customers(sf_dir: str) -> pa.Table:
     customers with no orders and order-custkeys missing from the customer
     dim are each their own violation reason
     (``checks/assert_real_interest_ipca_recomputes.sql:51-64``)."""
-    import pyarrow.parquet as pq
-    import ray
+    from open_finance_lakehouse_ray.pipelines.join import join
 
-    cust_keys = set(
-        pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
-        ["c_custkey"].to_pylist()
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(
+        # batch-local distinct + side marker (cross-batch dups collapse in
+        # the final tiny violations frame)
+        lambda t: pa.table(
+            {
+                "custkey": pc.unique(t["o_custkey"]),
+                "has_order": pa.array([True] * len(pc.unique(t["o_custkey"]))),
+            }
+        ),
+        batch_format="pyarrow",
     )
-    ref = ray.put(cust_keys)
-    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t["c_custkey"], "in_dim": pa.array([True] * t.num_rows)}
+        ),
+        batch_format="pyarrow",
+    )
+    full = join(
+        orders, cust, on="custkey", right_on="c_custkey",
+        how="outer", strategy="shuffle",
+    )
 
-    def partial(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        seen = set(t["o_custkey"].to_pylist())
+    def violations(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        bad = df[df["has_order"].isna() | df["in_dim"].isna()]
         return pa.table(
             {
-                "custkey": pa.array(sorted(seen), pa.int64()),
-                "in_dim": pa.array([k in keys for k in sorted(seen)]),
+                "custkey": pa.array(bad["custkey"].astype("int64")),
+                "reason": pa.array(
+                    np.where(
+                        bad["in_dim"].isna(),
+                        "order_without_customer",
+                        "customer_without_orders",
+                    )
+                ),
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    ordered = parts.drop_duplicates("custkey")
-    with_orders = set(ordered["custkey"])
-    missing_dim = ordered[~ordered["in_dim"]]["custkey"].tolist()
-    no_orders = sorted(cust_keys - with_orders)
-    out = pd.DataFrame(
-        {
-            "custkey": missing_dim + no_orders,
-            "reason": ["order_without_customer"] * len(missing_dim)
-            + ["customer_without_orders"] * len(no_orders),
-        }
-    ).sort_values(["reason", "custkey"])
+    out = full.map_batches(violations, batch_format="pyarrow").to_pandas()
+    if "custkey" not in out.columns:  # no violations anywhere -> schemaless empty
+        return pa.table({"custkey": pa.array([], pa.int64()),
+                         "reason": pa.array([], pa.string())})
+    out = out.drop_duplicates(["custkey", "reason"]).sort_values(["reason", "custkey"])
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 

@@ -111,9 +111,14 @@ class LangId:
         mat = np.stack([scores[lg] for lg in langs])
         pred = np.array(langs)[mat.argmax(axis=0)]
         conf = mat.max(axis=0) / np.maximum(mat.sum(axis=0), 1)
+        # half-AWAY rounding (SQL ROUND semantics), not numpy's half-even —
+        # the confidence feeds a hash-compared oracle column
+        conf4 = pc.round(
+            pa.array(conf.astype(np.float64)), 4,
+            round_mode="half_towards_infinity",
+        )
         return batch.append_column("pred_lang", pa.array(pred)).append_column(
-            "lang_conf",
-            pa.array(np.round(conf.astype(np.float64), 4)),
+            "lang_conf", conf4
         )
 
 

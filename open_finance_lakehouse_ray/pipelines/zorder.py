@@ -15,14 +15,20 @@ normalized over the manifest-global [min, max] so the key is a
 deterministic function of the table, not of this run. Per-file
 ``z_range`` lands in the manifest and drives scan pruning.
 
-Granularity note: a global sort has no per-partition resume (the shuffle
-is all-or-nothing), so the job checkpoint is the commit itself —
-re-running a killed job redoes the sort; re-running a COMMITTED job
-no-ops on ``job_id``. This is the documented trade against compaction's
-bin-level resume.
+Granularity note: :func:`zorder`'s global ``Dataset.sort`` has no
+per-partition resume (the in-memory shuffle is all-or-nothing), so its
+job checkpoint is the commit itself — fastest when the table fits the
+cluster's object store and failures are rare. :func:`zorder_ranged` is
+the 100-TB path: the same clustering expressed as a DURABLE two-phase
+range shuffle (map files → range row-groups → per-range sorted outputs)
+where every map file and every range is individually checkpointed and a
+killed job resumes without redoing completed work.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -38,7 +44,7 @@ from open_finance_lakehouse_ray.functions.zorder import (
 )
 from open_finance_lakehouse_ray.stages.writer import make_stats_writer, meta_rows_to_entries
 from open_finance_lakehouse_ray.state.commit_actor import commit_via_actor_or_direct
-from open_finance_lakehouse_ray.state.txlog import Snapshot, TableLog
+from open_finance_lakehouse_ray.state.txlog import FileEntry, Snapshot, TableLog
 
 ZKEY = "_zkey"
 
@@ -164,8 +170,17 @@ def zorder(
     )
     # coarsen block count ahead of the sort: the all-to-all exchange costs
     # O(blocks^2) object transfers — fewer, larger partitions beat many
-    # tiny ones; 64 keeps every CPU of a 4-node-equivalent busy
-    ds = ds.repartition(64)
+    # tiny ones. Derived from TABLE SIZE (manifest bytes + rows), never from
+    # cluster CPUs, so the physical plan is identical at every parallelism
+    # level (the scaling-benchmark invariant) and block memory stays bounded
+    # (~16 MB compressed ≈ 150-200 MB decompressed for text-heavy tables)
+    total_bytes = sum(e.bytes for e in entries)
+    total_rows = sum(e.rows for e in entries)
+    nblocks = int(np.clip(
+        max(total_bytes // (16 * 1024 * 1024), total_rows // (512 * 1024)),
+        16, 8192,
+    ))
+    ds = ds.repartition(nblocks)
     ds = ds.sort(ZKEY)
     if target_rows_per_file:
         total = sum(e.rows for e in entries)
@@ -220,3 +235,300 @@ def clustering_quality(entries) -> float:
             if a[0] <= b[1] and b[0] <= a[1]:
                 overlaps += 1
     return overlaps / pairs
+
+
+# ---------------------------------------------------------------------------
+# range-partitioned, per-range-resumable Z-order (the 100-TB path)
+# ---------------------------------------------------------------------------
+
+DEFAULT_RANGE_BYTES = 128 * 1024 * 1024
+
+
+def _shuffle_dir(root: str, job_id: str) -> str:
+    return os.path.join(root, "_shuffle", job_id.replace("/", "_"))
+
+
+def _sample_zkey_boundaries(
+    root: str,
+    entries,
+    *,
+    ts_lo: int,
+    ts_hi: int,
+    curve: str,
+    conv_boundaries: np.ndarray,
+    n_ranges: int,
+    seed: int = 17,
+    n_sample: int = 65536,
+) -> list[int]:
+    """Equal-frequency Z-key cut points from a strided file sample — the
+    boundary pass of a distributed range-partitioned sort."""
+    paths = [os.path.join(root, e.path) for e in entries]
+    stride = max(1, len(paths) // 16)
+    sub = paths[::stride]
+    est_rows = max(1, sum(e.rows for e in entries[::stride]))
+    frac = min(1.0, (4.0 * n_sample) / est_rows)
+    ds = rd.read_parquet(sub, columns=["conv_id", "turn_idx", "ts"]).map_batches(
+        make_zkey_stage(ts_lo, ts_hi, curve, conv_boundaries=conv_boundaries),
+        batch_format="pyarrow",
+    ).select_columns([ZKEY])
+    vals = np.array(
+        [r[ZKEY] for r in ds.random_sample(frac, seed=seed).take(n_sample)],
+        dtype=np.int64,
+    )
+    if len(vals) == 0 or n_ranges <= 1:
+        return []
+    vals.sort()
+    idx = np.linspace(0, len(vals) - 1, n_ranges + 1)[1:-1].astype(int)
+    return sorted(set(int(v) for v in vals[idx]))
+
+
+def _zr_map_one(
+    root: str, job_id: str, file_idx: int, path: str, plan: dict
+) -> dict:
+    """Phase-1 map task for one input file: compute Z-keys, partition rows
+    by the plan's key ranges, write ONE intermediate parquet with one ROW
+    GROUP per non-empty range (the shuffle-file-with-index layout), record
+    the range→row-group map. Idempotent per (inputs, plan_base)."""
+    import pyarrow.parquet as pq
+
+    log = TableLog(root)
+    part_id = f"map-{file_idx:06d}"
+    done = log.get_partition(job_id, part_id)
+    if done is not None and (
+        done.get("inputs") == [path]
+        and done.get("plan_base") == plan["plan_base"]
+        and os.path.exists(os.path.join(root, done["intermediate"]))
+    ):
+        return done
+    table = pq.read_table(os.path.join(root, path))
+    add = make_zkey_stage(
+        plan["ts_range"][0], plan["ts_range"][1], plan["curve"],
+        conv_boundaries=np.asarray(plan["conv_boundaries"], dtype="U64"),
+    )
+    table = add(table)
+    zb = np.asarray(plan["zb"], dtype=np.int64)
+    z = table[ZKEY].to_numpy(zero_copy_only=False)
+    order = np.argsort(z, kind="stable")
+    table = table.take(pa.array(order))
+    rid = np.searchsorted(zb, z[order], side="right")
+    sdir = _shuffle_dir(root, job_id)
+    os.makedirs(sdir, exist_ok=True)
+    rel = os.path.join(
+        "_shuffle", job_id.replace("/", "_"), f"map-{file_idx:06d}.parquet"
+    )
+    tmp = os.path.join(sdir, f".tmp-{file_idx:06d}.parquet")
+    row_groups: dict[str, int] = {}
+    # ranges are contiguous after the zkey sort: slice per distinct rid
+    bounds = np.searchsorted(rid, np.arange(len(zb) + 2))
+    writer = pq.ParquetWriter(tmp, table.schema, compression="zstd")
+    rg = 0
+    for r in range(len(zb) + 1):
+        lo, hi = bounds[r], bounds[r + 1]
+        if hi > lo:
+            writer.write_table(table.slice(lo, hi - lo), row_group_size=hi - lo)
+            row_groups[str(r)] = rg
+            rg += 1
+    writer.close()
+    os.replace(tmp, os.path.join(root, rel))
+    done = {
+        "inputs": [path],
+        "intermediate": rel,
+        "row_groups": row_groups,
+        "rows": table.num_rows,
+        "plan_base": plan["plan_base"],
+    }
+    log.record_partition(job_id, part_id, done)
+    return done
+
+
+def _zr_reduce_one(
+    root: str, job_id: str, range_idx: int, sources: list, plan_base
+) -> dict:
+    """Phase-2 reduce task for one key range: read its row group from each
+    map intermediate, sort, write the final clustered file + lineage
+    record. Idempotent per (sources, plan_base) — a resumed job skips
+    completed ranges entirely."""
+    import pyarrow.parquet as pq
+
+    from open_finance_lakehouse_ray.stages.writer import write_table_file
+
+    log = TableLog(root)
+    part_id = f"range-{range_idx:06d}"
+    done = log.get_partition(job_id, part_id)
+    if done is not None and (
+        done.get("inputs") == [s[0] for s in sources]
+        and done.get("plan_base") == plan_base
+    ):
+        return done
+    slow = os.environ.get("HARNESS_SLOW_RANGE_S")
+    if slow:  # kill-resume harness hook: env vars reach Ray workers
+        import time
+
+        time.sleep(float(slow))
+    tables = [
+        pq.ParquetFile(os.path.join(root, p)).read_row_group(rg)
+        for p, rg in sources
+    ]
+    outputs = []
+    rows = 0
+    if tables:
+        t = pa.concat_tables(tables).sort_by(
+            [(ZKEY, "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        entry = write_table_file(
+            root, t, zkey_col=ZKEY, presorted=True, prefix="zorder"
+        )
+        outputs = [entry.to_json()]
+        rows = entry.rows
+    done = {
+        "inputs": [s[0] for s in sources],
+        "outputs": outputs,
+        "rows": rows,
+        "plan_base": plan_base,
+    }
+    log.record_partition(job_id, part_id, done)
+    return done
+
+
+def zorder_ranged(
+    root: str,
+    *,
+    job_id: str,
+    curve: str = "morton",
+    target_bytes: int = DEFAULT_RANGE_BYTES,
+    n_ranges: int | None = None,
+) -> Snapshot | None:
+    """Range-partitioned Z-order rewrite with PER-RANGE resume — the scale
+    path that replaces :func:`zorder`'s all-or-nothing global sort.
+
+    The shuffle is made durable: sampled Z-key boundaries split the key
+    space into ~``total_bytes/target_bytes`` ranges (persisted in a plan
+    record so a resumed job partitions identically); each input file is
+    mapped ONCE into an intermediate parquet holding one row group per
+    range (M map files total, never M×R — the shuffle-file-with-index
+    layout); each range is reduced ONCE into its final clustered file. A
+    killed job re-runs only the map files / ranges with no lineage record;
+    a record from a different plan base is recomputed, never resumed. At
+    100 TB this bounds both the blast radius of a failure (one range) and
+    driver metadata (O(files + ranges))."""
+    import shutil
+
+    log = TableLog(root)
+    existing = log.find_commit(job_id)
+    if existing is not None:
+        log.clear_job(job_id)
+        shutil.rmtree(_shuffle_dir(root, job_id), ignore_errors=True)
+        return existing
+    base_version = log.current_version()
+    if base_version is None:
+        return None
+    entries = log.files(base_version)
+    if not entries:
+        return None
+
+    plan = log.get_partition(job_id, "_plan")
+    if plan is None or plan.get("plan_base") != base_version:
+        ts_lo, ts_hi = ts_range_from_entries(entries)
+        paths = [f"{root}/{e.path}" for e in entries]
+        stride = max(1, len(paths) // 16)
+        conv_b = sample_conv_boundaries(
+            rd.read_parquet(paths[::stride], columns=["conv_id"]),
+            total_rows=sum(e.rows for e in entries[::stride]),
+        )
+        total_bytes = sum(e.bytes for e in entries)
+        nr = n_ranges or int(np.clip(total_bytes // target_bytes + 1, 1, 4096))
+        zb = _sample_zkey_boundaries(
+            root, entries, ts_lo=ts_lo, ts_hi=ts_hi, curve=curve,
+            conv_boundaries=conv_b, n_ranges=nr,
+        )
+        plan = {
+            "plan_base": base_version,
+            "files": [e.path for e in entries],
+            "ts_range": [ts_lo, ts_hi],
+            "conv_boundaries": [str(c) for c in conv_b],
+            "zb": zb,
+            "curve": curve,
+        }
+        log.record_partition(job_id, "_plan", plan)
+
+    # ---- phase 1: map every input file into range row-groups ----
+    map_rows = [
+        {"file_idx": i, "path": p} for i, p in enumerate(plan["files"])
+    ]
+
+    def run_map(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            rec = _zr_map_one(root, job_id, row["file_idx"], row["path"], plan)
+            out.append({"file_idx": row["file_idx"], "rows": rec["rows"]})
+        return pa.Table.from_pylist(out)
+
+    rd.from_items(map_rows, override_num_blocks=len(map_rows)).map_batches(
+        run_map, batch_size=1, batch_format="pyarrow"
+    ).take_all()
+
+    # ---- phase 2: reduce every range from the recorded intermediates ----
+    parts = log.committed_partitions(job_id)
+    maps = sorted(
+        (r for pid, r in parts.items()
+         if pid.startswith("map-") and r.get("plan_base") == base_version),
+        key=lambda r: r["intermediate"],
+    )
+    n_ranges_total = len(plan["zb"]) + 1
+    reduce_rows = []
+    for j in range(n_ranges_total):
+        sources = [
+            [m["intermediate"], m["row_groups"][str(j)]]
+            for m in maps
+            if str(j) in m["row_groups"]
+        ]
+        reduce_rows.append({"range_idx": j, "sources_json": json.dumps(sources)})
+
+    def run_reduce(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            rec = _zr_reduce_one(
+                root, job_id, row["range_idx"],
+                [tuple(s) for s in json.loads(row["sources_json"])],
+                base_version,
+            )
+            out.append({"range_idx": row["range_idx"], "rows": rec["rows"]})
+        return pa.Table.from_pylist(out)
+
+    rd.from_items(reduce_rows, override_num_blocks=len(reduce_rows)).map_batches(
+        run_reduce, batch_size=1, batch_format="pyarrow"
+    ).take_all()
+
+    parts = log.committed_partitions(job_id)
+    added = [
+        FileEntry.from_json(o)
+        for pid, r in sorted(parts.items())
+        if pid.startswith("range-") and r.get("plan_base") == base_version
+        for o in r["outputs"]
+    ]
+    removed = set(plan["files"])
+    snap = commit_via_actor_or_direct(
+        log,
+        operation="zorder",
+        job_id=job_id,
+        added=added,
+        removed_paths=removed,
+        read_paths=removed,
+        base_version=base_version,
+        summary={
+            "curve": curve,
+            "strategy": "ranged",
+            "files_in": len(removed),
+            "files_out": len(added),
+            "ranges": n_ranges_total,
+            "ts_range": plan["ts_range"],
+            "keys_unique": log.keys_unique(base_version),
+        },
+    )
+    log.clear_job(job_id)
+    shutil.rmtree(_shuffle_dir(root, job_id), ignore_errors=True)
+    try:
+        os.rmdir(os.path.join(root, "_shuffle"))  # drop the parent if empty
+    except OSError:
+        pass
+    return snap

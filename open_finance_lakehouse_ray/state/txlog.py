@@ -559,4 +559,18 @@ class TableLog:
                     orphans.append(rel)
                     if not dry_run:
                         os.unlink(full)
+        # shuffle intermediates (zorder_ranged) from crashed jobs: a
+        # committed job removes its own dir; anything past the grace
+        # window with no commit in sight is debris
+        shuffle_root = os.path.join(self.root, "_shuffle")
+        if os.path.isdir(shuffle_root):
+            for d in os.listdir(shuffle_root):
+                jdir = os.path.join(shuffle_root, d)
+                files = [os.path.join(jdir, f) for f in os.listdir(jdir)]
+                if files and all(os.path.getmtime(f) < cutoff for f in files):
+                    orphans.append(os.path.join("_shuffle", d))
+                    if not dry_run:
+                        for f in files:
+                            os.unlink(f)
+                        os.rmdir(jdir)
         return sorted(orphans)

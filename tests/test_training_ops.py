@@ -35,10 +35,14 @@ def test_simhash_matches_bitwise_reference():
     docs = ["alpha beta gamma delta epsilon zeta eta theta", "iota kappa " * 10]
 
     def ref(text, k=3):
+        import duckdb
+
         w = text.split()
         votes = np.zeros(64)
         for i in range(max(0, len(w) - k + 1)):
-            h = int(pd.util.hash_array(np.asarray([" ".join(w[i : i + k])], dtype=object))[0])
+            h = int(duckdb.execute(
+                "SELECT hash(?)", [" ".join(w[i : i + k])]
+            ).fetchone()[0])
             for b in range(64):
                 votes[b] += 1 if (h >> b) & 1 else -1
         out = 0
@@ -182,3 +186,44 @@ def test_ivf_topk_recall(ray_session):
     # determinism
     again = ivf_topk(emb, queries, qids, k=3, n_lists=8, n_probe=4).to_pandas()
     assert again.equals(approx)
+
+
+def test_minhash_scale_path_equals_fast_path(ray_session):
+    """Forcing the bucketed-join verify (broadcast_max_bytes=0) must give
+    the same pairs as the small-corpus broadcast fast path."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.dedup import minhash_near_dup_pairs
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    fast = minhash_near_dup_pairs(docs, threshold=0.8).to_pandas()
+    scale = minhash_near_dup_pairs(
+        rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.8, broadcast_max_bytes=0,
+    ).to_pandas()
+    key = ["id_a", "id_b"]
+    assert fast[key].values.tolist() == scale[key].values.tolist()
+    assert len(fast) > 0
+
+
+def test_embedding_lsh_recall_vs_brute(ray_session):
+    """The LSH-bucketed path must recover the brute-force pair set at the
+    tuned band width (verification is exact, so precision is 1 by
+    construction; this pins recall)."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.dedup import embedding_near_dup_pairs
+
+    for thr in (0.5, 0.9):
+        brute = embedding_near_dup_pairs(
+            rd.read_parquet(f"{SF}/embeddings.parquet"),
+            threshold=thr, strategy="brute",
+        ).to_pandas()
+        lsh = embedding_near_dup_pairs(
+            rd.read_parquet(f"{SF}/embeddings.parquet"),
+            threshold=thr, strategy="lsh",
+        ).to_pandas()
+        b = set(zip(brute["id_a"], brute["id_b"]))
+        l = set(zip(lsh["id_a"], lsh["id_b"]))
+        assert l <= b  # exact verify: no false positives
+        assert len(l) == len(b), f"recall miss at {thr}: {b - l}"

@@ -14,6 +14,9 @@ Scenarios (FIXTURES.md F5):
   kill-resume  — a compaction is SIGKILLed mid-run; the resumed process
                  re-executes only uncommitted bins; the final state equals
                  an uninterrupted run's state.
+  zorder-kill-resume — a range-partitioned Z-order is SIGKILLed
+                 mid-reduce; the resume redoes ONLY unfinished ranges
+                 (completed ranges' files verified reused by mtime).
   concurrent   — a compaction and a MERGE race from the same base
                  snapshot; overlapping file sets must conflict-and-replan,
                  and the final scan must equal the serial execution.
@@ -73,6 +76,10 @@ elif cmd == "compact":
             return orig(*a, **k)
         cp._compact_bin = slow_bin
     snap = compact(root, job_id=sys.argv[3], target_bytes=1 * 1024 * 1024)
+    print(json.dumps({"version": None if snap is None else snap.version}))
+elif cmd == "zorder-ranged":
+    from open_finance_lakehouse_ray.pipelines.zorder import zorder_ranged
+    snap = zorder_ranged(root, job_id=sys.argv[3], n_ranges=8)
     print(json.dumps({"version": None if snap is None else snap.version}))
 elif cmd == "merge":
     from open_finance_lakehouse_ray.sources.transcripts import build_transcripts, late_turns
@@ -175,6 +182,75 @@ def scenario_kill_resume(scratch: str) -> dict:
     }
 
 
+def scenario_zorder_kill_resume(scratch: str) -> dict:
+    """A range-partitioned Z-order is SIGKILLed mid-reduce; the resumed
+    process must redo ONLY unfinished ranges — completed ranges' output
+    files are reused byte-for-byte (mtimes unchanged) and the final scan
+    equals an uninterrupted run's."""
+    root = os.path.join(scratch, "zkill")
+    ref_root = os.path.join(scratch, "zkill-ref")
+    run_worker(["ingest", root, "40"])
+    shutil.copytree(root, ref_root)
+
+    run_worker(["zorder-ranged", ref_root, "zorder-K"])
+    ref_state = independent_state(ref_root)
+
+    p = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "zorder-ranged", root, "zorder-K"],
+        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_SLOW_RANGE_S": "2.5"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    # kill as soon as SOME (but not all 8) ranges have committed records —
+    # polling beats a fixed sleep on a noisy sandbox
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [
+            pid for pid, r in TableLog(root).committed_partitions("zorder-K").items()
+            if pid.startswith("range-") and r.get("outputs")
+        ]
+        if len(done) >= 2:
+            break
+        time.sleep(0.25)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+
+    parts = TableLog(root).committed_partitions("zorder-K")
+    done_ranges = {
+        pid: r for pid, r in parts.items()
+        if pid.startswith("range-") and r.get("outputs")
+    }
+    pre_mtimes = {
+        r["outputs"][0]["path"]: os.path.getmtime(
+            os.path.join(root, r["outputs"][0]["path"])
+        )
+        for r in done_ranges.values()
+    }
+
+    run_worker(["zorder-ranged", root, "zorder-K"])
+    got_state = independent_state(root)
+
+    from open_finance_lakehouse_ray.state.txlog import TableLog as TL
+
+    final_paths = set(TL(root).snapshot().added_paths)
+    reused = all(
+        p_ in final_paths
+        and os.path.getmtime(os.path.join(root, p_)) == m
+        for p_, m in pre_mtimes.items()
+    )
+    comparable = {k: ref_state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    got_comp = {k: got_state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    return {
+        "ok": comparable == got_comp and reused and len(done_ranges) > 0,
+        "ranges_committed_before_kill": len(done_ranges),
+        "completed_ranges_reused": reused,
+        "reference": ref_state,
+        "resumed": got_state,
+    }
+
+
 def scenario_concurrent(scratch: str) -> dict:
     root = os.path.join(scratch, "concurrent")
     run_worker(["ingest", root, "40"])
@@ -213,12 +289,14 @@ def scenario_concurrent(scratch: str) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="all",
-                    choices=["all", "double-run", "kill-resume", "concurrent"])
+                    choices=["all", "double-run", "kill-resume",
+                             "zorder-kill-resume", "concurrent"])
     args = ap.parse_args()
     scratch = tempfile.mkdtemp(prefix="ofl-harness-")
     scenarios = {
         "double-run": scenario_double_run,
         "kill-resume": scenario_kill_resume,
+        "zorder-kill-resume": scenario_zorder_kill_resume,
         "concurrent": scenario_concurrent,
     }
     todo = list(scenarios) if args.scenario == "all" else [args.scenario]
