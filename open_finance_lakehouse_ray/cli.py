@@ -73,13 +73,27 @@ def main(argv: list[str] | None = None) -> int:
                      "--dry-run": {"action": "store_true"}})
     add("report")
     add("check")
+    add("export", **{"--dest": {"required": True},
+                     "--version": {"type": int, "default": None},
+                     "--copy": {"action": "store_true",
+                                "help": "copy instead of hard-link"}})
+    rp = sub.add_parser("registry")
+    rp.add_argument("--registry", required=True, help="path to registry.yml")
+    rp.add_argument("--action", default="maintain",
+                    choices=["maintain", "marts", "report"])
+    rp.add_argument("--table", default=None, help="one table (default: all)")
+    rp.add_argument("--mart", default=None, help="one mart (default: all)")
+    rp.add_argument("--sf-dir", default=None, help="source dir for mart queries")
+    rp.add_argument("--base", default=None, help="override {base} substitution")
+    rp.add_argument("--job-id", default=None)
     args = p.parse_args(argv)
 
     job_id = args.job_id or f"{args.cmd}-{uuid.uuid4().hex[:12]}"
     out: dict = {"cmd": args.cmd, "job_id": job_id}
 
     needs_ray = args.cmd in (
-        "ingest", "compact", "zorder", "merge", "rewrite-manifests", "check", "maintain",
+        "ingest", "compact", "zorder", "merge", "rewrite-manifests", "check",
+        "maintain", "registry",
     )
     if needs_ray:
         _ray_session(args.num_cpus)
@@ -144,6 +158,39 @@ def main(argv: list[str] | None = None) -> int:
                 dry_run=args.dry_run,
             )
         )
+    elif args.cmd == "export":
+        from open_finance_lakehouse_ray.pipelines.export import export_table
+
+        m = export_table(args.root, args.dest, version=args.version,
+                         link=not args.copy)
+        out["export"] = {k: m[k] for k in ("snapshot_version", "rows", "status")}
+        out["files"] = len(m["files"])
+    elif args.cmd == "registry":
+        from open_finance_lakehouse_ray.registry import (
+            build_registry_marts,
+            load_registry,
+            maintain_table,
+        )
+
+        reg = load_registry(args.registry, base=args.base)
+        if args.action == "maintain":
+            targets = [args.table] if args.table else list(reg.tables)
+            out["maintained"] = {
+                t: maintain_table(reg, t, job_id=f"{job_id}/{t}") for t in targets
+            }
+        elif args.action == "marts":
+            if not args.sf_dir:
+                raise SystemExit("--sf-dir is required for --action marts")
+            out["marts"] = build_registry_marts(
+                reg, args.sf_dir, job_prefix=job_id,
+                names=[args.mart] if args.mart else None,
+            )
+        else:
+            from open_finance_lakehouse_ray.pipelines.metrics import manifest_report
+
+            out["tables"] = {
+                t: manifest_report(reg.table_root(t)) for t in reg.tables
+            }
     elif args.cmd == "report":
         from open_finance_lakehouse_ray.pipelines.metrics import manifest_report
 

@@ -50,7 +50,24 @@ def ingest_dataset(
         batch_size=None,
         batch_format="pyarrow",
     )
-    entries = meta_rows_to_entries(meta.take_all())
+    try:
+        entries = meta_rows_to_entries(meta.take_all())
+    except Exception as e:  # unwrap a contract breach from Ray's task-error
+        from open_finance_lakehouse_ray.stages.validate import ContractViolation
+
+        if isinstance(e, ContractViolation):
+            raise
+        # Ray Data wraps user exceptions (RayTaskError -> UserCodeException)
+        # and keeps the original only in the rendered traceback — surface
+        # the breach as the typed error callers gate on
+        msg = str(e)
+        if "ContractViolation" in msg:
+            reason = next(
+                (ln.strip() for ln in msg.splitlines() if "ContractViolation" in ln),
+                "contract violation",
+            )
+            raise ContractViolation(reason) from e
+        raise
 
     removed: set[str] = set()
     base_version = log.current_version()

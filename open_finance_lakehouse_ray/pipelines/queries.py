@@ -1715,15 +1715,45 @@ Q_EMB_NEAR_DUP_SQL = """
 """
 
 
+def q_mart_pricing_lifecycle(sf_dir: str) -> pa.Table:
+    """Persisted-mart lifecycle through the gate: compute the pricing
+    summary, publish it check-gated into a transaction-logged mart table
+    (``build_mart``: compute → per-mart checks → overwrite commit with
+    lineage), then read the PUBLISHED mart back — the scan of the mart,
+    not the in-memory result, must equal the oracle."""
+    import shutil
+
+    from open_finance_lakehouse_ray.pipelines.marts import build_mart, read_mart
+
+    root = _scratch_root("mart")
+    try:
+        build_mart(
+            root,
+            q_li_pricing_summary(sf_dir),
+            name="pricing",
+            job_id="mart-pricing",
+            checks=("non_empty", "unique:l_returnflag,l_linestatus"),
+            lineage={"query": "li_pricing_summary", "source": sf_dir},
+        )
+        out = read_mart(root).to_pandas().sort_values(
+            ["l_returnflag", "l_linestatus"]
+        )
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES.update(
     {
         "doc_dedup_exact": q_doc_dedup_exact,
         "emb_near_dup": q_emb_near_dup,
+        "mart_pricing_lifecycle": q_mart_pricing_lifecycle,
     }
 )
 ORACLES.update(
     {
         "doc_dedup_exact": Q_DOC_DEDUP_SQL,
         "emb_near_dup": Q_EMB_NEAR_DUP_SQL,
+        "mart_pricing_lifecycle": Q_LI_PRICING_SQL,
     }
 )

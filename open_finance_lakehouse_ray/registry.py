@@ -1,0 +1,191 @@
+"""Declarative table / mart / contract registry — one YAML drives the engine.
+
+The reference's whole extension surface is a single YAML registry
+(``/root/reference/sources/registry.yml``) dispatched by handler name
+(``ofl/ingestion/__init__.py:25-36``): adding a series, its schedule, its
+contract and its marts is a config change. Same surface here:
+
+.. code-block:: yaml
+
+    base: /data/lake                # "{base}" substitutes into roots
+    tables:
+      transcripts:
+        root: "{base}/transcripts"
+        contract: transcript        # name under contracts:, or builtin
+        maintenance:                # knobs forwarded to maintain()
+          target_bytes: 100663296
+          curve: morton
+          recluster_overlap_threshold: 0.2
+          retain_hours: 168
+          keep_last: 1
+        checks: [unique_keys, manifest_stats]
+    marts:
+      daily_ohlc:
+        root: "{base}/marts/daily_ohlc"
+        query: ev_ohlc_daily_rollup   # a pipelines.queries.QUERIES name
+        checks: ["non_empty", "unique:event_type,day"]
+    contracts:
+      events:
+        columns: {event_id: int64, ts: "timestamp[us]", value: double}
+        required_non_null: [event_id, ts]
+
+``maintain_table`` / ``build_registry_marts`` consume it; the CLI's
+``registry`` subcommand is the thin driver. Adding a table or a mart is a
+YAML-only change (covered by ``tests/test_registry.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+from open_finance_lakehouse_ray.stages.contracts import TableContract
+
+TABLE_CHECKS = {
+    "unique_keys": "check_unique_keys",
+    "manifest_stats": "check_manifest_stats",
+    "turn_contiguity": "check_turn_contiguity",
+}
+
+
+@dataclass(frozen=True)
+class Registry:
+    tables: dict[str, dict[str, Any]] = field(default_factory=dict)
+    marts: dict[str, dict[str, Any]] = field(default_factory=dict)
+    contracts: dict[str, TableContract] = field(default_factory=dict)
+
+    def table_root(self, name: str) -> str:
+        return self.tables[name]["root"]
+
+    def contract_for(self, table: str) -> TableContract | None:
+        cname = self.tables[table].get("contract")
+        if cname is None or cname == "builtin":
+            return None
+        return self.contracts[cname]
+
+
+def load_registry(path: str, *, base: str | None = None) -> Registry:
+    """Parse the YAML registry; ``{base}`` in roots substitutes from the
+    ``base:`` key (or the override argument)."""
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    base = base or doc.get("base") or os.path.dirname(os.path.abspath(path))
+
+    def sub(root: str) -> str:
+        return root.replace("{base}", base)
+
+    tables = {}
+    for name, cfg in (doc.get("tables") or {}).items():
+        cfg = dict(cfg or {})
+        cfg["root"] = sub(cfg["root"])
+        tables[name] = cfg
+    marts = {}
+    for name, cfg in (doc.get("marts") or {}).items():
+        cfg = dict(cfg or {})
+        cfg["root"] = sub(cfg["root"])
+        marts[name] = cfg
+    contracts = {
+        name: TableContract.from_dict(name, d)
+        for name, d in (doc.get("contracts") or {}).items()
+    }
+    return Registry(tables=tables, marts=marts, contracts=contracts)
+
+
+def _check_suite(names: list[str] | None) -> dict | None:
+    if not names:
+        return None
+    from open_finance_lakehouse_ray.pipelines import checks as checks_mod
+
+    suite = {}
+    for n in names:
+        try:
+            suite[n] = getattr(checks_mod, TABLE_CHECKS[n])
+        except KeyError:
+            raise ValueError(f"unknown table check {n!r}") from None
+    return suite
+
+
+def maintain_table(reg: Registry, table: str, *, job_id: str) -> dict[str, Any]:
+    """Run maintain() on one registered table with its YAML knobs and its
+    named check suite (the per-table config of §2.10)."""
+    from open_finance_lakehouse_ray.pipelines.checks import run_checks
+    from open_finance_lakehouse_ray.pipelines.maintain import maintain
+
+    cfg = reg.tables[table]
+    m = cfg.get("maintenance") or {}
+    suite = _check_suite(cfg.get("checks"))
+    out = maintain(
+        cfg["root"],
+        job_id=job_id,
+        target_bytes=int(m.get("target_bytes", 96 * 1024 * 1024)),
+        curve=m.get("curve", "morton"),
+        recluster_overlap_threshold=float(
+            m.get("recluster_overlap_threshold", 0.2)
+        ),
+        retain_seconds=float(m.get("retain_hours", 168.0)) * 3600.0,
+        keep_last=int(m.get("keep_last", 1)),
+        with_checks=suite is None,  # default suite inside maintain()
+    )
+    if suite is not None:
+        out["checks"] = run_checks(cfg["root"], checks=suite)
+    return out
+
+
+def ingest_table(
+    reg: Registry, table: str, source, *, job_id: str, mode: str = "append",
+    keys_unique: bool | None = None,
+) -> Any:
+    """Land a Dataset into a registered table, enforcing its declared
+    contract (a declarative contract replaces the builtin transcript
+    validator when the YAML names one)."""
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.stages.contracts import make_contract_validator
+
+    cfg = reg.tables[table]
+    contract = reg.contract_for(table)
+    validate = True
+    if contract is not None:
+        source = source.map_batches(
+            make_contract_validator(contract), batch_format="pyarrow"
+        )
+        validate = False
+    summary = {}
+    if keys_unique is not None:
+        summary["keys_unique"] = keys_unique
+    return ingest_dataset(
+        source, cfg["root"], job_id=job_id, mode=mode, validate=validate,
+        sort_within_files=tuple(cfg.get("sort_by", ("conv_id", "turn_idx"))),
+        summary=summary,
+    )
+
+
+def build_registry_marts(
+    reg: Registry,
+    sf_dir: str,
+    *,
+    job_prefix: str,
+    names: list[str] | None = None,
+) -> dict[str, Any]:
+    """Build every registered mart (or the named subset) from the query
+    registry, check-gated, with per-mart lineage."""
+    from open_finance_lakehouse_ray.pipelines.marts import build_mart
+    from open_finance_lakehouse_ray.pipelines.queries import QUERIES
+
+    out: dict[str, Any] = {}
+    for name in names or list(reg.marts):
+        cfg = reg.marts[name]
+        result = QUERIES[cfg["query"]](sf_dir)
+        snap = build_mart(
+            cfg["root"],
+            result,
+            name=name,
+            job_id=f"{job_prefix}/{name}",
+            checks=tuple(cfg.get("checks") or ("non_empty",)),
+            sort_by=tuple(cfg.get("sort_by") or ()),
+            lineage={"query": cfg["query"], "source": sf_dir},
+        )
+        out[name] = snap.version
+    return out

@@ -1,0 +1,198 @@
+"""Registry-driven tables/marts/contracts: adding a table or mart is a
+YAML-only change; a failing mart check withholds publication and the
+previous mart version remains readable."""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import pyarrow as pa
+import pytest
+
+from open_finance_lakehouse_ray.pipelines.checks import CheckError
+from open_finance_lakehouse_ray.pipelines.marts import build_mart, read_mart
+from open_finance_lakehouse_ray.registry import (
+    build_registry_marts,
+    ingest_table,
+    load_registry,
+    maintain_table,
+)
+from open_finance_lakehouse_ray.sources.transcripts import build_transcripts
+from open_finance_lakehouse_ray.state import TableLog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def registry_file(tmp_path):
+    path = tmp_path / "registry.yml"
+    path.write_text(textwrap.dedent(f"""
+        base: {tmp_path}
+        tables:
+          transcripts_a:
+            root: "{{base}}/ta"
+            contract: builtin
+            maintenance: {{target_bytes: 8388608, keep_last: 1}}
+            checks: [unique_keys, manifest_stats]
+          transcripts_b:
+            root: "{{base}}/tb"
+            contract: builtin
+            maintenance: {{target_bytes: 4194304}}
+            checks: [manifest_stats]
+          events:
+            root: "{{base}}/ev"
+            contract: events
+            sort_by: []
+        marts:
+          pricing:
+            root: "{{base}}/marts/pricing"
+            query: li_pricing_summary
+            checks: ["non_empty", "min_rows:2"]
+        contracts:
+          events:
+            columns:
+              event_id: int64
+              ts: "timestamp[us]"
+              value: double
+            required_non_null: [event_id]
+            bounds:
+              value: [0, 1000000]
+    """))
+    return str(path)
+
+
+def _land(reg, table, seed, ray_session):
+    import ray.data as rd
+
+    tab = build_transcripts(seed=seed, n_convs=30)
+    ingest_table(
+        reg, table, rd.from_arrow(tab).repartition(8),
+        job_id=f"land-{table}", keys_unique=True,
+    )
+    return tab
+
+
+def test_registry_maintenance_two_tables(ray_session, registry_file):
+    """Two tables maintained purely from YAML config — adding the second
+    was a YAML-only change (no code)."""
+    reg = load_registry(registry_file)
+    _land(reg, "transcripts_a", 31, ray_session)
+    _land(reg, "transcripts_b", 32, ray_session)
+    out_a = maintain_table(reg, "transcripts_a", job_id="m-a")
+    out_b = maintain_table(reg, "transcripts_b", job_id="m-b")
+    assert out_a["checks"]["unique_keys"] == 0
+    assert "unique_keys" not in out_b["checks"]  # per-table suite differs
+    assert TableLog(reg.table_root("transcripts_a")).snapshot().version >= 2
+
+
+def test_registry_contract_enforced(ray_session, registry_file):
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.stages.validate import ContractViolation
+
+    reg = load_registry(registry_file)
+    good = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([1, 2], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0]),
+        "extra": ["x", "y"],  # dropped by conform
+    })
+    ingest_table(reg, "events", rd.from_arrow(good), job_id="ev-good")
+    got = read_mart(reg.table_root("events"))
+    assert got.column_names == ["event_id", "ts", "value"]
+
+    bad = pa.table({
+        "event_id": pa.array([3], pa.int64()),
+        "ts": pa.array([3], pa.timestamp("us")),
+        "value": pa.array([2_000_000.0]),  # above bound
+    })
+    with pytest.raises(ContractViolation):
+        ingest_table(reg, "events", rd.from_arrow(bad), job_id="ev-bad")
+    # failed ingest published nothing
+    assert read_mart(reg.table_root("events")).num_rows == 2
+
+
+def test_registry_marts_build_and_lineage(ray_session, registry_file):
+    reg = load_registry(registry_file)
+    out = build_registry_marts(reg, SF, job_prefix="mb")
+    assert out["pricing"] == 1
+    root = reg.marts["pricing"]["root"]
+    snap = TableLog(root).snapshot()
+    assert snap.summary["mart"] == "pricing"
+    assert snap.summary["lineage"]["query"] == "li_pricing_summary"
+    assert read_mart(root).num_rows >= 2
+
+
+def test_failing_mart_check_withholds_publication(ray_session, tmp_path):
+    root = str(tmp_path / "mart")
+    v1 = pa.table({"k": [1, 2], "v": [10.0, 20.0]})
+    snap1 = build_mart(root, v1, name="m", job_id="b1",
+                       checks=("non_empty", "unique:k"))
+    assert snap1.version == 1
+
+    # candidate with duplicate keys: must NOT be published
+    v2 = pa.table({"k": [1, 1], "v": [1.0, 2.0]})
+    with pytest.raises(CheckError):
+        build_mart(root, v2, name="m", job_id="b2",
+                   checks=("non_empty", "unique:k"))
+    log = TableLog(root)
+    assert log.current_version() == 1  # previous version still the head
+    assert read_mart(root)["v"].to_pylist() == [10.0, 20.0]
+
+    # a passing rebuild publishes v2 as an overwrite
+    v3 = pa.table({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    snap3 = build_mart(root, v3, name="m", job_id="b3",
+                       checks=("non_empty", "unique:k"))
+    assert snap3.version == 2
+    assert read_mart(root).num_rows == 3
+    # time travel back to the first build
+    assert read_mart(root, version=1).num_rows == 2
+
+
+def test_mart_check_parsers():
+    from open_finance_lakehouse_ray.pipelines.marts import parse_check
+
+    t = pa.table({"a": [1, 2, 2], "b": [0.5, 1.5, 9.9]})
+    assert parse_check("non_empty")(t).num_rows == 0
+    assert parse_check("min_rows:4")(t).num_rows == 1
+    assert parse_check("unique:a")(t).num_rows == 1
+    assert parse_check("no_nulls:a,b")(t).num_rows == 0
+    assert parse_check("in_range:b,0,10")(t).num_rows == 0
+    assert parse_check("in_range:b,0,5")(t).num_rows == 1
+    with pytest.raises(ValueError):
+        parse_check("bogus")
+
+
+def test_export_table_roundtrip(ray_session, tmp_path):
+    """Gold export: stable part names, complete-last manifest, resumable
+    re-export, and a DuckDB read of the export equals the source scan."""
+    import duckdb
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.export import (
+        export_table,
+        read_export_manifest,
+    )
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+
+    root = str(tmp_path / "src")
+    dest = str(tmp_path / "out")
+    tab = build_transcripts(seed=41, n_convs=20)
+    ingest_dataset(rd.from_arrow(tab).repartition(4), root, job_id="i",
+                   summary={"keys_unique": True})
+
+    m1 = export_table(root, dest)
+    assert m1["status"] == "complete"
+    assert all(f["status"] == "exported" for f in m1["files"])
+    assert read_export_manifest(dest)["snapshot_version"] == 1
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT COUNT(*) FROM read_parquet($1)", [os.path.join(dest, "part-*.parquet")]
+    ).fetchone()[0]
+    assert n == tab.num_rows
+
+    # re-export: everything skips (resumable)
+    m2 = export_table(root, dest)
+    assert all(f["status"] == "skipped" for f in m2["files"])
