@@ -10,9 +10,10 @@ here (or in the library code these callables use) calls ``ray.init`` /
   post-maintenance scan.
 - ``queries()`` — one callable per implemented operator/pipeline from
   SURVEY.md §2 (see ``open_finance_lakehouse_ray/pipelines/queries.py``).
-- ``oracle_sql()`` — matching DuckDB SQL per query (same column names);
-  omitted only for genuinely non-SQL-expressible ops (language-ID
-  heuristic, SimHash bit arithmetic), which get rows-only checks.
+- ``oracle_sql()`` — matching DuckDB SQL per query (same column names).
+  As of round 2 EVERY query is oracle-paired: the language-ID vote is a
+  CASE over summed regexp counts, and SimHash signatures are rebuilt in
+  SQL bit arithmetic from DuckDB's own ``hash()``.
 """
 
 from __future__ import annotations

@@ -58,7 +58,9 @@ def main(argv: list[str] | None = None) -> int:
     add("ingest", **{"--source": {"required": True},
                      "--mode": {"default": "append", "choices": ["append", "overwrite"]}})
     add("compact", **{"--target-bytes": {"type": int, "default": 96 * 1024 * 1024}})
-    add("zorder", **{"--curve": {"default": "morton", "choices": ["morton", "hilbert"]}})
+    add("zorder", **{"--curve": {"default": "morton", "choices": ["morton", "hilbert"]},
+                     "--strategy": {"default": "sort", "choices": ["sort", "ranged"],
+                                    "help": "ranged = durable per-range-resumable shuffle"}})
     add("merge", **{"--updates": {"required": True},
                     "--strategy": {"default": "auto",
                                    "choices": ["auto", "broadcast", "shuffle"]}})
@@ -113,9 +115,10 @@ def main(argv: list[str] | None = None) -> int:
         snap = compact(args.root, job_id=job_id, target_bytes=args.target_bytes)
         out["snapshot"] = None if snap is None else snap.version
     elif args.cmd == "zorder":
-        from open_finance_lakehouse_ray.pipelines.zorder import zorder
+        from open_finance_lakehouse_ray.pipelines.zorder import zorder, zorder_ranged
 
-        snap = zorder(args.root, job_id=job_id, curve=args.curve)
+        fn = zorder_ranged if args.strategy == "ranged" else zorder
+        snap = fn(args.root, job_id=job_id, curve=args.curve)
         out["snapshot"] = None if snap is None else snap.version
     elif args.cmd == "merge":
         import ray.data as rd

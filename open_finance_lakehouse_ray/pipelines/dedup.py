@@ -141,10 +141,12 @@ def minhash_near_dup_pairs(
         )
         return band_rows(ids, sigs, bands=bands)
 
+    # materialize the (id, text) projection ONCE: it feeds the signature
+    # stage AND the verify stage (no second read of the source)
     texts = docs.select_columns([id_col, text_col]).materialize()
     small = (texts.size_bytes() or 0) <= broadcast_max_bytes
 
-    buckets = docs.map_batches(sig_stage, batch_format="pyarrow")
+    buckets = texts.map_batches(sig_stage, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
@@ -160,20 +162,26 @@ def minhash_near_dup_pairs(
     )
 
     if small:
-        # fast path: one object-store copy of the texts, read per task;
-        # candidate dedup in the verify collect (candidates ~ output here)
+        # fast path (size-guarded): candidates collapse to one verify
+        # block and the texts ship as ONE object-store dict — zero extra
+        # shuffles; the whole set is bounded by the guard
         @ray.remote
         def _texts_dict(refs):
             t = pa.concat_tables([x for x in ray.get(list(refs)) if x.num_rows])
             return dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
 
         texts_ref = _texts_dict.remote(texts.to_arrow_refs())
+        cand_df = cand.to_pandas()
+        if len(cand_df) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        cand_df = cand_df.drop_duplicates(["id_a", "id_b"])
 
         def verify_small(batch: pa.Table) -> pa.Table:
             lookup = ray.get(texts_ref)
-            df = batch.to_pandas().drop_duplicates(["id_a", "id_b"])
-            ia = df["id_a"].tolist()
-            ib = df["id_b"].tolist()
+            ia = batch["id_a"].to_pylist()
+            ib = batch["id_b"].to_pylist()
             j = [exact_jaccard(lookup[a], lookup[b], k=shingle_k)
                  for a, b in zip(ia, ib)]
             out = pa.table({"id_a": pa.array(ia, pa.int64()),
@@ -184,11 +192,10 @@ def minhash_near_dup_pairs(
             return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
         verified = (
-            cand.map_batches(verify_small, batch_format="pyarrow")
+            rd.from_arrow(pa.Table.from_pandas(cand_df, preserve_index=False))
+            .map_batches(verify_small, batch_format="pyarrow", batch_size=8192)
             .to_pandas()
         )
-        if "id_a" in verified.columns:
-            verified = verified.drop_duplicates(["id_a", "id_b"])
     else:
         # scale path: distributed pair dedup + bucketed text joins
         def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:

@@ -55,6 +55,9 @@ def brute_force_topk(
     cand = emb.map_batches(stage, batch_format="pyarrow").to_pandas()
     if exclude_self:
         cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    # quantize before ranking: BLAS low bits vary with batch shape (see
+    # ivf_topk) — keep the top-k order batch-partitioning-invariant
+    cand["cosine"] = cand["cosine"].round(12)
     cand = cand.sort_values(
         ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
     )
@@ -127,6 +130,10 @@ def lsh_bucketed_topk(
                          "neighbor_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
+    # BLAS matmul low bits depend on batch SHAPE, and Ray may split blocks
+    # differently run to run — quantize before ranking (with neighbor_id as
+    # the tie-break) so the top-k order is batch-partitioning-invariant
+    cand["cosine"] = cand["cosine"].round(12)
     cand = cand.sort_values(
         ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
     )
@@ -207,6 +214,10 @@ def ivf_topk(
                          "neighbor_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
+    # BLAS matmul low bits depend on batch SHAPE, and Ray may split blocks
+    # differently run to run — quantize before ranking (with neighbor_id as
+    # the tie-break) so the top-k order is batch-partitioning-invariant
+    cand["cosine"] = cand["cosine"].round(12)
     cand = cand.sort_values(
         ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
     )

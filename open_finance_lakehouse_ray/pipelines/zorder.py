@@ -168,18 +168,18 @@ def zorder(
         make_zkey_stage(ts_lo, ts_hi, curve, conv_boundaries=boundaries),
         batch_format="pyarrow",
     )
-    # coarsen block count ahead of the sort: the all-to-all exchange costs
-    # O(blocks^2) object transfers — fewer, larger partitions beat many
-    # tiny ones. Derived from TABLE SIZE (manifest bytes + rows), never from
-    # cluster CPUs, so the physical plan is identical at every parallelism
-    # level (the scaling-benchmark invariant) and block memory stays bounded
-    # (~16 MB compressed ≈ 150-200 MB decompressed for text-heavy tables)
+    # one sorted block = one output file, so the block count serves two
+    # masters: (a) sort-exchange overhead wants FEW large blocks, (b) scan
+    # and MERGE pruning want MANY — a contiguous z-slice covers a conv
+    # extent ~ (1/n)^(1/3) (Morton is a cube fill), so fewer files means
+    # wider per-file conv ranges and fatter rewrite sets. Floor at 64
+    # (tight conv stats even for small tables), grow toward ~96 MB files
+    # with TABLE BYTES — never cluster CPUs, so the physical plan is
+    # identical at every parallelism level (the scaling-bench invariant).
+    # Past ~8192 blocks the in-memory sort's O(blocks²) exchange dominates:
+    # that scale belongs to zorder_ranged's durable range shuffle.
     total_bytes = sum(e.bytes for e in entries)
-    total_rows = sum(e.rows for e in entries)
-    nblocks = int(np.clip(
-        max(total_bytes // (16 * 1024 * 1024), total_rows // (512 * 1024)),
-        16, 8192,
-    ))
+    nblocks = int(np.clip(total_bytes // (96 * 1024 * 1024), 64, 8192))
     ds = ds.repartition(nblocks)
     ds = ds.sort(ZKEY)
     if target_rows_per_file:

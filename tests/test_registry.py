@@ -196,3 +196,37 @@ def test_export_table_roundtrip(ray_session, tmp_path):
     # re-export: everything skips (resumable)
     m2 = export_table(root, dest)
     assert all(f["status"] == "skipped" for f in m2["files"])
+
+
+def test_resilient_read_skips_bad_files(ray_session, tmp_path):
+    """S8 retry/skip-not-fail: corrupt + missing files are retried then
+    routed to the skip report; readable files land normally; on_error=fail
+    raises after retries."""
+    import pyarrow.parquet as pq
+    import ray.data as rd  # noqa: F401
+
+    from open_finance_lakehouse_ray.sources.resilient import read_parquet_resilient
+
+    good1 = str(tmp_path / "g1.parquet")
+    good2 = str(tmp_path / "g2.parquet")
+    corrupt = str(tmp_path / "bad.parquet")
+    missing = str(tmp_path / "gone.parquet")
+    pq.write_table(pa.table({"x": [1, 2]}), good1)
+    pq.write_table(pa.table({"x": [3]}), good2)
+    with open(corrupt, "wb") as f:
+        f.write(b"not a parquet file")
+
+    rr = read_parquet_resilient(
+        [good1, corrupt, good2, missing], max_retries=1, backoff_s=0.01
+    )
+    assert sorted(rr.dataset.to_pandas()["x"].tolist()) == [1, 2, 3]
+    rep = rr.report().to_pandas()
+    assert sorted(os.path.basename(p) for p in rep["path"]) == [
+        "bad.parquet", "gone.parquet"
+    ]
+    assert (rep["attempts"] == 2).all()
+
+    with pytest.raises(IOError):
+        read_parquet_resilient(
+            [good1, corrupt], max_retries=0, on_error="fail"
+        )
