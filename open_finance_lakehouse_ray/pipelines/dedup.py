@@ -561,3 +561,45 @@ def _embedding_near_dup_brute(
                          "cosine": pa.array([], pa.float64())})
     out = out.sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# ------------------------------------------------- dedup clusters
+
+def dedup_clusters(pairs: pa.Table) -> pa.Table:
+    """Connected components over near-dup pairs → (doc_id, canonical_id)
+    with canonical = the component's min id — the final step of a
+    training-data dedup: every document in a cluster maps to one keeper.
+
+    Union-find here runs over the PAIR set, which is output-scale (the
+    near-dup graph), not corpus-scale — appropriate on one node up to
+    hundreds of millions of edges. Beyond that, the same result is
+    iterated min-label propagation: seed label=doc_id, repeat
+    ``join(labels, edges) → groupby(node).min(label)`` until fixpoint
+    (O(diameter) rounds of the bucketed join operator).
+    """
+    ia = pairs["id_a"].to_pylist()
+    ib = pairs["id_b"].to_pylist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(ia, ib):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the canonical id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    nodes = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "canonical_id": pa.array([find(n) for n in nodes], pa.int64()),
+        }
+    )

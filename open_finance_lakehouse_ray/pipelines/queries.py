@@ -1715,6 +1715,152 @@ Q_EMB_NEAR_DUP_SQL = """
 """
 
 
+def q_doc_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTERS: MinHash pairs → connected components → every
+    clustered doc mapped to its canonical (min-id) keeper — the final
+    collapse step of a training-data dedup pipeline."""
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        dedup_clusters,
+        minhash_near_dup_pairs,
+    )
+
+    pairs = minhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+    return dedup_clusters(pairs)
+
+
+# connected components in SQL: bidirectional edges + recursive reachability,
+# then MIN over everything reachable = the component's canonical id
+Q_DOC_CLUSTERS_SQL = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') w FROM documents
+    ),
+    sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in range(1, len(w) - 1)]) s
+           FROM toks),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS canonical_id
+    FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def q_ord_top_spenders(sf_dir: str) -> pa.Table:
+    """Distributed top-k OVER an aggregate: total order value per customer
+    (map-side partial sums → hash-bucketed exact sums → per-bucket local
+    top-k → tiny k-sized final merge on the driver). §2.6 top-k at scale:
+    only num_buckets × k candidate rows ever leave the shuffle."""
+    k = 10
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("o_custkey").agg(s=("o_totalprice", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64) % 32
+        return t.append_column("_b", pa.array(b))
+
+    def per_bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby("o_custkey").agg(s=("s", "sum")).reset_index()
+        return full.sort_values(
+            ["s", "o_custkey"], ascending=[False, True]
+        ).head(k)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    top = cand.sort_values(["s", "o_custkey"], ascending=[False, True]).head(k)
+    out = pd.DataFrame(
+        {
+            "o_custkey": top["o_custkey"].astype("int64"),
+            "total_spent": _round_half_away(top["s"], 2),
+        }
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_ORD_TOP_SPENDERS_SQL = """
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+    FROM orders GROUP BY o_custkey
+    ORDER BY SUM(o_totalprice) DESC, o_custkey LIMIT 10
+"""
+
+
+def q_cust_urgent_segments(sf_dir: str) -> pa.Table:
+    """SEMI-join through the first-class operator: customers with at
+    least one URGENT-priority order, counted per market segment (EXISTS
+    semantics — each customer counts once no matter how many urgent
+    orders). Exercises the join operator's semi/anti path in the gate."""
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    urgent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        # vectorized Arrow filter (never a per-row Python predicate)
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    hits = join(
+        cust, urgent, on="c_custkey", right_on="o_custkey", how="semi",
+        strategy="shuffle",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "c_mktsegment" not in t.column_names:  # schemaless empty block
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        g = df.groupby("c_mktsegment").size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = hits.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("c_mktsegment", sort=True).agg(n=("n", "sum")).reset_index()
+    )
+    out["n_customers"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["c_mktsegment", "n_customers"]], preserve_index=False
+    )
+
+
+Q_CUST_URGENT_SQL = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q_mart_pricing_lifecycle(sf_dir: str) -> pa.Table:
     """Persisted-mart lifecycle through the gate: compute the pricing
     summary, publish it check-gated into a transaction-logged mart table
@@ -1748,6 +1894,9 @@ QUERIES.update(
         "doc_dedup_exact": q_doc_dedup_exact,
         "emb_near_dup": q_emb_near_dup,
         "mart_pricing_lifecycle": q_mart_pricing_lifecycle,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
+        "ord_top_spenders": q_ord_top_spenders,
+        "cust_urgent_segments": q_cust_urgent_segments,
     }
 )
 ORACLES.update(
@@ -1755,5 +1904,8 @@ ORACLES.update(
         "doc_dedup_exact": Q_DOC_DEDUP_SQL,
         "emb_near_dup": Q_EMB_NEAR_DUP_SQL,
         "mart_pricing_lifecycle": Q_LI_PRICING_SQL,
+        "doc_dedup_clusters": Q_DOC_CLUSTERS_SQL,
+        "ord_top_spenders": Q_ORD_TOP_SPENDERS_SQL,
+        "cust_urgent_segments": Q_CUST_URGENT_SQL,
     }
 )

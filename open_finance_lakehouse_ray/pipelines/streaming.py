@@ -69,13 +69,13 @@ class StreamCheckpoint:
         )
 
 
-def _merge_bar(bar: dict | None, g: pd.DataFrame) -> dict:
-    """Fold a (sorted) slice of one window's rows into its partial bar —
+def _bar_from_group(g: pd.DataFrame) -> dict:
+    """Partial bar from a (sorted) slice of one window's rows —
     deterministic open/close via (ts, event_id) min/max keys (never
     ``first()`` on undefined order, ``ofl/streaming/silver.py:39-44``)."""
     first = g.iloc[0]
     last = g.iloc[-1]
-    upd = {
+    return {
         "open": float(first["value"]),
         "close": float(last["value"]),
         "high": float(g["value"].max()),
@@ -85,8 +85,14 @@ def _merge_bar(bar: dict | None, g: pd.DataFrame) -> dict:
         "_first_key": [int(first["ts_us"]), int(first["event_id"])],
         "_last_key": [int(last["ts_us"]), int(last["event_id"])],
     }
+
+
+def _combine_bars(bar: dict | None, upd: dict) -> dict:
+    """Associative, commutative partial-bar combine — the property that
+    lets window folds run as a distributed ``map_groups`` with only tiny
+    partial bars returning to the state holder."""
     if bar is None:
-        return upd
+        return dict(upd)
     out = dict(bar)
     if upd["_first_key"] < bar["_first_key"]:
         out["open"], out["_first_key"] = upd["open"], upd["_first_key"]
@@ -97,6 +103,10 @@ def _merge_bar(bar: dict | None, g: pd.DataFrame) -> dict:
     out["volume"] = bar["volume"] + upd["volume"]
     out["n_events"] = bar["n_events"] + upd["n_events"]
     return out
+
+
+def _merge_bar(bar: dict | None, g: pd.DataFrame) -> dict:
+    return _combine_bars(bar, _bar_from_group(g))
 
 
 class StreamProcessor:
@@ -113,6 +123,7 @@ class StreamProcessor:
         window_us: int = 60_000_000,
         delay_us: int = 120_000_000,
         max_files_per_trigger: int = 64,
+        distributed: bool = False,
     ):
         self.source_dir = source_dir
         self.bronze = TableLog(bronze_root)
@@ -125,6 +136,14 @@ class StreamProcessor:
         self.window_us = window_us
         self.delay_us = delay_us
         self.max_files = max_files_per_trigger
+        # distributed=True runs each micro-batch's ROW work (parse, tag,
+        # late-filter, dedup, window partials) as Ray Data stages; only the
+        # watermark-BOUNDED state (seen keys, open windows, metrics) lives
+        # in the checkpoint. Semantics are identical to the single-process
+        # mirror (pinned by tests/test_streaming_lane.py + the equivalence
+        # test) — the fold is associative (_combine_bars) and the dedup
+        # first-wins order is (ts_us, event_id), batch-order-free.
+        self.distributed = distributed
 
     # ------------------------------------------------------------------
 
@@ -149,6 +168,8 @@ class StreamProcessor:
     # ------------------------------------------------------------------
 
     def _process_batch(self, state: dict[str, Any], files: list[str]) -> None:
+        if self.distributed:
+            return self._process_batch_distributed(state, files)
         batch_id = state["batch_id"]
         tables = [
             pq.read_table(os.path.join(self.source_dir, f)) for f in files
@@ -234,6 +255,194 @@ class StreamProcessor:
         state["batch_id"] = batch_id + 1
         state["max_event_us"] = wm.max_event_us
         self.ckpt.save(state)
+
+    def _process_batch_distributed(self, state: dict[str, Any], files: list[str]) -> None:
+        """Ray-Data micro-batch: the same pipeline as the single-process
+        mirror, with every O(rows) step a distributed stage and only
+        O(bounded-state) results returning to the driver."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import ray
+        import ray.data as rd
+
+        batch_id = state["batch_id"]
+        paths = [os.path.join(self.source_dir, f) for f in files]
+        ds = rd.read_parquet(paths)
+
+        def enrich(t: pa.Table) -> pa.Table:
+            t = t.append_column("ts_us", t["ts"].cast(pa.int64()))
+            key = pc.binary_join_element_wise(
+                pc.cast(t["event_type"], pa.string()), ":",
+                pc.cast(t["event_id"], pa.string()), "",
+            )
+            return t.append_column("event_key", key)
+
+        ds = ds.map_batches(enrich, batch_format="pyarrow").materialize()
+
+        # --- bronze: validity tag + dead-letter split (distributed writes) ---
+        def split(valid: bool):
+            def _f(t: pa.Table) -> pa.Table:
+                mask = pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["ts"]))
+                t2 = t.filter(mask if valid else pc.invert(mask))
+                t2 = t2.drop_columns(["ts_us", "event_key"])
+                if not valid and t2.num_rows:
+                    t2 = t2.append_column(
+                        "_reason",
+                        pa.array(["missing_required_fields:value_or_ts"] * t2.num_rows),
+                    )
+                return t2
+            return _f
+
+        rows_in = ds.count()
+        state["metrics"]["rows_in"] += rows_in
+        dead_ds = ds.map_batches(split(False), batch_format="pyarrow").materialize()
+        n_dead = 0
+        if dead_ds.count() > 0:  # mirror: no empty dead-letter commits
+            n_dead = self._append_ds(
+                self.dead, dead_ds, f"dead-{batch_id}", ("event_id",)
+            )
+        n_valid = self._append_ds(
+            self.bronze, ds.map_batches(split(True), batch_format="pyarrow"),
+            f"bronze-{batch_id}", ("event_id",),
+        )
+        state["metrics"]["rows_valid"] += n_valid if n_valid else rows_in - (n_dead or 0)
+
+        good = ds.map_batches(
+            lambda t: t.filter(pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["ts"]))),
+            batch_format="pyarrow",
+        )
+
+        # --- watermark (one-batch lag) ---
+        maxes = good.map_batches(
+            lambda t: pa.table({"m": [pc.max(t["ts_us"]).as_py()]}),
+            batch_format="pyarrow",
+        ).take_all()
+        batch_max = max((r["m"] for r in maxes if r["m"] is not None), default=None)
+        wm = WatermarkState(self.delay_us, state["max_event_us"])
+        wm.advance(batch_max)
+        watermark = wm.current
+
+        if watermark is not None:
+            before = good.count()
+            good = good.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t["ts_us"], pa.scalar(watermark, pa.int64()))
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            state["metrics"]["dropped_late"] += before - good.count()
+
+        # --- dedup: vs bounded state (broadcast) + within-batch first-wins ---
+        seen_ref = ray.put(set(state["seen_keys"]))
+
+        def drop_seen(t: pa.Table) -> pa.Table:
+            seen = ray.get(seen_ref)
+            keys = pd.Series(t["event_key"].to_numpy(zero_copy_only=False))
+            mask = pa.array((~keys.isin(seen)).to_numpy())  # C-impl membership
+            return t.filter(mask)
+
+        n_before = good.count()
+        fresh = good.map_batches(drop_seen, batch_format="pyarrow")
+
+        def bucket(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(
+                t["event_key"].to_numpy(zero_copy_only=False)
+            ) % np.uint64(32)
+            return t.append_column("_kb", pa.array(h.astype(np.int64)))
+
+        def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            return g.drop_duplicates("event_key", keep="first").drop(columns=["_kb"])
+
+        deduped = (
+            fresh.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_kb")
+            .map_groups(first_per_key, batch_format="pandas")
+            .materialize()
+        )
+        state["metrics"]["dropped_dup"] += n_before - deduped.count()
+        new_keys = deduped.select_columns(["event_key", "ts_us"]).take_all()
+        seen = state["seen_keys"]
+        for r in new_keys:
+            seen[r["event_key"]] = int(r["ts_us"])
+        if watermark is not None:
+            state["seen_keys"] = {k: t for k, t in seen.items() if t >= watermark}
+
+        # --- window partial folds (distributed), combine into state ---
+        window_us = self.window_us
+
+        def window_partials(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            bar = _bar_from_group(g)
+            return pd.DataFrame([{
+                "event_type": g["event_type"].iloc[0],
+                "wstart": int(g["wstart"].iloc[0]),
+                "bar_json": json.dumps(bar),
+            }])
+
+        def add_wstart(t: pa.Table) -> pa.Table:
+            ws = (t["ts_us"].to_numpy(zero_copy_only=False) // window_us) * window_us
+            return t.append_column("wstart", pa.array(ws.astype("int64")))
+
+        partials = (
+            deduped.map_batches(add_wstart, batch_format="pyarrow")
+            .groupby(["event_type", "wstart"])
+            .map_groups(window_partials, batch_format="pandas")
+            .take_all()
+        )
+        for row in partials:
+            key = f"{row['event_type']}|{row['wstart']}"
+            state["open_windows"][key] = _combine_bars(
+                state["open_windows"].get(key), json.loads(row["bar_json"])
+            )
+
+        # --- finalize + checkpoint: identical to the single-process path ---
+        emitted = []
+        for key in sorted(state["open_windows"]):
+            etype, ws = key.rsplit("|", 1)
+            wend = window_end(int(ws), self.window_us)
+            if watermark is not None and watermark >= wend:
+                bar = state["open_windows"].pop(key)
+                emitted.append({
+                    "event_type": etype,
+                    "window_start": int(ws),
+                    **{k: v for k, v in bar.items() if not k.startswith("_")},
+                })
+        if emitted:
+            bars = pd.DataFrame(emitted)
+            bars["window_start"] = pd.to_datetime(bars["window_start"], unit="us")
+            self._append(self.silver, bars, f"silver-{batch_id}",
+                         ("event_type", "window_start"))
+            state["metrics"]["bars_emitted"] += len(emitted)
+
+        state["processed"] = sorted(set(state["processed"]) | set(files))
+        state["batch_id"] = batch_id + 1
+        state["max_event_us"] = wm.max_event_us
+        self.ckpt.save(state)
+
+    def _append_ds(
+        self, log: TableLog, ds, job_id: str, sort_by: tuple[str, ...]
+    ) -> int | None:
+        """Idempotent DISTRIBUTED micro-batch append: per-block stats
+        writer + one commit under the batch's job id. Returns rows written
+        (None when the commit already existed — replayed batch)."""
+        existing = log.find_commit(job_id)
+        if existing is not None:
+            return None
+        from open_finance_lakehouse_ray.stages.writer import (
+            make_stats_writer,
+            meta_rows_to_entries,
+        )
+
+        meta = ds.map_batches(
+            make_stats_writer(log.root, stats_cols=(), sort_by=sort_by,
+                              prefix="stream"),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        entries = meta_rows_to_entries(meta.take_all())
+        log.commit(operation="stream-append", job_id=job_id, added=entries)
+        return sum(e.rows for e in entries)
 
     def _append(
         self, log: TableLog, df: pd.DataFrame, job_id: str, sort_by: tuple[str, ...]

@@ -167,3 +167,54 @@ def test_replayed_batch_is_log_level_noop(lane):
     proc.run_available_now()
     assert bronze.current_version() == v  # replay appended nothing
     assert sum(e.rows for e in bronze.files()) == rows_before
+
+
+def test_distributed_lane_matches_single_process(ray_session, tmp_path):
+    """distributed=True must produce the identical silver table, metrics
+    and checkpoint-visible state as the single-process semantics mirror on
+    the same source — only the execution is Ray-Data-distributed."""
+    src = tmp_path / "src2"
+    src.mkdir()
+    tabs = [
+        make_events([1, 2, 3], [0.1, 0.5, 1.2]),
+        make_events([4, 5, 2], [2.2, 3.4, 0.5]),     # dup id 2 + late-ish
+        make_events([6, 7], [5.5, 6.1], etype="view"),
+        make_events([8, 9], [8.0, 9.0], nulls=True),  # dead-letter rows
+        make_events([10], [12.0]),
+    ]
+    for i, t in enumerate(tabs):
+        pq.write_table(t, src / f"f{i:03d}.parquet")
+
+    results = {}
+    for mode, dist in (("single", False), ("dist", True)):
+        proc = StreamProcessor(
+            str(src),
+            str(tmp_path / f"bronze-{mode}"),
+            str(tmp_path / f"silver-{mode}"),
+            str(tmp_path / f"ckpt-{mode}"),
+            window_us=MIN,
+            delay_us=2 * MIN,
+            max_files_per_trigger=1,
+            distributed=dist,
+        )
+        metrics = proc.run_available_now()
+        log = TableLog(str(tmp_path / f"silver-{mode}"))
+        bars = (
+            pa.concat_tables([pq.read_table(p) for p in log.file_paths()])
+            .to_pandas()
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True)
+            if log.current_version() is not None
+            else pd.DataFrame()
+        )
+        state = proc.ckpt.load()
+        results[mode] = (metrics, bars, state["seen_keys"],
+                         state["open_windows"], state["max_event_us"])
+
+    m1, b1, k1, w1, wm1 = results["single"]
+    m2, b2, k2, w2, wm2 = results["dist"]
+    assert m1 == m2
+    pd.testing.assert_frame_equal(b1, b2)
+    assert k1 == k2
+    assert w1 == w2
+    assert wm1 == wm2
