@@ -167,7 +167,7 @@ def run_scaling() -> dict:
     """Fresh-process runs at two parallelism levels — the sandbox evidence
     for the north rule's N vs 4N cluster-scaling criterion."""
 
-    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
