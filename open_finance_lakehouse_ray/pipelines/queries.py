@@ -1861,6 +1861,132 @@ Q_CUST_URGENT_SQL = """
 """
 
 
+def q_emb_knn_ivf(sf_dir: str) -> pa.Table:
+    """IVF ANN driven to EXACTNESS: probing every list (n_probe = n_lists)
+    makes the inverted-file search scan the full corpus, so the result
+    must equal brute force — which makes the IVF machinery (sampled
+    k-means coarse quantizer, broadcast centroids, streaming probe)
+    hash-checkable against the exact SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from open_finance_lakehouse_ray.pipelines.similarity import ivf_topk
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 8)
+    queries = np.stack(qt["embedding"].to_pandas().to_numpy())
+    qids = qt["vec_id"].to_numpy()
+    out = ivf_topk(
+        _emb(sf_dir), queries, qids, k=3, n_lists=8, n_probe=8
+    ).to_pandas()
+    return pa.Table.from_pandas(
+        out[["query_id", "neighbor_id", "rank"]], preserve_index=False
+    )
+
+
+def q_ev_stream_ohlc(sf_dir: str) -> pa.Table:
+    """The STREAMING lane through the gate: the events table is replayed
+    as time-ordered micro-batch files through the distributed
+    bronze→silver processor (watermark, dedup, tumbling windows,
+    append-once finalize), and the PUBLISHED silver table is compared to
+    a pure-SQL recomputation. A far-future sentinel batch advances the
+    one-batch-lag watermark so every window with
+    ``end <= max(ts) - delay`` finalizes — exactly the SQL cutoff."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamProcessor
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    scratch = tempfile.mkdtemp(prefix="oflr-stream-")
+    try:
+        src = os.path.join(scratch, "src")
+        os.makedirs(src)
+        ev = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        ev = ev.append_column("props", pa.array(["{}"] * ev.num_rows))
+        ev = ev.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        n_files = 3
+        rows = ev.num_rows
+        step = (rows + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = ev.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(src, f"f{i:03d}.parquet"))
+        # sentinel: far-future single event advancing the watermark past
+        # every real window's end (its own window stays open forever)
+        max_us = pc.max(ev["ts"]).as_py()
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([10_000_000], pa.int64()),
+                "ts": pa.array(
+                    [max_us + pd.Timedelta(minutes=10)], pa.timestamp("us")
+                ),
+                "user_id": pa.array([0], pa.int64()),
+                "event_type": pa.array(["__sentinel"]),
+                "value": pa.array([0.0]),
+                "props": pa.array(["{}"]),
+            }
+        )
+        pq.write_table(sentinel, os.path.join(src, "f999.parquet"))
+
+        proc = StreamProcessor(
+            src,
+            os.path.join(scratch, "bronze"),
+            os.path.join(scratch, "silver"),
+            os.path.join(scratch, "ckpt"),
+            window_us=60_000_000,
+            delay_us=120_000_000,
+            max_files_per_trigger=1,
+            distributed=True,
+        )
+        proc.run_available_now()
+        log = TableLog(os.path.join(scratch, "silver"))
+        bars = (
+            pa.concat_tables([pq.read_table(p) for p in log.file_paths()])
+            .to_pandas()
+        )
+        bars = bars[bars["event_type"] != "__sentinel"]
+        bars["volume"] = _round_half_away(bars["volume"], 2)
+        bars["n_events"] = bars["n_events"].astype("int64")
+        bars = bars.sort_values(["event_type", "window_start"])
+        return pa.Table.from_pandas(
+            bars[["event_type", "window_start", "open", "high", "low",
+                  "close", "volume", "n_events"]].reset_index(drop=True),
+            preserve_index=False,
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# the streaming cutoff in SQL: a window is published iff its END is at or
+# before the final watermark = max event time - delay (one-batch lag is
+# satisfied by the sentinel batch)
+Q_EV_STREAM_OHLC_SQL = """
+    WITH w AS (
+        SELECT *, make_timestamp(epoch_us(ts) // 60000000 * 60000000) AS window_start,
+               row_number() OVER (PARTITION BY event_type,
+                   epoch_us(ts) // 60000000 ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type,
+                   epoch_us(ts) // 60000000 ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, window_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           ROUND(SUM(value), 2) AS volume,
+           COUNT(*) AS n_events
+    FROM w
+    GROUP BY event_type, window_start
+    HAVING epoch_us(MIN(window_start)) + 60000000 <=
+           (SELECT MAX(epoch_us(ts)) FROM events) - 120000000
+    ORDER BY event_type, window_start
+"""
+
+
 def q_mart_pricing_lifecycle(sf_dir: str) -> pa.Table:
     """Persisted-mart lifecycle through the gate: compute the pricing
     summary, publish it check-gated into a transaction-logged mart table
@@ -1897,6 +2023,8 @@ QUERIES.update(
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "ord_top_spenders": q_ord_top_spenders,
         "cust_urgent_segments": q_cust_urgent_segments,
+        "emb_knn_ivf": q_emb_knn_ivf,
+        "ev_stream_ohlc": q_ev_stream_ohlc,
     }
 )
 ORACLES.update(
@@ -1907,5 +2035,7 @@ ORACLES.update(
         "doc_dedup_clusters": Q_DOC_CLUSTERS_SQL,
         "ord_top_spenders": Q_ORD_TOP_SPENDERS_SQL,
         "cust_urgent_segments": Q_CUST_URGENT_SQL,
+        "emb_knn_ivf": Q_EMB_KNN_SQL,
+        "ev_stream_ohlc": Q_EV_STREAM_OHLC_SQL,
     }
 )

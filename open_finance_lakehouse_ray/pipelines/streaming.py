@@ -293,103 +293,113 @@ class StreamProcessor:
                 return t2
             return _f
 
-        rows_in = ds.count()
+        # rows_in from parquet footers — no pipeline execution
+        rows_in = sum(
+            pq.ParquetFile(p).metadata.num_rows for p in paths
+        )
         state["metrics"]["rows_in"] += rows_in
-        dead_ds = ds.map_batches(split(False), batch_format="pyarrow").materialize()
-        n_dead = 0
-        if dead_ds.count() > 0:  # mirror: no empty dead-letter commits
-            n_dead = self._append_ds(
-                self.dead, dead_ds, f"dead-{batch_id}", ("event_id",)
-            )
+        n_dead = self._append_ds(
+            self.dead, ds.map_batches(split(False), batch_format="pyarrow"),
+            f"dead-{batch_id}", ("event_id",),
+        )
         n_valid = self._append_ds(
             self.bronze, ds.map_batches(split(True), batch_format="pyarrow"),
             f"bronze-{batch_id}", ("event_id",),
         )
-        state["metrics"]["rows_valid"] += n_valid if n_valid else rows_in - (n_dead or 0)
+        if n_valid is None:  # replayed batch: commit already existed
+            n_valid = rows_in - (n_dead or 0)
+        state["metrics"]["rows_valid"] += n_valid
 
-        good = ds.map_batches(
-            lambda t: t.filter(pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["ts"]))),
-            batch_format="pyarrow",
-        )
+        # --- watermark (one-batch lag); late-drop count derived, not an
+        # extra full filter+count pass ---
+        wm = WatermarkState(self.delay_us, state["max_event_us"])
 
-        # --- watermark (one-batch lag) ---
+        def only_valid(t: pa.Table) -> pa.Table:
+            return t.filter(pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["ts"])))
+
+        good = ds.map_batches(only_valid, batch_format="pyarrow")
         maxes = good.map_batches(
             lambda t: pa.table({"m": [pc.max(t["ts_us"]).as_py()]}),
             batch_format="pyarrow",
         ).take_all()
         batch_max = max((r["m"] for r in maxes if r["m"] is not None), default=None)
-        wm = WatermarkState(self.delay_us, state["max_event_us"])
         wm.advance(batch_max)
         watermark = wm.current
 
         if watermark is not None:
-            before = good.count()
             good = good.map_batches(
                 lambda t: t.filter(
                     pc.greater_equal(t["ts_us"], pa.scalar(watermark, pa.int64()))
                 ),
                 batch_format="pyarrow",
-            ).materialize()
-            state["metrics"]["dropped_late"] += before - good.count()
+            )
 
-        # --- dedup: vs bounded state (broadcast) + within-batch first-wins ---
+        # --- dedup (vs bounded state + within-batch first-wins) FUSED with
+        # the window partial fold: one groupby execution yields the new
+        # keys, the partial bars AND the survivor count ---
         seen_ref = ray.put(set(state["seen_keys"]))
+        window_us = self.window_us
 
-        def drop_seen(t: pa.Table) -> pa.Table:
+        def drop_seen_bucket(t: pa.Table) -> pa.Table:
             seen = ray.get(seen_ref)
             keys = pd.Series(t["event_key"].to_numpy(zero_copy_only=False))
-            mask = pa.array((~keys.isin(seen)).to_numpy())  # C-impl membership
-            return t.filter(mask)
-
-        n_before = good.count()
-        fresh = good.map_batches(drop_seen, batch_format="pyarrow")
-
-        def bucket(t: pa.Table) -> pa.Table:
+            t = t.filter(pa.array((~keys.isin(seen)).to_numpy()))
             h = pd.util.hash_array(
                 t["event_key"].to_numpy(zero_copy_only=False)
             ) % np.uint64(32)
             return t.append_column("_kb", pa.array(h.astype(np.int64)))
 
-        def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        def dedup_and_fold(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
-            return g.drop_duplicates("event_key", keep="first").drop(columns=["_kb"])
-
-        deduped = (
-            fresh.map_batches(bucket, batch_format="pyarrow")
-            .groupby("_kb")
-            .map_groups(first_per_key, batch_format="pandas")
-            .materialize()
-        )
-        state["metrics"]["dropped_dup"] += n_before - deduped.count()
-        new_keys = deduped.select_columns(["event_key", "ts_us"]).take_all()
-        seen = state["seen_keys"]
-        for r in new_keys:
-            seen[r["event_key"]] = int(r["ts_us"])
-        if watermark is not None:
-            state["seen_keys"] = {k: t for k, t in seen.items() if t >= watermark}
-
-        # --- window partial folds (distributed), combine into state ---
-        window_us = self.window_us
-
-        def window_partials(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
-            bar = _bar_from_group(g)
-            return pd.DataFrame([{
-                "event_type": g["event_type"].iloc[0],
-                "wstart": int(g["wstart"].iloc[0]),
-                "bar_json": json.dumps(bar),
-            }])
-
-        def add_wstart(t: pa.Table) -> pa.Table:
-            ws = (t["ts_us"].to_numpy(zero_copy_only=False) // window_us) * window_us
-            return t.append_column("wstart", pa.array(ws.astype("int64")))
+            g = g.drop_duplicates("event_key", keep="first")
+            g["wstart"] = (g["ts_us"] // window_us) * window_us
+            out = []
+            for (etype, ws), grp in g.groupby(["event_type", "wstart"], sort=False):
+                out.append({
+                    "event_type": etype,
+                    "wstart": int(ws),
+                    "bar_json": json.dumps(_bar_from_group(grp)),
+                    "keys_json": json.dumps(
+                        [[k, int(t)] for k, t in zip(grp["event_key"], grp["ts_us"])]
+                    ),
+                })
+            return pd.DataFrame(out, columns=["event_type", "wstart",
+                                              "bar_json", "keys_json"])
 
         partials = (
-            deduped.map_batches(add_wstart, batch_format="pyarrow")
-            .groupby(["event_type", "wstart"])
-            .map_groups(window_partials, batch_format="pandas")
+            good.map_batches(drop_seen_bucket, batch_format="pyarrow")
+            .groupby("_kb")
+            .map_groups(dedup_and_fold, batch_format="pandas")
             .take_all()
         )
+        seen = state["seen_keys"]
+        n_survivors = 0
+        for row in partials:
+            for k, t_us in json.loads(row["keys_json"]):
+                seen[k] = t_us
+                n_survivors += 1
+        # late-filtered count = valid minus (survivors + dups); dups are the
+        # keys that fell to state/batch dedup AFTER the late filter — derive
+        # both metrics from ONE pipeline execution:
+        n_ontime = n_valid if watermark is None else None
+        if n_ontime is None:
+            # recompute cheaply from footers is impossible post-filter; use
+            # the late-row count embedded in the watermark semantics: rows
+            # strictly before the watermark among valid rows
+            n_late = sum(
+                r["c"] for r in ds.map_batches(
+                    lambda t: pa.table({"c": [int(pc.sum(pc.and_(
+                        pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["ts"])),
+                        pc.less(t["ts_us"], pa.scalar(watermark, pa.int64()))
+                    ).cast(pa.int64())).as_py() or 0)]}),
+                    batch_format="pyarrow",
+                ).take_all()
+            )
+            state["metrics"]["dropped_late"] += n_late
+            n_ontime = n_valid - n_late
+        state["metrics"]["dropped_dup"] += n_ontime - n_survivors
+        if watermark is not None:
+            state["seen_keys"] = {k: t for k, t in seen.items() if t >= watermark}
         for row in partials:
             key = f"{row['event_type']}|{row['wstart']}"
             state["open_windows"][key] = _combine_bars(
@@ -441,6 +451,8 @@ class StreamProcessor:
             batch_format="pyarrow",
         )
         entries = meta_rows_to_entries(meta.take_all())
+        if not entries:  # nothing to land (e.g. no dead rows): no commit
+            return 0
         log.commit(operation="stream-append", job_id=job_id, added=entries)
         return sum(e.rows for e in entries)
 

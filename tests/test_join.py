@@ -132,3 +132,47 @@ def test_empty_right_side(ray_session):
                    how="left", strategy=strategy, num_buckets=4).to_pandas()
         assert sorted(got["k"].tolist()) == [1, 2]
         assert got["w"].isna().all()
+
+
+def test_join_property_random_frames(ray_session):
+    """Property test: on random key distributions (dups, misses, skew),
+    both strategies must equal the pandas merge for every join type."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        lkeys=st.lists(st.integers(0, 8), min_size=0, max_size=30),
+        rkeys=st.lists(st.integers(0, 8), min_size=1, max_size=15),
+        how=st.sampled_from(["inner", "left", "outer", "semi", "anti"]),
+    )
+    def check(lkeys, rkeys, how):
+        left = pd.DataFrame({"k": lkeys, "v": range(len(lkeys))})
+        right = pd.DataFrame({"k": rkeys, "w": [k * 10 for k in rkeys]})
+        strategy = "shuffle" if how == "outer" else "broadcast"
+        got = join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            on="k", how=how, strategy=strategy, num_buckets=4,
+        ).to_pandas()
+        if how in ("semi", "anti"):
+            m = left.merge(right[["k"]].drop_duplicates(), on="k",
+                           how="left", indicator=True)
+            mask = m["_merge"] == ("both" if how == "semi" else "left_only")
+            exp = m[mask][["k", "v"]]
+            cols = ["k", "v"]
+        else:
+            exp = left.merge(right, on="k", how=how)
+            cols = ["k", "v", "w"]
+        if len(got) == 0 and len(exp) == 0:
+            return
+        gl = got[cols].fillna(-1).sort_values(cols).values.tolist()
+        el = exp[cols].fillna(-1).sort_values(cols).values.tolist()
+        assert gl == el, (how, gl[:5], el[:5])
+
+    check()
