@@ -25,6 +25,7 @@ all-to-all exchange.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -89,14 +90,29 @@ def plan_bins(
 
 
 def _compact_bin(
-    root: str, job_id: str, bin_id: str, paths: list[str], sort_by: tuple[str, ...]
+    root: str,
+    job_id: str,
+    bin_id: str,
+    paths: list[str],
+    sort_by: tuple[str, ...],
+    z_ranges: list[list[int] | None] | None = None,
 ) -> dict[str, Any]:
     """Rewrite one bin (runs inside a Ray task). Idempotent: if the lineage
     record already exists (resume) AND was built from the same inputs, the
     recorded outputs are reused. A record whose ``inputs`` differ from the
     current plan (crash → concurrent commit → replan with the same job_id)
     is stale and MUST be recomputed — resuming it would commit outputs
-    derived from files no longer at the table head."""
+    derived from files no longer at the table head.
+
+    CLUSTERING-PRESERVING path: when every input is Z-clustered and their
+    z-ranges are pairwise disjoint (the invariant of a range-partitioned
+    sort's output), the bin's files — already ordered by z-range min in
+    the plan — concatenate into a still-perfectly-z-sorted file with NO
+    re-sort, and the output keeps the merged z_range. Without this,
+    compacting small clustered files would silently de-cluster the table
+    and force ``maintain()`` to pay the global sort every cycle."""
+    import dataclasses
+
     log = TableLog(root)
     done = log.get_partition(job_id, bin_id)
     if done is not None and done.get("inputs") == paths:
@@ -104,7 +120,29 @@ def _compact_bin(
     table = pa.concat_tables(
         [pq.read_table(os.path.join(root, p)) for p in paths]
     ).combine_chunks()
-    entry = write_table_file(root, table, sort_by=sort_by, prefix="compact")
+
+    clustered = (
+        z_ranges is not None
+        and len(z_ranges) == len(paths)
+        and all(z is not None for z in z_ranges)
+        and all(
+            # non-overlapping in plan order (adjacent sort blocks may share
+            # a boundary VALUE — concatenation stays non-decreasing)
+            z_ranges[i][1] <= z_ranges[i + 1][0]
+            for i in range(len(z_ranges) - 1)
+        )
+    )
+    if clustered:
+        entry = write_table_file(
+            root, table, sort_by=(), prefix="compact", presorted=True
+        )
+        entry = dataclasses.replace(
+            entry,
+            z_range=[int(z_ranges[0][0]), int(z_ranges[-1][1])],
+            sorted_by=["_zkey", *sort_by],
+        )
+    else:
+        entry = write_table_file(root, table, sort_by=sort_by, prefix="compact")
     record = {
         "inputs": paths,
         "outputs": [entry.to_json()],
@@ -147,6 +185,7 @@ def compact(
             {
                 "bin_id": f"{i:06d}",
                 "paths": [e.path for e in b],
+                "z_ranges_json": json.dumps([e.z_range for e in b]),
             }
             for i, b in enumerate(bins)
         ]
@@ -205,7 +244,10 @@ def _make_bin_runner(root: str, job_id: str, sort_by: tuple[str, ...]):
     def _run(batch: pa.Table) -> pa.Table:
         out = []
         for row in batch.to_pylist():
-            rec = _compact_bin(root, job_id, row["bin_id"], row["paths"], sort_by)
+            rec = _compact_bin(
+                root, job_id, row["bin_id"], row["paths"], sort_by,
+                z_ranges=json.loads(row["z_ranges_json"]),
+            )
             out.append({"bin_id": row["bin_id"], "rows": rec["rows"]})
         return pa.Table.from_pylist(out)
 

@@ -172,3 +172,37 @@ def test_orphan_sweep_cleans_crashed_shuffle_dir(small_table):
     swept = log.sweep_orphans(grace_seconds=3600)
     assert os.path.join("_shuffle", "dead-job") in swept
     assert not os.path.exists(sdir)
+
+
+def test_compact_preserves_clustering(ray_session, table_root):
+    """Compacting small Z-clustered files must NOT de-cluster the table:
+    disjoint-range inputs concatenate without a re-sort, the outputs keep
+    a merged z_range, and a follow-up maintain() skips the global sort."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.compact import compact
+    from open_finance_lakehouse_ray.pipelines.maintain import maintain
+
+    tab = build_transcripts(seed=33, n_convs=80)
+    ingest_dataset(rd.from_arrow(tab).repartition(10), table_root,
+                   job_id="i", summary={"keys_unique": True})
+    zorder(table_root, job_id="z")  # many small clustered files
+    log = TableLog(table_root)
+    assert all(e.z_range is not None for e in log.files())
+    pre_quality = clustering_quality(log.files())
+
+    snap = compact(table_root, job_id="c", target_bytes=64 * 1024 * 1024)
+    assert snap is not None
+    entries = log.files()
+    assert len(entries) < 64  # files actually merged
+    assert all(e.z_range is not None for e in entries), "clustering lost"
+    assert clustering_quality(entries) <= max(pre_quality, 0.05)
+
+    got = validation_scan(table_root)
+    exp = tab.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got["text"].to_pylist() == exp["text"].to_pylist()
+
+    # the maintain cycle no longer pays a global sort: already clustered
+    out = maintain(table_root, job_id="m", force_expire=False)
+    assert out["reclustered"] is None
+    assert out["unclustered_files"] == 0
