@@ -179,8 +179,26 @@ def ivf_topk(
     driver-side sample) assigns every vector an inverted list; a query
     scores only batch rows whose list is among its ``n_probe`` nearest
     centroids. The FAISS-IVF shape, Ray-Data-first: train once, broadcast
-    centroids, stream the corpus through one map_batches."""
-    pdf = emb.select_columns([vec_col]).limit(train_sample).to_pandas()
+    centroids, stream the corpus through one map_batches.
+
+    The training sample is VALUE-based (every ``stride``-th id, collected
+    in id order), never ``limit()`` over blocks: Ray's block layout can
+    change run to run under memory pressure, and a layout-dependent
+    sample would make the quantizer — and thus the probe sets —
+    nondeterministic."""
+    n_rows = emb.count()
+    stride = max(1, n_rows // train_sample)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % stride == 0)).select([id_col, vec_col])
+
+    pdf = (
+        emb.map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+        .head(train_sample)
+    )
     sample = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
     centroids = _kmeans(sample, n_lists, seed=seed)
     q = _normalize(np.asarray(queries, dtype=np.float64))
