@@ -148,19 +148,45 @@ def minhash_near_dup_pairs(
 
     buckets = texts.map_batches(sig_stage, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                                 "id_b": np.array([], dtype=np.int64)})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
-
     cand = (
         buckets.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    )
+    return _verified_pairs(
+        cand, texts, small,
+        id_col=id_col, text_col=text_col,
+        threshold=threshold, shingle_k=shingle_k,
     )
 
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """All (id_a < id_b) pairs within one candidate bucket."""
+    ids = np.sort(g["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                             "id_b": np.array([], dtype=np.int64)})
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+
+def _verified_pairs(
+    cand: rd.Dataset,
+    texts: rd.Dataset,
+    small: bool,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int,
+) -> pa.Table:
+    """Shared tail of the shingle-based near-dup family: dedup candidate
+    (id_a, id_b) pairs, attach texts, verify by EXACT k-shingle Jaccard.
+
+    ``small=True`` (size-guarded by the caller) broadcasts the corpus
+    ONCE via the object store; otherwise the texts are attached by two
+    hash-bucketed shuffle joins and dedup runs as a distributed groupby —
+    no stage ever materializes the corpus on one node.
+    """
     if small:
         # fast path (size-guarded): candidates collapse to one verify
         # block and the texts ship as ONE object-store dict — zero extra
@@ -240,6 +266,71 @@ def minhash_near_dup_pairs(
         {"id_a": "int64", "id_b": "int64"}
     )
     return pa.Table.from_pandas(verified.reset_index(drop=True), preserve_index=False)
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
+) -> pa.Table:
+    """EXACT n-gram Jaccard near-dup pairs — recall 1.0, no MinHash
+    approximation (reference has no near-dedup at all, SURVEY.md §2.7).
+
+    Candidate generation is PREFIX FILTERING (the All-Pairs/PPJoin family,
+    Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public literature): under
+    ONE global total order over shingles (the 64-bit shingle hash value —
+    any shared total order preserves the guarantee), a pair with
+    ``J(A,B) >= t`` must share at least one shingle within each side's
+    prefix of length ``|S| - ceil(t*|S|) + 1``. Only prefix shingles are
+    emitted as (shingle_hash, doc_id) inverted-index rows, so:
+
+    - the index groupby shuffle carries ~(1-t)·Σ|S| rows, not Σ|S|;
+    - a shingle shared only by pairs that cannot reach the threshold
+      never creates candidates — unlike a plain inverted index, hot
+      common shingles don't explode into quadratic buckets;
+    - recall is still exactly 1.0, so the DuckDB all-pairs oracle can
+      hash-check this operator end to end.
+
+    Verification reuses the size-guarded broadcast / bucketed-join tail
+    shared with :func:`minhash_near_dup_pairs`.
+    """
+
+    def prefix_index(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes = _shingle_hashes(batch[text_col].to_pylist(), k=shingle_k)
+        out_hash: list[np.ndarray] = []
+        out_id: list[np.ndarray] = []
+        for i, h in enumerate(hashes):
+            if len(h) == 0:
+                continue
+            h = np.sort(h)
+            p = len(h) - int(np.ceil(threshold * len(h))) + 1
+            pref = h[: max(1, p)]
+            out_hash.append(pref.view(np.int64))
+            out_id.append(np.full(len(pref), ids[i], dtype=np.int64))
+        if not out_hash:
+            return pa.table({"shingle": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({"shingle": np.concatenate(out_hash),
+                         "doc_id": np.concatenate(out_id)})
+
+    texts = docs.select_columns([id_col, text_col]).materialize()
+    small = (texts.size_bytes() or 0) <= broadcast_max_bytes
+
+    cand = (
+        texts.map_batches(prefix_index, batch_format="pyarrow")
+        .groupby("shingle")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    )
+    return _verified_pairs(
+        cand, texts, small,
+        id_col=id_col, text_col=text_col,
+        threshold=threshold, shingle_k=shingle_k,
+    )
 
 
 # --------------------------------------------------------------- simhash

@@ -2039,3 +2039,160 @@ ORACLES.update(
         "ev_stream_ohlc": Q_EV_STREAM_OHLC_SQL,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# third wave: exact n-gram Jaccard dedup, sessionization, corpus prep
+# --------------------------------------------------------------------------
+
+
+def q_doc_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """EXACT n-gram Jaccard near-dup pairs (threshold 0.6) via the
+    prefix-filtered inverted index — recall 1.0, so unlike MinHash the
+    DuckDB all-pairs oracle hash-checks this operator end to end."""
+    from open_finance_lakehouse_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.6
+    ).to_pandas()
+    out["jaccard"] = out["jaccard"].round(3)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q_DOC_JACCARD_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in range(1, len(w) - 1)]) s
+           FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+                 len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+    ORDER BY id_a, id_b
+"""
+
+
+SESSION_GAP_SECONDS = 8 * 3600
+
+
+def q_ev_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based session windows (gaps-and-islands): a silence longer than
+    8 h starts a new session for that user. ``groupby(user_id)`` co-locates
+    each user's events (the one shuffle; users are independent so the key
+    parallelism is perfect and skew is bounded by the hottest user); the
+    per-group fold is vectorized pandas diff/cumsum — the windowed-
+    aggregate shape Ray Data has no native operator for (SURVEY.md §2.9's
+    session analog; the reference's windows are fixed 1-min tumbles,
+    ``ofl/streaming/silver.py:107-112``)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        brk = (
+            g["ts"].diff().dt.total_seconds() > SESSION_GAP_SECONDS
+        ).astype("int64")
+        g = g.assign(session_idx=brk.cumsum())
+        agg = (
+            g.groupby("session_idx")
+            .agg(
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("event_id", "count"),
+                total_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        agg.insert(0, "user_id", g["user_id"].iloc[0])
+        agg["total_value"] = agg["total_value"].round(4)
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_EV_SESSIONIZE_SQL = """
+    WITH e AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch(ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) > 28800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+    s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM e)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+def q_doc_corpus_prep(sf_dir: str) -> pa.Table:
+    """Flagship corpus-preparation chain: quality gate → exact dedup →
+    prefix-filtered Jaccard near-dup drop → distributed token-budget cap
+    (see :func:`..textpipe.corpus_prep` for the per-stage scale story)."""
+    from open_finance_lakehouse_ray.pipelines.textpipe import corpus_prep
+
+    return corpus_prep(_docs(sf_dir, ["doc_id", "text"]))
+
+
+Q_DOC_CORPUS_PREP_SQL = r"""
+    WITH st AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               ROUND(len(regexp_extract_all(text,
+                         '\b(a|and|in|is|it|of|the|to)\b'))::DOUBLE
+                     / GREATEST(len(regexp_extract_all(text, '\S+')), 1), 4)
+                   AS stop_ratio,
+               md5(text) AS m
+        FROM documents),
+    q AS (SELECT * FROM st WHERE n_tokens >= 20 AND stop_ratio >= 0.02),
+    d AS (SELECT * FROM q
+          QUALIFY row_number() OVER (PARTITION BY m ORDER BY doc_id) = 1),
+    toks AS (SELECT doc_id, string_split(text, ' ') w FROM d),
+    sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in range(1, len(w) - 1)]) s
+           FROM toks),
+    dropped AS (
+        SELECT DISTINCT b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+    nd AS (SELECT doc_id, n_tokens FROM d
+           WHERE doc_id NOT IN (SELECT id_b FROM dropped)),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM nd)
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "ev_sessionize": q_ev_sessionize,
+        "doc_corpus_prep": q_doc_corpus_prep,
+    }
+)
+ORACLES.update(
+    {
+        "doc_jaccard_pairs": Q_DOC_JACCARD_SQL,
+        "ev_sessionize": Q_EV_SESSIONIZE_SQL,
+        "doc_corpus_prep": Q_DOC_CORPUS_PREP_SQL,
+    }
+)

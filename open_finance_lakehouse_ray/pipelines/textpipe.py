@@ -14,6 +14,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 TOKEN_RE = r"\S+"
@@ -129,3 +130,111 @@ def analyze_documents(docs: rd.Dataset) -> rd.Dataset:
         .map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
         .map_batches(fingerprints, batch_format="pyarrow")
     )
+
+
+def corpus_prep(
+    docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_stop_ratio: float = 0.02,
+    jaccard_threshold: float = 0.6,
+    token_budget: int | None = 15_000,
+    bucket_width: int = 4096,
+) -> pa.Table:
+    """Flagship training-corpus preparation chain — the composition a
+    100-TB pretraining pipeline runs end to end, each stage the
+    distributed shape (the reference has no corpus layer at all;
+    SURVEY.md §2.7 notes its only dedups are keyed exact dedups):
+
+    1. quality gate  — token count + stopword-ratio filter (streaming
+       ``map_batches``, Arrow kernels, actor-pool scorer);
+    2. exact dedup   — keep the LOWEST doc_id per md5 fingerprint
+       (hash-partitioned ``groupby`` on the digest — no driver state);
+    3. near-dup drop — exact n-gram Jaccard pairs via prefix-filtered
+       inverted index (:func:`..dedup.ngram_jaccard_pairs`, recall 1.0);
+       the HIGHER doc_id of every pair is dropped. Only the (id_a, id_b)
+       pair list — O(duplicates), not O(corpus) — leaves the cluster;
+    4. budget cap    — keep documents in doc_id order while the running
+       token total stays ≤ ``token_budget``, computed as a DISTRIBUTED
+       prefix sum: per-bucket (``doc_id // bucket_width``) subtotals are
+       a tiny aggregate, the driver turns them into per-bucket offsets
+       (O(buckets) rows), and each bucket finishes its own cumsum in a
+       ``map_groups`` task with the broadcast offset.
+
+    Returns (doc_id, n_tokens, cum_tokens) sorted by doc_id.
+    """
+    import pyarrow.compute as pc
+
+    from open_finance_lakehouse_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["n_tokens"], min_tokens),
+            pc.greater_equal(batch["stop_ratio"], min_stop_ratio),
+        )
+        return batch.filter(keep)
+
+    def keep_min_id(g):
+        return g.nsmallest(1, id_col)
+
+    survivors = (
+        analyze_documents(docs.select_columns([id_col, text_col]))
+        .map_batches(quality_gate, batch_format="pyarrow")
+        .select_columns([id_col, text_col, "n_tokens", "md5"])
+        .groupby("md5")
+        .map_groups(keep_min_id, batch_format="pandas")
+        .materialize()
+    )
+
+    pairs = ngram_jaccard_pairs(
+        survivors.select_columns([id_col, text_col]),
+        id_col=id_col, text_col=text_col, threshold=jaccard_threshold,
+    )
+    drop_ref = ray.put(set(pairs["id_b"].to_pylist()))
+
+    def drop_near_dups(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        if not drop:
+            return batch.select([id_col, "n_tokens"])
+        mask = pa.array([i not in drop for i in batch[id_col].to_pylist()])
+        return batch.filter(mask).select([id_col, "n_tokens"])
+
+    kept = survivors.map_batches(drop_near_dups, batch_format="pyarrow")
+
+    if token_budget is None:
+        out = kept.sort(id_col).to_pandas()
+        out["cum_tokens"] = out["n_tokens"].cumsum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.divide(batch[id_col], bucket_width)
+        return batch.append_column("_bucket", pc.cast(b, pa.int64()))
+
+    bucketed = kept.map_batches(tag_bucket, batch_format="pyarrow").materialize()
+    subtotals = (
+        bucketed.groupby("_bucket").sum("n_tokens").to_pandas()
+        .sort_values("_bucket")
+    )
+    if len(subtotals) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "cum_tokens": pa.array([], pa.int64())})
+    offs = subtotals["sum(n_tokens)"].cumsum().shift(fill_value=0)
+    offsets_ref = ray.put(dict(zip(subtotals["_bucket"], offs)))
+
+    def bucket_cumsum(g):
+        g = g.sort_values(id_col)
+        off = ray.get(offsets_ref)[g["_bucket"].iloc[0]]
+        g["cum_tokens"] = g["n_tokens"].cumsum() + off
+        return g[g["cum_tokens"] <= token_budget][[id_col, "n_tokens", "cum_tokens"]]
+
+    out = (
+        bucketed.groupby("_bucket")
+        .map_groups(bucket_cumsum, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col)
+        .astype({"cum_tokens": "int64"})
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -227,3 +227,132 @@ def test_embedding_lsh_recall_vs_brute(ray_session):
         l = set(zip(lsh["id_a"], lsh["id_b"]))
         assert l <= b  # exact verify: no false positives
         assert len(l) == len(b), f"recall miss at {thr}: {b - l}"
+
+
+def test_ngram_jaccard_exact_recall_vs_brute_force(ray_session):
+    """Prefix filtering must lose NOTHING: pairs == brute-force exact
+    Jaccard >= t, on a corpus with seeded near-dups and hot shingles."""
+    import itertools
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=rng.integers(6, 14)))
+        docs.append((i, " ".join(words)))
+    # seeded near-dups: copy with one word changed
+    for i in range(40, 48):
+        base = docs[i - 40][1].split()
+        base[-1] = "tail"
+        docs.append((i, " ".join(base)))
+
+    brute = {
+        (a, b)
+        for (a, ta), (b, tb) in itertools.combinations(docs, 2)
+        if dd.exact_jaccard(ta, tb) >= 0.5
+    }
+    t = pa.table({"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]})
+    out = dd.ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.5)
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert got == brute
+
+    # scale path (forced bucketed joins) must agree exactly
+    out2 = dd.ngram_jaccard_pairs(
+        rd.from_arrow(t), threshold=0.5, broadcast_max_bytes=0
+    )
+    got2 = set(zip(out2["id_a"].to_pylist(), out2["id_b"].to_pylist()))
+    assert got2 == brute
+
+
+def test_corpus_prep_matches_pandas_reference(ray_session):
+    """The 4-stage chain (quality → exact dedup → near-dup drop → budget
+    cap) against a single-process pandas/py reference on a seeded corpus."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.textpipe import corpus_prep
+
+    rng = np.random.default_rng(5)
+    filler = ["the", "of", "and", "to", "in", "is", "it", "a"]
+    vocab = [f"tok{i}" for i in range(50)] + filler * 3
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(8, 40))
+        docs.append((i, " ".join(rng.choice(vocab, size=n))))
+    docs.append((60, docs[3][1]))   # exact dup of doc 3
+    docs.append((61, docs[7][1]))   # exact dup of doc 7
+
+    t = pa.table({"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]})
+    got = corpus_prep(
+        rd.from_arrow(t), min_tokens=10, min_stop_ratio=0.02,
+        jaccard_threshold=0.6, token_budget=600, bucket_width=16,
+    ).to_pandas()
+
+    # reference: same chain, single process
+    df = pd.DataFrame({"doc_id": [d[0] for d in docs],
+                       "text": [d[1] for d in docs]})
+    df["n_tokens"] = df["text"].str.split().str.len()
+    stops = set(filler)
+
+    def stop_ratio(s):
+        w = s.split()
+        return round(sum(1 for x in w if x in stops) / max(len(w), 1), 4)
+
+    df["stop_ratio"] = df["text"].map(stop_ratio)
+    df = df[(df["n_tokens"] >= 10) & (df["stop_ratio"] >= 0.02)]
+    df["md5"] = df["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    df = df.sort_values("doc_id").drop_duplicates("md5", keep="first")
+    import itertools
+
+    drop = {
+        b for (a, ta), (b, tb) in itertools.combinations(
+            zip(df["doc_id"], df["text"]), 2)
+        if dd.exact_jaccard(ta, tb) >= 0.6
+    }
+    df = df[~df["doc_id"].isin(drop)].sort_values("doc_id")
+    df["cum_tokens"] = df["n_tokens"].cumsum()
+    df = df[df["cum_tokens"] <= 600]
+
+    assert got["doc_id"].tolist() == df["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == df["n_tokens"].tolist()
+    assert got["cum_tokens"].tolist() == df["cum_tokens"].tolist()
+
+
+def test_sessionize_gap_boundary(ray_session):
+    """A gap EXACTLY equal to the threshold stays in the same session;
+    one second more starts a new one."""
+    import pandas as pd
+
+    from open_finance_lakehouse_ray.pipelines.queries import (
+        SESSION_GAP_SECONDS,
+        q_ev_sessionize,
+    )
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    gap = pd.Timedelta(seconds=SESSION_GAP_SECONDS)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [base, base + gap, base + gap * 2 + pd.Timedelta(seconds=1),
+                   base + gap * 2 + pd.Timedelta(seconds=2)],
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["view"] * 4,
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                       os.path.join(d, "events.parquet"))
+        out = q_ev_sessionize(d).to_pandas()
+    assert out["session_idx"].tolist() == [0, 1]
+    assert out["n_events"].tolist() == [2, 2]
+    assert out["total_value"].tolist() == [3.0, 7.0]
