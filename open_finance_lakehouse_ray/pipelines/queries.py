@@ -2196,3 +2196,75 @@ ORACLES.update(
         "doc_corpus_prep": Q_DOC_CORPUS_PREP_SQL,
     }
 )
+
+
+def q_doc_train_split(sf_dir: str) -> pa.Table:
+    """Content-hash train/heldout split: bucket = first 32 md5 bits of the
+    TEXT mod 100 (<90 → train). Hashing content, not doc_id, keeps exact
+    duplicates on the same side of the split — the leakage-safe assignment
+    a training pipeline needs; pure map, no shuffle, reproducible from any
+    engine (the oracle recomputes it in SQL)."""
+    import hashlib
+
+    def split(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        b = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % 100
+             for t in texts]
+        lab = ["train" if x < 90 else "heldout" for x in b]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(b, pa.int64()),
+                "split": pa.array(lab, pa.string()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(split, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_TRAIN_SPLIT_SQL = """
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) % 100
+                AS BIGINT) AS bucket,
+           CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) % 100 < 90
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_vocab_df(sf_dir: str) -> pa.Table:
+    """Top-50 vocabulary by document frequency (combiner-first shuffle +
+    per-bucket top-k — see :func:`..textpipe.vocab_df_topk`)."""
+    from open_finance_lakehouse_ray.pipelines.textpipe import vocab_df_topk
+
+    return vocab_df_topk(_docs(sf_dir, ["doc_id", "text"]), k=50)
+
+
+Q_DOC_VOCAB_DF_SQL = r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS token
+        FROM documents),
+    df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token)
+    SELECT token, CAST(df AS BIGINT) AS df
+    FROM df ORDER BY df DESC, token LIMIT 50
+"""
+
+
+QUERIES.update(
+    {
+        "doc_train_split": q_doc_train_split,
+        "doc_vocab_df": q_doc_vocab_df,
+    }
+)
+ORACLES.update(
+    {
+        "doc_train_split": Q_DOC_TRAIN_SPLIT_SQL,
+        "doc_vocab_df": Q_DOC_VOCAB_DF_SQL,
+    }
+)

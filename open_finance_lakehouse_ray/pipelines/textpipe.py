@@ -238,3 +238,68 @@ def corpus_prep(
         .astype({"cum_tokens": "int64"})
     )
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def vocab_df_topk(
+    docs: rd.Dataset,
+    *,
+    text_col: str = "text",
+    k: int = 50,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Top-k vocabulary by DOCUMENT frequency — the corpus-statistics
+    operator (DF table for TF-IDF / tokenizer vocab pruning) built as a
+    combiner-first shuffle, §2.5's partial-aggregate rule applied to an
+    unbounded key domain:
+
+    - map side: per-batch ``Counter`` over each doc's DISTINCT tokens —
+      the all-to-all then carries one row per (batch, token), not one per
+      token occurrence;
+    - shuffle: hash-bucket by token (stable siphash — the same key the
+      dedup family shuffles on) and sum partials per bucket;
+    - top-k: each bucket emits only its local top-k, so the driver merge
+      sees ``num_buckets × k`` candidate rows regardless of vocabulary
+      size.
+
+    Ties break by token text ascending — a total order, so the DuckDB
+    oracle reproduces the cut exactly.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(set(t.split()))
+        toks = list(c.keys())
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             "df": pa.array([c[t] for t in toks], pa.int64())}
+        )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(t["token"].to_pylist(), dtype=object))
+        return t.append_column(
+            "_b", pa.array((h % num_buckets).astype(np.int64))
+        )
+
+    def per_bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby("token").agg(df=("df", "sum")).reset_index()
+        return full.sort_values(["df", "token"], ascending=[False, True]).head(k)
+
+    cand = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    top = (
+        cand.sort_values(["df", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(
+        top[["token", "df"]].astype({"df": "int64"}), preserve_index=False
+    )
