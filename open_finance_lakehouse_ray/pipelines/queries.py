@@ -2268,3 +2268,40 @@ ORACLES.update(
         "doc_vocab_df": Q_DOC_VOCAB_DF_SQL,
     }
 )
+
+
+def q_doc_tfidf_top(sf_dir: str) -> pa.Table:
+    """Top-3 TF-IDF terms per document (broadcast-DF pattern — see
+    :func:`..textpipe.tfidf_top_terms`)."""
+    from open_finance_lakehouse_ray.pipelines.textpipe import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
+Q_DOC_TFIDF_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS token
+        FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok
+           GROUP BY doc_id, token),
+    dlen AS (SELECT doc_id, SUM(cnt) AS n FROM tf GROUP BY doc_id),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND((tf.cnt::DOUBLE / dlen.n) * ln(nn.n_docs::DOUBLE / df.df),
+                     6) AS tfidf
+        FROM tf
+        JOIN dlen USING (doc_id)
+        JOIN df USING (token)
+        CROSS JOIN nn),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, token) AS rk
+          FROM scored)
+    SELECT doc_id, token, tfidf FROM r WHERE rk <= 3
+    ORDER BY doc_id, tfidf DESC, token
+"""
+
+
+QUERIES.update({"doc_tfidf_top": q_doc_tfidf_top})
+ORACLES.update({"doc_tfidf_top": Q_DOC_TFIDF_SQL})

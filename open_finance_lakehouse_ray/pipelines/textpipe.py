@@ -303,3 +303,87 @@ def vocab_df_topk(
     return pa.Table.from_pandas(
         top[["token", "df"]].astype({"df": "int64"}), preserve_index=False
     )
+
+
+def tfidf_top_terms(
+    docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> pa.Table:
+    """Per-document top-k terms by TF-IDF — the broadcast-statistics
+    pattern: the ONLY shuffle is the document-frequency aggregate.
+
+    - tf needs no shuffle at all: a document is one row, so term counts
+      are complete inside the scoring map;
+    - df reuses the distinct-token combiner (one row per (batch, token)
+      enters the shuffle), summed per token;
+    - the DF table ships ONCE via ``ray.put`` and every scoring task
+      reads it from the object store. The broadcast is the documented
+      scale assumption: a 100-M-token vocabulary (~GBs) would switch to
+      a token-bucketed join of (doc_id, token, tf) against DF — same
+      switch the near-dup verify makes above its size guard;
+    - scores are rounded (half-away, 6 dp) BEFORE ranking, with token
+      text as the tie-break, so an independent SQL engine reproduces the
+      exact top-k cut bit for bit.
+
+    Returns (doc_id, token, tfidf) with ranks 1..k per doc.
+    """
+    import math
+    from collections import Counter
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(set(t.split()))
+        toks = list(c.keys())
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             "df": pa.array([c[t] for t in toks], pa.int64())}
+        )
+
+    mat = docs.select_columns([id_col, text_col]).materialize()
+    n_docs = mat.count()
+    df_tab = (
+        mat.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("df")
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tab["token"], df_tab["sum(df)"])))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        out_id, out_tok, out_score = [], [], []
+        for did, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            w = text.split()
+            if not w:
+                continue
+            n = len(w)
+            c = Counter(w)
+            scored = []
+            for tok, cnt in c.items():
+                x = (cnt / n) * math.log(n_docs / dfm[tok])
+                scored.append((math.floor(x * 1e6 + 0.5) / 1e6, tok))
+            scored.sort(key=lambda p: (-p[0], p[1]))
+            for s, tok in scored[:k]:
+                out_id.append(did)
+                out_tok.append(tok)
+                out_score.append(s)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "tfidf": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    out = (
+        mat.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values([id_col, "tfidf", "token"], ascending=[True, False, True])
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
