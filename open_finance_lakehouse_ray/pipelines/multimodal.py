@@ -91,3 +91,75 @@ def multimodal_pipeline(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage — the video-shaped transform
+    (decode → sample every Nth frame → per-frame features) with the
+    EXPLODE output shape: one input payload row fans out to one row per
+    sampled frame.
+
+    The payload is treated as a sequence of fixed-size ``frame_bytes``
+    frames (the deterministic stand-in for decoded video frames — real
+    codecs are absent from this container, same policy as
+    :class:`PayloadDecoder`); every ``step``-th full frame is kept and
+    summarized by a byte checksum. The kernel is fully vectorized: one
+    cumulative sum over the batch's concatenated payload buffer, frame
+    checksums by prefix-sum differences — no per-frame Python loop.
+    """
+
+    def __init__(self, frame_bytes: int = 64, step: int = 4):
+        self.frame_bytes = frame_bytes
+        self.step = step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buf = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+        offs = np.frombuffer(payload.buffers()[1], dtype=np.int32).astype(np.int64)
+        doc_start, doc_len = offs[:-1], offs[1:] - offs[:-1]
+        n_frames = doc_len // self.frame_bytes
+        sampled_per_doc = (n_frames + self.step - 1) // self.step
+        total = int(sampled_per_doc.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "frame_idx": pa.array([], pa.int64()),
+                             "frame_checksum": pa.array([], pa.int64())})
+        out_doc = np.repeat(ids, sampled_per_doc)
+        # frame_idx within each doc: 0, step, 2*step, ... (vectorized
+        # ragged arange via global cumsum offsets)
+        seg_end = np.cumsum(sampled_per_doc)
+        seg_start = seg_end - sampled_per_doc
+        local = np.arange(total, dtype=np.int64) - np.repeat(seg_start, sampled_per_doc)
+        frame_idx = local * self.step
+        starts = np.repeat(doc_start, sampled_per_doc) + frame_idx * self.frame_bytes
+        cs = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+        checksum = cs[starts + self.frame_bytes] - cs[starts]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc),
+                "frame_idx": pa.array(frame_idx),
+                "frame_checksum": pa.array(checksum),
+            }
+        )
+
+
+def frame_sample_pipeline(
+    docs: rd.Dataset,
+    *,
+    frame_bytes: int = 64,
+    step: int = 4,
+    concurrency: int = 2,
+    batch_size: int = 512,
+) -> rd.Dataset:
+    """documents → binary payloads → actor-pool frame sampling (explode)."""
+    with_payload = docs.map_batches(attach_binary_payload, batch_format="pyarrow")
+    return with_payload.select_columns(["doc_id", "payload"]).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "step": step},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -2305,3 +2305,37 @@ Q_DOC_TFIDF_SQL = r"""
 
 QUERIES.update({"doc_tfidf_top": q_doc_tfidf_top})
 ORACLES.update({"doc_tfidf_top": Q_DOC_TFIDF_SQL})
+
+
+def q_mm_frame_sample(sf_dir: str) -> pa.Table:
+    """Frame-sampling over binary payloads: every 4th 64-byte frame,
+    per-frame byte checksum — the explode-shaped multimodal stage (see
+    :class:`..multimodal.FrameSampler`)."""
+    from open_finance_lakehouse_ray.pipelines.multimodal import frame_sample_pipeline
+
+    out = (
+        frame_sample_pipeline(_docs(sf_dir, ["doc_id", "text"]))
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# ASCII corpus: byte values == codepoints, so the oracle rebuilds frame
+# checksums from substr + ascii (same trick as the doc_multimodal oracle)
+Q_MM_FRAME_SAMPLE_SQL = """
+    WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+               FROM documents),
+    idx AS (SELECT doc_id, text,
+                   UNNEST(range(0, CAST(nb // 64 AS BIGINT), 4)) AS frame_idx
+            FROM f)
+    SELECT doc_id, frame_idx,
+           CAST(list_sum(list_transform(
+                    string_split(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64), ''),
+                    x -> ascii(x))) AS BIGINT) AS frame_checksum
+    FROM idx ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES.update({"mm_frame_sample": q_mm_frame_sample})
+ORACLES.update({"mm_frame_sample": Q_MM_FRAME_SAMPLE_SQL})

@@ -356,3 +356,35 @@ def test_sessionize_gap_boundary(ray_session):
     assert out["session_idx"].tolist() == [0, 1]
     assert out["n_events"].tolist() == [2, 2]
     assert out["total_value"].tolist() == [3.0, 7.0]
+
+
+def test_frame_sampler_matches_naive_reference(ray_session):
+    """Vectorized prefix-sum frame checksums == per-frame Python loop,
+    including docs shorter than one frame (zero output rows)."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.multimodal import (
+        frame_sample_pipeline,
+    )
+
+    rng = np.random.default_rng(3)
+    texts = [
+        "".join(chr(rng.integers(32, 127)) for _ in range(int(n)))
+        for n in rng.integers(0, 400, size=25)
+    ]
+    t = pa.table({"doc_id": list(range(25)), "text": texts})
+    F, S = 64, 4
+    got = (
+        frame_sample_pipeline(rd.from_arrow(t), frame_bytes=F, step=S)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+
+    exp = []
+    for i, tx in enumerate(texts):
+        b = tx.encode()
+        for k in range(0, len(b) // F, S):
+            exp.append((i, k, sum(b[k * F:(k + 1) * F])))
+    exp.sort()
+    assert list(zip(got["doc_id"], got["frame_idx"], got["frame_checksum"])) == exp
