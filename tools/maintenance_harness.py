@@ -17,6 +17,9 @@ Scenarios (FIXTURES.md F5):
   zorder-kill-resume — a range-partitioned Z-order is SIGKILLed
                  mid-reduce; the resume redoes ONLY unfinished ranges
                  (completed ranges' files verified reused by mtime).
+  merge-kill-resume — a shuffle MERGE is SIGKILLed mid-bucket-apply;
+                 the resume reuses committed bucket records (files
+                 verified by mtime) and matches an uninterrupted run.
   concurrent   — a compaction and a MERGE race from the same base
                  snapshot; overlapping file sets must conflict-and-replan,
                  and the final scan must equal the serial execution.
@@ -84,9 +87,22 @@ elif cmd == "zorder-ranged":
 elif cmd == "merge":
     from open_finance_lakehouse_ray.sources.transcripts import build_transcripts, late_turns
     from open_finance_lakehouse_ray.pipelines.merge import merge_into
+    slow = os.environ.get("HARNESS_SLOW_BUCKET_S")
+    if slow:  # slow each bucket apply so a SIGKILL lands mid-merge
+        import open_finance_lakehouse_ray.pipelines.merge as mg
+        orig_make = mg._make_bucket_apply
+        def slow_make(*a, **k):
+            inner = orig_make(*a, **k)
+            def slowed(g):
+                time.sleep(float(slow))
+                return inner(g)
+            return slowed
+        mg._make_bucket_apply = slow_make
     base = build_transcripts(seed=42, n_convs=int(sys.argv[4]))
     late = late_turns(base, n_updates=30, n_inserts=15, n_stale=10)
-    snap = merge_into(root, late, job_id=sys.argv[3], num_buckets=8)
+    strategy = sys.argv[5] if len(sys.argv) > 5 else "auto"
+    snap = merge_into(root, late, job_id=sys.argv[3], num_buckets=8,
+                      strategy=strategy)
     print(json.dumps({"version": snap.version, "op": snap.operation}))
 ray.shutdown()
 """
@@ -251,6 +267,70 @@ def scenario_zorder_kill_resume(scratch: str) -> dict:
     }
 
 
+def scenario_merge_kill_resume(scratch: str) -> dict:
+    """A shuffle MERGE is SIGKILLed mid-bucket-apply; the resumed process
+    reuses committed bucket records (their output files verified by
+    mtime) and the final state equals an uninterrupted merge's."""
+    root = os.path.join(scratch, "mkill")
+    ref_root = os.path.join(scratch, "mkill-ref")
+    run_worker(["ingest", root, "40"])
+    shutil.copytree(root, ref_root)
+
+    run_worker(["merge", ref_root, "merge-K", "40", "shuffle"])
+    ref_state = independent_state(ref_root)
+
+    p = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "merge", root, "merge-K", "40",
+         "shuffle"],
+        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_SLOW_BUCKET_S": "2.0"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [
+            pid for pid, r in TableLog(root).committed_partitions("merge-K").items()
+            if r.get("outputs")
+        ]
+        if len(done) >= 2:
+            break
+        time.sleep(0.25)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+
+    parts = {
+        pid: r for pid, r in TableLog(root).committed_partitions("merge-K").items()
+        if r.get("outputs")
+    }
+    pre_mtimes = {
+        r["outputs"][0]["path"]: os.path.getmtime(
+            os.path.join(root, r["outputs"][0]["path"])
+        )
+        for r in parts.values()
+    }
+
+    run_worker(["merge", root, "merge-K", "40", "shuffle"])
+    got_state = independent_state(root)
+
+    final_paths = set(TableLog(root).snapshot().added_paths)
+    reused = all(
+        p_ in final_paths
+        and os.path.getmtime(os.path.join(root, p_)) == m
+        for p_, m in pre_mtimes.items()
+    )
+    comparable = {k: ref_state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    got_comp = {k: got_state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    return {
+        "ok": comparable == got_comp and reused and len(parts) > 0,
+        "buckets_committed_before_kill": len(parts),
+        "completed_buckets_reused": reused,
+        "reference": ref_state,
+        "resumed": got_state,
+    }
+
+
 def scenario_concurrent(scratch: str) -> dict:
     root = os.path.join(scratch, "concurrent")
     run_worker(["ingest", root, "40"])
@@ -290,13 +370,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="all",
                     choices=["all", "double-run", "kill-resume",
-                             "zorder-kill-resume", "concurrent"])
+                             "zorder-kill-resume", "merge-kill-resume",
+                             "concurrent"])
     args = ap.parse_args()
     scratch = tempfile.mkdtemp(prefix="ofl-harness-")
     scenarios = {
         "double-run": scenario_double_run,
         "kill-resume": scenario_kill_resume,
         "zorder-kill-resume": scenario_zorder_kill_resume,
+        "merge-kill-resume": scenario_merge_kill_resume,
         "concurrent": scenario_concurrent,
     }
     todo = list(scenarios) if args.scenario == "all" else [args.scenario]
