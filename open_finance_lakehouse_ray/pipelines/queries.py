@@ -2339,3 +2339,53 @@ Q_MM_FRAME_SAMPLE_SQL = """
 
 QUERIES.update({"mm_frame_sample": q_mm_frame_sample})
 ORACLES.update({"mm_frame_sample": Q_MM_FRAME_SAMPLE_SQL})
+
+
+def q_emb_kmeans_assign(sf_dir: str) -> pa.Table:
+    """One distributed Lloyd's assignment+update step: nearest of the k=8
+    lowest-id centroids per vector (Euclidean, ties to the lower centroid
+    id), then per-cluster count and mean of dim 0 — the gate-checkable
+    body of the iterative k-means loop (full multi-iteration version:
+    :func:`..similarity.kmeans_distributed`)."""
+    from open_finance_lakehouse_ray.pipelines.similarity import (
+        _det_head,
+        assign_partials,
+    )
+
+    k = 8
+    mat = _emb(sf_dir).select_columns(["vec_id", "embedding"]).materialize()
+    cent = _det_head(mat, "vec_id", "embedding", k)
+    parts = assign_partials(mat, cent)
+    rows = []
+    for c, grp in parts.groupby("cluster", sort=True):
+        n = int(grp["n"].sum())
+        dim0 = float(np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)[0])
+        rows.append(
+            {
+                "cluster": int(c),
+                "n": n,
+                "mean_dim0": float(_round_half_away(pd.Series([dim0 / n]), 4).iloc[0]),
+            }
+        )
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+Q_EMB_KMEANS_SQL = """
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.cid,
+                 list_distance(CAST(e.embedding AS DOUBLE[]),
+                               CAST(c.cv AS DOUBLE[])) AS dist,
+                 CAST(e.embedding[1] AS DOUBLE) AS dim0
+          FROM embeddings e CROSS JOIN c),
+    a AS (SELECT vec_id, cid, dim0,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rk
+          FROM d)
+    SELECT cid AS cluster, COUNT(*) AS n, ROUND(AVG(dim0), 4) AS mean_dim0
+    FROM a WHERE rk = 1 GROUP BY cid ORDER BY cluster
+"""
+
+
+QUERIES.update({"emb_kmeans_assign": q_emb_kmeans_assign})
+ORACLES.update({"emb_kmeans_assign": Q_EMB_KMEANS_SQL})

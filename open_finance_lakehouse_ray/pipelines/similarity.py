@@ -280,3 +280,129 @@ def label_centroid_report(emb: rd.Dataset) -> pa.Table:
         }
     ).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _det_head(mat: rd.Dataset, id_col: str, vec_col: str, k: int) -> np.ndarray:
+    """First k vectors by id, found WITHOUT a global sort: each batch
+    offers its local k smallest ids, the driver merges num_batches × k
+    candidate rows — deterministic and O(batches·k), not O(n log n)."""
+
+    def head_partial(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, vec_col]).to_pandas().nsmallest(k, id_col)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    heads = (
+        mat.map_batches(head_partial, batch_format="pyarrow")
+        .to_pandas()
+        .nsmallest(k, id_col)
+        .sort_values(id_col)
+    )
+    return np.stack(heads[vec_col].to_numpy()).astype(np.float64)
+
+
+def assign_partials(
+    mat: rd.Dataset,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """One distributed assignment pass: nearest centroid per vector
+    (Euclidean, ties to the lower centroid id — numpy argmin's first-hit
+    IS that order), returning per-(batch, cluster) partial sums
+    (count, per-dim vector sum, batch key). Only k×(d+2) floats per batch
+    leave the cluster. Reduction happens at the caller SORTED BY batch
+    key so the float accumulation order is deterministic run to run."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        # |x-c|^2 = |x|^2 - 2 x·c + |c|^2 ; the x·c matmul is the hot op
+        d2 = (
+            (x * x).sum(1, keepdims=True)
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        counts = np.bincount(a, minlength=len(cent))
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, x)
+        live = np.where(counts > 0)[0]
+        return pa.table(
+            {
+                "cluster": pa.array(live.astype(np.int64)),
+                "n": pa.array(counts[live].astype(np.int64)),
+                "vec_sum": pa.array(list(sums[live])),
+                "batch_key": pa.array(
+                    np.full(len(live), ids.min(), dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        mat.map_batches(stage, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["batch_key", "cluster"], kind="mergesort")
+    )
+
+
+def kmeans_distributed(
+    emb: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, pa.Table]:
+    """Distributed Lloyd's k-means over the FULL embedding column — the
+    iterative broadcast-refine pattern (the brief's "iterative
+    algorithms" class; :func:`_kmeans` above trains the IVF quantizer on
+    a driver-side SAMPLE, this streams every vector every iteration):
+
+    - init: the k lowest-id vectors (deterministic, no global sort);
+    - per iteration, the k×d centroid matrix ships ONCE (``ray.put``)
+      and each batch returns only k×(d+2) partial floats;
+    - the driver reduces partials in sorted batch order (deterministic
+      float accumulation) and refreshes centroids; an empty cluster
+      keeps its previous centroid;
+    - a final pass emits (vec_id, cluster) assignments.
+
+    Returns (centroids, assignments table sorted by vec_id).
+    """
+    mat = emb.select_columns([id_col, vec_col]).materialize()
+    cent = _det_head(mat, id_col, vec_col, k)
+
+    for _ in range(iters):
+        parts = assign_partials(mat, cent, id_col=id_col, vec_col=vec_col)
+        new = cent.copy()
+        for c, grp in parts.groupby("cluster", sort=True):
+            n = int(grp["n"].sum())
+            if n > 0:
+                new[c] = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0) / n
+        cent = new
+
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        d2 = (
+            (x * x).sum(1, keepdims=True)
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+            }
+        )
+
+    out = (
+        mat.map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    return cent, pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -388,3 +388,62 @@ def test_frame_sampler_matches_naive_reference(ray_session):
             exp.append((i, k, sum(b[k * F:(k + 1) * F])))
     exp.sort()
     assert list(zip(got["doc_id"], got["frame_idx"], got["frame_checksum"])) == exp
+
+
+def test_kmeans_distributed_single_block_matches_numpy(ray_session):
+    """With one block, the distributed loop must equal a plain numpy
+    Lloyd's run bit-for-bit (same init, same reduction order)."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.similarity import (
+        kmeans_distributed,
+    )
+
+    rng = np.random.default_rng(21)
+    n, d, k, iters = 120, 6, 4, 4
+    x = rng.normal(size=(n, d))
+    t = pa.table({"vec_id": list(range(n)), "embedding": list(x.astype(np.float32))})
+    cent, assign = kmeans_distributed(
+        rd.from_arrow(t), k=k, iters=iters
+    )
+
+    # numpy reference: identical algorithm
+    xs = x.astype(np.float32).astype(np.float64)
+    c = xs[:k].copy()
+    for _ in range(iters):
+        d2 = ((xs[:, None, :] - c[None]) ** 2).sum(-1)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                c[j] = xs[a == j].mean(axis=0)
+    d2 = ((xs[:, None, :] - c[None]) ** 2).sum(-1)
+    ref_assign = d2.argmin(axis=1)
+
+    np.testing.assert_allclose(cent, c, rtol=1e-9)
+    assert assign["cluster"].to_pylist() == ref_assign.tolist()
+
+
+def test_kmeans_distributed_multi_block_deterministic(ray_session):
+    """Across blocks the sorted-partial reduction must make repeated runs
+    identical, and every cluster must be non-trivial on blobby data."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.similarity import (
+        kmeans_distributed,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(scale=5.0, size=(4, 5))
+    x = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(50, 5)) for c in centers]
+    )
+    ids = rng.permutation(len(x))
+    t = pa.table({"vec_id": ids.tolist(),
+                  "embedding": list(x.astype(np.float32))})
+    ds = rd.from_arrow(t).repartition(8)
+    c1, a1 = kmeans_distributed(ds, k=4, iters=5)
+    c2, a2 = kmeans_distributed(ds, k=4, iters=5)
+    assert a1.equals(a2)
+    np.testing.assert_array_equal(c1, c2)
+    counts = np.bincount(np.array(a1["cluster"].to_pylist()), minlength=4)
+    assert (counts > 10).all()
