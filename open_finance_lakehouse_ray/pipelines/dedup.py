@@ -148,10 +148,7 @@ def minhash_near_dup_pairs(
 
     buckets = texts.map_batches(sig_stage, batch_format="pyarrow")
 
-    cand = (
-        buckets.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-    )
+    cand = _collision_groups(buckets, ("band_id", "band_hash"), _bucket_pairs)
     return _verified_pairs(
         cand, texts, small,
         id_col=id_col, text_col=text_col,
@@ -167,6 +164,88 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
                              "id_b": np.array([], dtype=np.int64)})
     ii, jj = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+
+NUM_SHUFFLE_PARTITIONS = 64
+
+
+def _pk_tagger(key_cols: tuple[str, ...], num_partitions: int):
+    """map_batches fn appending ``_pk`` = stable hash of key_cols mod
+    num_partitions. The point: a Ray ``groupby`` over RAW bucket keys
+    creates one ``map_groups`` invocation per distinct key — at corpus
+    scale that is millions of tiny Python calls (measured: a 100k-doc
+    LSH banding stalled for minutes on per-group overhead alone).
+    Hash-partitioning to a BOUNDED group count keeps equal keys
+    co-located while the per-key work happens vectorized INSIDE the
+    partition."""
+    from open_finance_lakehouse_ray.functions.hashing import splitmix64
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            col = t[c]
+            if pa.types.is_integer(col.type):
+                a = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            else:
+                a = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
+            h = splitmix64(h ^ a)
+        return t.append_column(
+            "_pk", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    return tag
+
+
+def _collision_groups(
+    ds: rd.Dataset,
+    key_cols: tuple[str, ...],
+    per_group_fn,
+    *,
+    num_partitions: int = NUM_SHUFFLE_PARTITIONS,
+):
+    """Apply ``per_group_fn`` to every key group of size ≥ 2 (an actual
+    collision — singletons can never pair) via the bounded hash-partition
+    shuffle. Group-size filtering is a vectorized ``transform("size")``;
+    the Python loop runs only over colliding groups in one partition."""
+    tagged = ds.map_batches(
+        _pk_tagger(key_cols, num_partitions), batch_format="pyarrow"
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        keys = list(key_cols)
+        sz = df.groupby(keys, sort=False)[keys[0]].transform("size")
+        coll = df[sz >= 2]
+        frames = [
+            per_group_fn(g) for _, g in coll.groupby(keys, sort=False)
+        ]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return per_group_fn(df.iloc[0:0])
+        return pd.concat(frames, ignore_index=True)
+
+    return tagged.groupby("_pk").map_groups(part, batch_format="pandas")
+
+
+def _dedup_pairs(
+    pairs: rd.Dataset, *, num_partitions: int = NUM_SHUFFLE_PARTITIONS
+) -> rd.Dataset:
+    """Distributed exact dedup of candidate (id_a, id_b) rows — equal
+    pairs co-locate by hash partition, dedup is one vectorized
+    ``drop_duplicates`` per partition (globally correct; any extra
+    per-pair columns are identical across duplicates of a pair, so
+    keep-first is deterministic)."""
+    tagged = pairs.map_batches(
+        _pk_tagger(("id_a", "id_b"), num_partitions), batch_format="pyarrow"
+    )
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["id_a", "id_b"], kind="mergesort")
+            .drop_duplicates(["id_a", "id_b"])
+            .drop(columns=["_pk"])
+        )
+
+    return tagged.groupby("_pk").map_groups(dd, batch_format="pandas")
 
 
 def _verified_pairs(
@@ -224,12 +303,7 @@ def _verified_pairs(
         )
     else:
         # scale path: distributed pair dedup + bucketed text joins
-        def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
-            return g.head(1)
-
-        cand = cand.groupby(["id_a", "id_b"]).map_groups(
-            first_of_pair, batch_format="pandas"
-        )
+        cand = _dedup_pairs(cand)
 
         from open_finance_lakehouse_ray.pipelines.join import join as ds_join
 
@@ -321,10 +395,10 @@ def ngram_jaccard_pairs(
     texts = docs.select_columns([id_col, text_col]).materialize()
     small = (texts.size_bytes() or 0) <= broadcast_max_bytes
 
-    cand = (
-        texts.map_batches(prefix_index, batch_format="pyarrow")
-        .groupby("shingle")
-        .map_groups(_bucket_pairs, batch_format="pandas")
+    cand = _collision_groups(
+        texts.map_batches(prefix_index, batch_format="pyarrow"),
+        ("shingle",),
+        _bucket_pairs,
     )
     return _verified_pairs(
         cand, texts, small,
@@ -454,18 +528,9 @@ def simhash_near_dup_pairs(
             {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "hamming": d[keep]}
         )
 
-    pairs = rows.groupby(["block_id", "block_val"]).map_groups(
-        block_pairs, batch_format="pandas"
-    )
+    pairs = _collision_groups(rows, ("block_id", "block_val"), block_pairs)
 
-    def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    out = (
-        pairs.groupby(["id_a", "id_b"])
-        .map_groups(first_of_pair, batch_format="pandas")
-        .to_pandas()
-    )
+    out = _dedup_pairs(pairs).to_pandas()
     if "id_a" not in out.columns or len(out) == 0:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
@@ -591,19 +656,10 @@ def embedding_near_dup_pairs(
              "cosine": sims[ii[keep], jj[keep]]}
         )
 
-    pairs = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = _collision_groups(buckets, ("band_id", "band_hash"), bucket_pairs)
 
     # a true pair collides in many bands: dedup distributed, never driver-side
-    def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    out = (
-        pairs.groupby(["id_a", "id_b"])
-        .map_groups(first_of_pair, batch_format="pandas")
-        .to_pandas()
-    )
+    out = _dedup_pairs(pairs).to_pandas()
     if "id_a" not in out.columns or len(out) == 0:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),

@@ -176,15 +176,24 @@ def corpus_prep(
         )
         return batch.filter(keep)
 
-    def keep_min_id(g):
-        return g.nsmallest(1, id_col)
+    from open_finance_lakehouse_ray.pipelines.dedup import _pk_tagger
+
+    def keep_min_per_md5(df):
+        # one vectorized pass per PARTITION (a groupby on raw md5 would be
+        # one Python call per distinct digest — millions at corpus scale)
+        return (
+            df.sort_values(["md5", id_col], kind="mergesort")
+            .drop_duplicates("md5", keep="first")
+            .drop(columns=["_pk"])
+        )
 
     survivors = (
         analyze_documents(docs.select_columns([id_col, text_col]))
         .map_batches(quality_gate, batch_format="pyarrow")
         .select_columns([id_col, text_col, "n_tokens", "md5"])
-        .groupby("md5")
-        .map_groups(keep_min_id, batch_format="pandas")
+        .map_batches(_pk_tagger(("md5",), 64), batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(keep_min_per_md5, batch_format="pandas")
         .materialize()
     )
 

@@ -1,0 +1,128 @@
+"""Scale stress for the training-data operators: the gate corpus is 500-5k
+docs, so this bench replicates sf0.1's documents into a ~100k-doc corpus
+(per-replica salting kills accidental similarity) with 500 SEEDED
+near-dup twins, then runs the dedup family with the SCALE paths FORCED
+(``broadcast_max_bytes=0`` — bucketed joins, no corpus broadcast) and
+verifies the seeded structure is recovered exactly:
+
+- ngram_jaccard_pairs (prefix-filtered, recall 1.0): found pairs must be
+  EXACTLY the 500 seeded twins;
+- minhash_near_dup_pairs: found ⊆ seeded (exact-Jaccard verify kills
+  false positives); recall printed (LSH recall is the only approximation);
+- vocab_df_topk over the full corpus.
+
+Prints one JSON line with timings + invariant verdicts.
+
+Usage: python tools/training_scale_bench.py  (env GRAFT_SF_DIR, RAY_GRAFT_CPUS,
+GRAFT_DOC_REPLICATE)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_DOC_REPLICATE", "20"))
+
+
+def main() -> int:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from open_finance_lakehouse_ray.pipelines.textpipe import vocab_df_topk
+
+    base = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    n_base = base.num_rows
+
+    # --- corpus construction (driver-side is fine: construction is not
+    # what is being measured) ---------------------------------------
+    # every 3rd token replaced by a per-(replica, doc) salt → every
+    # 3-shingle of every replica touches a salt token, so NO shingles are
+    # shared across replicas of the same base doc (no accidental pairs)
+    ids, texts = [], []
+    twin_pairs = []
+    next_id = 0
+    base_ids = base["doc_id"].to_pylist()
+    base_texts = base["text"].to_pylist()
+    for r in range(REPLICATE):
+        for bid, t in zip(base_ids, base_texts):
+            w = t.split()
+            for j in range(0, len(w), 3):
+                w[j] = f"s{r}d{bid}j{j}"
+            ids.append(next_id)
+            texts.append(" ".join(w))
+            my_id = next_id
+            next_id += 1
+            # seeded twin: one word changed → J well above 0.6
+            if r == 0 and bid % 10 == 0:
+                w2 = list(w)
+                w2[-1] = "twintail"
+                ids.append(next_id)
+                texts.append(" ".join(w2))
+                twin_pairs.append((my_id, next_id))
+                next_id += 1
+
+    corpus = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                       "text": pa.array(texts, pa.string())})
+    scratch = "/tmp/oflr-docscale.parquet"
+    pq.write_table(corpus, scratch)
+    docs = rd.read_parquet(scratch).repartition(NUM_CPUS * 2)
+    expected = set(twin_pairs)
+
+    out = {"n_docs": corpus.num_rows, "n_seeded_twins": len(expected),
+           "num_cpus": NUM_CPUS}
+
+    t0 = time.perf_counter()
+    jac = ngram_jaccard_pairs(docs, threshold=0.6, broadcast_max_bytes=0)
+    out["ngram_jaccard_sec"] = round(time.perf_counter() - t0, 2)
+    got = set(zip(jac["id_a"].to_pylist(), jac["id_b"].to_pylist()))
+    out["ngram_jaccard_pairs"] = len(got)
+    out["ngram_jaccard_exact_match"] = got == expected
+
+    t0 = time.perf_counter()
+    mh = minhash_near_dup_pairs(docs, threshold=0.6, broadcast_max_bytes=0)
+    out["minhash_sec"] = round(time.perf_counter() - t0, 2)
+    mgot = set(zip(mh["id_a"].to_pylist(), mh["id_b"].to_pylist()))
+    out["minhash_pairs"] = len(mgot)
+    out["minhash_subset_of_seeded"] = mgot <= expected
+    out["minhash_recall"] = round(len(mgot & expected) / max(len(expected), 1), 4)
+
+    t0 = time.perf_counter()
+    vocab = vocab_df_topk(docs, k=50)
+    out["vocab_df_sec"] = round(time.perf_counter() - t0, 2)
+    out["vocab_df_rows"] = vocab.num_rows
+
+    out["ok"] = bool(
+        out["ngram_jaccard_exact_match"]
+        and out["minhash_subset_of_seeded"]
+        and out["minhash_recall"] >= 0.95
+    )
+    ray.shutdown()
+    os.unlink(scratch)
+    print(json.dumps(out))
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
