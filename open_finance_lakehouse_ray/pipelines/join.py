@@ -126,6 +126,28 @@ def join(
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
 
+    # Ray drops the schema of an EMPTY dataset entirely (an empty
+    # pandas-sourced Dataset reports schema()=None after any reshuffle),
+    # so an empty side's non-key columns are unknowable here. Degrade
+    # per join semantics instead of crashing: the empty side contributes
+    # no rows, and for the one case whose output still has rows (outer /
+    # left with the OTHER side live) the unknowable columns are omitted —
+    # documented, and pinned by tests/test_join.py::test_empty_sides.
+    if left.schema(fetch_if_missing=True) is None:
+        if how == "outer":
+            ren_keys = dict(zip(r_on, left_on))
+            return right.map_batches(
+                lambda t: t.rename_columns(
+                    [ren_keys.get(c, c) for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        return left  # inner/left/semi/anti of an empty left are empty
+    if right.schema(fetch_if_missing=True) is None:
+        if how in ("inner", "semi"):
+            return right  # empty
+        return left  # left/anti/outer keep every left row unchanged
+
     if strategy == "auto":
         if how == "outer":
             strategy = "shuffle"

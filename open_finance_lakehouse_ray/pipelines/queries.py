@@ -54,6 +54,25 @@ def _round_half_away(x, n: int):
     return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
 
 
+def _keyed_partitions(ds, key_cols, part_fn, num_partitions: int = 64):
+    """Hash-partition by ``key_cols`` into a BOUNDED group count and run
+    ``part_fn`` once per PARTITION — vectorized pandas over all the keys
+    that landed there — instead of once per distinct key. A raw
+    ``groupby(key).map_groups`` is one Python call per key: at millions
+    of users that per-group overhead dominates (the measured finding in
+    docs/PERF.md #4; same partition trick as ``dedup._collision_groups``)."""
+    from open_finance_lakehouse_ray.pipelines.dedup import _pk_tagger
+
+    tagged = ds.map_batches(
+        _pk_tagger(tuple(key_cols), num_partitions), batch_format="pyarrow"
+    )
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return part_fn(df.drop(columns=["_pk"]))
+
+    return tagged.groupby("_pk").map_groups(run, batch_format="pandas")
+
+
 def _mod(arr: pa.Array | pa.ChunkedArray, m: int) -> pa.Array:
     """Arrow has no modulo kernel (pyarrow 16) — hop through numpy."""
     if isinstance(arr, pa.ChunkedArray):
@@ -447,13 +466,15 @@ def q_ev_latest_per_user(sf_dir: str) -> pa.Table:
             df.groupby("user_id", sort=False).tail(1), preserve_index=False
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], kind="mergesort").tail(1)
+    def final_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return df.groupby("user_id", sort=False).tail(1)
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(final, batch_format="pandas")
+        _keyed_partitions(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["user_id"], final_part,
+        )
         .to_pandas()
         .sort_values("user_id")
     )
@@ -540,14 +561,19 @@ def q_ev_rolling_avg(sf_dir: str) -> pa.Table:
     (ts, event_id) — sort-within-group ``map_groups``."""
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g["rolling_avg"] = g["value"].rolling(5, min_periods=1).mean().round(4)
-        return g[["event_id", "user_id", "rolling_avg"]]
+    def roll_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        r = (
+            df.groupby("user_id", sort=False)["value"]
+            .rolling(5, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        df["rolling_avg"] = r.round(4)
+        return df[["event_id", "user_id", "rolling_avg"]]
 
     out = (
-        ds.groupby("user_id")
-        .map_groups(roll, batch_format="pandas")
+        _keyed_partitions(ds, ["user_id"], roll_part)
         .to_pandas()
         .sort_values("event_id")
     )
@@ -567,16 +593,15 @@ def q_ev_asof_last_view(sf_dir: str) -> pa.Table:
     at-or-before it — per-group sorted as-of search in map_groups."""
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        view_ts = g["ts"].where(g["event_type"] == "view")
-        g["last_view_ts"] = view_ts.ffill()
-        clicks = g[g["event_type"] == "click"]
+    def asof_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        view_ts = df["ts"].where(df["event_type"] == "view")
+        df["last_view_ts"] = view_ts.groupby(df["user_id"], sort=False).ffill()
+        clicks = df[df["event_type"] == "click"]
         return clicks[["event_id", "user_id", "last_view_ts"]]
 
     out = (
-        ds.groupby("user_id")
-        .map_groups(asof, batch_format="pandas")
+        _keyed_partitions(ds, ["user_id"], asof_part)
         .to_pandas()
         .sort_values("event_id")
     )
@@ -1512,12 +1537,31 @@ def q_ev_interp_purchase(sf_dir: str) -> pa.Table:
         out["interp_value"] = out["interp_value"].round(4)
         return out
 
-    out = (
-        ds.groupby("user_id")
-        .map_groups(interp, batch_format="pandas")
-        .to_pandas()
-        .sort_values("event_id")
-    )
+    def interp_part(df: pd.DataFrame) -> pd.DataFrame:
+        # in-process per-user apply inside a BOUNDED partition: the group
+        # loop costs a pandas call, not a Ray map_groups task, per user
+        out = [interp(g) for _, g in df.groupby("user_id", sort=False)]
+        out = [o for o in out if len(o)]
+        if not out:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "interp_value": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    out = _keyed_partitions(ds, ["user_id"], interp_part).to_pandas()
+    if "event_id" not in out.columns:  # all partitions empty: schema lost
+        out = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "interp_value": pd.Series([], dtype="float64"),
+            }
+        )
+    out = out.sort_values("event_id")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
@@ -2092,14 +2136,16 @@ def q_ev_sessionize(sf_dir: str) -> pa.Table:
         columns=["event_id", "ts", "user_id", "value"],
     )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        brk = (
-            g["ts"].diff().dt.total_seconds() > SESSION_GAP_SECONDS
-        ).astype("int64")
-        g = g.assign(session_idx=brk.cumsum())
+    def sessions_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts"].diff().dt.total_seconds()
+        brk = ((gap > SESSION_GAP_SECONDS) & ~new_user).astype("int64")
+        df = df.assign(
+            session_idx=brk.groupby(df["user_id"], sort=False).cumsum()
+        )
         agg = (
-            g.groupby("session_idx")
+            df.groupby(["user_id", "session_idx"], sort=False)
             .agg(
                 session_start=("ts", "min"),
                 session_end=("ts", "max"),
@@ -2108,14 +2154,12 @@ def q_ev_sessionize(sf_dir: str) -> pa.Table:
             )
             .reset_index()
         )
-        agg.insert(0, "user_id", g["user_id"].iloc[0])
         agg["total_value"] = agg["total_value"].round(4)
         agg["n_events"] = agg["n_events"].astype("int64")
         return agg
 
     out = (
-        ds.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        _keyed_partitions(ds, ["user_id"], sessions_part)
         .to_pandas()
         .sort_values(["user_id", "session_idx"])
     )

@@ -169,6 +169,10 @@ def test_join_property_random_frames(ray_session):
         else:
             exp = left.merge(right, on="k", how=how)
             cols = ["k", "v", "w"]
+        if len(lkeys) == 0 and how == "outer":
+            # empty-side degradation (schema unknowable): left-only
+            # columns are absent from the output — compare the knowable
+            cols = ["k", "w"]
         if len(got) == 0 and len(exp) == 0:
             return
         gl = got[cols].fillna(-1).sort_values(cols).values.tolist()
@@ -176,3 +180,26 @@ def test_join_property_random_frames(ray_session):
         assert gl == el, (how, gl[:5], el[:5])
 
     check()
+
+
+def test_empty_sides(ray_session):
+    """Empty-side joins degrade per semantics instead of crashing (Ray
+    reports schema()=None for an empty reshuffled Dataset, so the empty
+    side's non-key columns are unknowable)."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [], "v": []})).repartition(3)
+    right = rd.from_pandas(pd.DataFrame({"k": [1, 2], "w": [10, 20]}))
+
+    for how in ("inner", "left", "semi", "anti"):
+        assert join(left, right, on="k", how=how, strategy="shuffle").count() == 0
+    out = join(left, right, on="k", how="outer", strategy="shuffle").to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2]
+
+    full = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [5, 6]}))
+    empty_r = rd.from_pandas(pd.DataFrame({"k": [], "w": []})).repartition(2)
+    assert join(full, empty_r, on="k", how="inner", strategy="shuffle").count() == 0
+    assert join(full, empty_r, on="k", how="left", strategy="shuffle").count() == 2
+    assert join(full, empty_r, on="k", how="anti", strategy="shuffle").count() == 2
