@@ -11,8 +11,11 @@ exists there — SURVEY.md §2.7), built Ray-Data-first:
   EXACT similarity so LSH recall is the only approximation;
 - verification broadcasts the document corpus via ``ray.put`` when it
   fits (one object-store copy read by every task, never re-shipped per
-  batch); at larger scale swap in the bucketed join (see
-  ``doc_features_for`` callers).
+  batch); above the size guard it switches to hash-bucketed joins
+  (``_verified_pairs``) — no stage materializes the corpus on one node;
+- bucket keys are never fed to a raw ``groupby`` (one Python call per
+  distinct key): ``_collision_groups`` hash-partitions them into a
+  bounded group count first — see docs/PERF.md finding 4.
 """
 
 from __future__ import annotations

@@ -113,13 +113,71 @@ def main() -> int:
     out["vocab_df_sec"] = round(time.perf_counter() - t0, 2)
     out["vocab_df_rows"] = vocab.num_rows
 
+    # --- sessionization at scale: replicate events 32x (disjoint users),
+    # verify the bounded-partition sessionizer against DuckDB's own
+    # gaps-and-islands over the SAME parquet -------------------------
+    import duckdb
+
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["event_id", "ts", "user_id", "value"])
+    n_ev = ev.num_rows
+    reps = []
+    for r in range(32):
+        reps.append(pa.table({
+            "event_id": pa.array(
+                np.asarray(ev["event_id"]) + r * 10_000_000),
+            "ts": ev["ts"],
+            "user_id": pa.array(np.asarray(ev["user_id"]) + r * 1_000_000),
+            "value": ev["value"],
+        }))
+    big = pa.concat_tables(reps)
+    ev_scratch = "/tmp/oflr-evscale.parquet"
+    pq.write_table(big, ev_scratch)
+    out["n_events"] = big.num_rows
+
+    from open_finance_lakehouse_ray.pipelines.queries import (
+        SESSION_GAP_SECONDS,
+        q_ev_sessionize,
+    )
+
+    evdir = "/tmp/oflr-evscale-dir"
+    os.makedirs(evdir, exist_ok=True)
+    os.replace(ev_scratch, os.path.join(evdir, "events.parquet"))
+    t0 = time.perf_counter()
+    sessions = q_ev_sessionize(evdir)
+    out["sessionize_sec"] = round(time.perf_counter() - t0, 2)
+    out["n_sessions"] = sessions.num_rows
+
+    con = duckdb.connect()
+    ref_n, ref_ev, ref_val = con.execute(f"""
+        WITH e AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN epoch(ts - LAG(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))
+                      > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END AS brk
+          FROM '{evdir}/events.parquet'),
+        s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e)
+        SELECT COUNT(*), SUM(n), ROUND(SUM(v), 2) FROM (
+          SELECT user_id, sid, COUNT(*) AS n, SUM(value) AS v
+          FROM s GROUP BY user_id, sid)""").fetchone()
+    got_df = sessions.to_pandas()
+    out["sessionize_matches_duckdb"] = bool(
+        ref_n == len(got_df)
+        and int(ref_ev) == int(got_df["n_events"].sum())
+        and abs(float(ref_val) - round(float(got_df["total_value"].sum()), 2)) < 1.0
+    )
+
     out["ok"] = bool(
         out["ngram_jaccard_exact_match"]
         and out["minhash_subset_of_seeded"]
         and out["minhash_recall"] >= 0.95
+        and out["sessionize_matches_duckdb"]
     )
     ray.shutdown()
     os.unlink(scratch)
+    os.unlink(os.path.join(evdir, "events.parquet"))
     print(json.dumps(out))
     return 0 if out["ok"] else 1
 
