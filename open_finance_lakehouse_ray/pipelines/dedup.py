@@ -20,6 +20,8 @@ exists there — SURVEY.md §2.7), built Ray-Data-first:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -27,6 +29,13 @@ import ray
 import ray.data as rd
 
 MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _force_scale() -> bool:
+    """``OFLR_FORCE_SCALE_PATHS=1`` disables every small-corpus broadcast
+    fast path so the bucketed-join scale paths run end to end — used to
+    prove BOTH execution paths produce oracle-identical results."""
+    return os.environ.get("OFLR_FORCE_SCALE_PATHS", "") not in ("", "0")
 
 
 def _shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
@@ -147,7 +156,9 @@ def minhash_near_dup_pairs(
     # materialize the (id, text) projection ONCE: it feeds the signature
     # stage AND the verify stage (no second read of the source)
     texts = docs.select_columns([id_col, text_col]).materialize()
-    small = (texts.size_bytes() or 0) <= broadcast_max_bytes
+    small = (not _force_scale()) and (
+        (texts.size_bytes() or 0) <= broadcast_max_bytes
+    )
 
     buckets = texts.map_batches(sig_stage, batch_format="pyarrow")
 
@@ -396,7 +407,9 @@ def ngram_jaccard_pairs(
                          "doc_id": np.concatenate(out_id)})
 
     texts = docs.select_columns([id_col, text_col]).materialize()
-    small = (texts.size_bytes() or 0) <= broadcast_max_bytes
+    small = (not _force_scale()) and (
+        (texts.size_bytes() or 0) <= broadcast_max_bytes
+    )
 
     cand = _collision_groups(
         texts.map_batches(prefix_index, batch_format="pyarrow"),
