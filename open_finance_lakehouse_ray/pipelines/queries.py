@@ -2433,3 +2433,81 @@ Q_EMB_KMEANS_SQL = """
 
 QUERIES.update({"emb_kmeans_assign": q_emb_kmeans_assign})
 ORACLES.update({"emb_kmeans_assign": Q_EMB_KMEANS_SQL})
+
+
+def q_doc_seq_pack(sf_dir: str) -> pa.Table:
+    """Concat-and-chunk packing into 512-token sequences (distributed
+    prefix sum — see :func:`..textpipe.sequence_pack`)."""
+    from open_finance_lakehouse_ray.pipelines.textpipe import sequence_pack
+
+    return sequence_pack(_docs(sf_dir, ["doc_id", "text"]), seq_len=512)
+
+
+Q_DOC_SEQ_PACK_SQL = r"""
+    WITH st AS (SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+')) AS n_tokens
+                FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens
+                     AS start_offset
+          FROM st)
+    SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // 512 AS BIGINT) AS seq_id
+    FROM c ORDER BY doc_id
+"""
+
+
+def q_doc_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic stratified sample: 3 docs per language, ranked by
+    (md5(text), doc_id) — a content-hash order both engines can
+    reproduce. The per-stratum top-k runs inside bounded hash
+    partitions (strata co-located, heads vectorized)."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in batch["text"].to_pylist()]
+        return batch.append_column("m", pa.array(md5s)).drop_columns(["text"])
+
+    def heads(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "m", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(3)
+
+    out = (
+        _keyed_partitions(
+            ds.map_batches(add_md5, batch_format="pyarrow"), ["lang"], heads
+        )
+        .to_pandas()
+        .sort_values(["lang", "m", "doc_id"])
+    )
+    out = out.rename(columns={"m": "rank_hash"})
+    return pa.Table.from_pandas(
+        out[["lang", "doc_id", "rank_hash"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+Q_DOC_STRATIFIED_SQL = """
+    SELECT lang, doc_id, md5(text) AS rank_hash
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY md5(text), doc_id) <= 3
+    ORDER BY lang, rank_hash, doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "doc_seq_pack": q_doc_seq_pack,
+        "doc_stratified_sample": q_doc_stratified_sample,
+    }
+)
+ORACLES.update(
+    {
+        "doc_seq_pack": Q_DOC_SEQ_PACK_SQL,
+        "doc_stratified_sample": Q_DOC_STRATIFIED_SQL,
+    }
+)

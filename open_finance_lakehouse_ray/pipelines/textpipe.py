@@ -396,3 +396,65 @@ def tfidf_top_terms(
         .sort_values([id_col, "tfidf", "token"], ascending=[True, False, True])
     )
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def sequence_pack(
+    docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    bucket_width: int = 4096,
+) -> pa.Table:
+    """Concat-and-chunk sequence packing — the pretraining layout step:
+    documents are laid end to end in ``id_col`` order and the token
+    stream is cut into fixed ``seq_len`` sequences; each document is
+    assigned the sequence containing its START offset.
+
+    The global start offset is the same DISTRIBUTED prefix sum as
+    :func:`corpus_prep`'s budget cap: per-bucket token subtotals (one
+    tiny aggregate) → driver-computed bucket offsets (O(buckets) rows)
+    → per-bucket exact cumsum in ``map_groups`` with the broadcast
+    offset. No stage materializes the corpus; the output is
+    (doc_id, n_tokens, start_offset, seq_id) sorted by doc_id.
+    """
+    from open_finance_lakehouse_ray.pipelines.dedup import _pk_tagger  # noqa: F401
+
+    stats = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(token_stats, batch_format="pyarrow")
+        .select_columns([id_col, "n_tokens"])
+    )
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.divide(batch[id_col], bucket_width), pa.int64())
+        return batch.append_column("_bucket", b)
+
+    bucketed = stats.map_batches(tag_bucket, batch_format="pyarrow").materialize()
+    subtotals = (
+        bucketed.groupby("_bucket").sum("n_tokens").to_pandas()
+        .sort_values("_bucket")
+    )
+    if len(subtotals) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "start_offset": pa.array([], pa.int64()),
+                         "seq_id": pa.array([], pa.int64())})
+    offs = subtotals["sum(n_tokens)"].cumsum().shift(fill_value=0)
+    offsets_ref = ray.put(dict(zip(subtotals["_bucket"], offs)))
+
+    def bucket_offsets(g):
+        g = g.sort_values(id_col)
+        off = ray.get(offsets_ref)[g["_bucket"].iloc[0]]
+        start = g["n_tokens"].cumsum().shift(fill_value=0) + off
+        g["start_offset"] = start.astype("int64")
+        g["seq_id"] = (g["start_offset"] // seq_len).astype("int64")
+        return g[[id_col, "n_tokens", "start_offset", "seq_id"]]
+
+    out = (
+        bucketed.groupby("_bucket")
+        .map_groups(bucket_offsets, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
