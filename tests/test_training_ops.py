@@ -447,3 +447,41 @@ def test_kmeans_distributed_multi_block_deterministic(ray_session):
     np.testing.assert_array_equal(c1, c2)
     counts = np.bincount(np.array(a1["cluster"].to_pylist()), minlength=4)
     assert (counts > 10).all()
+
+
+def test_collision_groups_and_dedup_pairs_match_naive(ray_session):
+    """The bounded-partition helpers must equal a naive per-key pass on
+    a corpus with many distinct keys and seeded collisions."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    keys = rng.integers(0, 4000, size=n)  # some keys collide, most not
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"shingle": keys.astype(np.int64), "doc_id": ids})
+
+    got = (
+        dd._collision_groups(
+            rd.from_arrow(t).repartition(8), ("shingle",), dd._bucket_pairs
+        )
+        .to_pandas()
+    )
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    naive = set()
+    df = pd.DataFrame({"k": keys, "i": ids})
+    for _, g in df.groupby("k"):
+        for a, b in itertools.combinations(sorted(g["i"]), 2):
+            naive.add((a, b))
+    assert got_pairs == naive and len(naive) > 0
+
+    # duplicated pairs (same pair from many buckets) dedup to one row
+    dup = pa.table({"id_a": [1, 1, 2, 1], "id_b": [3, 3, 5, 3],
+                    "extra": [9, 9, 8, 9]})
+    out = dd._dedup_pairs(rd.from_arrow(dup).repartition(3)).to_pandas()
+    assert sorted(zip(out["id_a"], out["id_b"], out["extra"])) == [
+        (1, 3, 9), (2, 5, 8)
+    ]
