@@ -105,3 +105,47 @@ def read_export_manifest(dest: str) -> dict[str, Any] | None:
             return json.load(f)
     except FileNotFoundError:
         return None
+
+
+def export_table_partitioned(
+    root: str,
+    dest: str,
+    *,
+    by: str,
+    version: int | None = None,
+) -> dict[str, Any]:
+    """Hive-partitioned consumer export: ``dest/<by>=<value>/part-*.parquet``
+    — the partitioned-output layout a downstream training job shards on
+    (one directory per key value; readers prune by directory).
+
+    The data move is one streaming ``write_parquet(partition_cols=...)``
+    pass; per-partition row counts come from a parallel ``groupby.count``
+    (an aggregate, never a driver materialization) and land in the
+    manifest, which is written LAST and atomically — its presence is the
+    completion signal (a killed export is never mistaken for finished),
+    and consumers can validate each partition against its recorded count.
+    """
+    from open_finance_lakehouse_ray.pipelines.scan import scan
+
+    log = TableLog(root)
+    snap = log.snapshot(version)
+    ds = scan(root, version=snap.version)
+    os.makedirs(dest, exist_ok=True)
+    ds.write_parquet(dest, partition_cols=[by])
+    counts = ds.groupby(by).count().to_pandas().sort_values(by)
+
+    manifest = {
+        "source_root": os.path.abspath(root),
+        "snapshot_version": snap.version,
+        "partitioned_by": by,
+        "partitions": [
+            {by: str(k), "rows": int(n)}
+            for k, n in zip(counts[by], counts["count()"])
+        ],
+        "total_rows": int(counts["count()"].sum()),
+    }
+    tmp = os.path.join(dest, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(dest, EXPORT_MANIFEST))
+    return manifest
