@@ -418,8 +418,6 @@ def sequence_pack(
     offset. No stage materializes the corpus; the output is
     (doc_id, n_tokens, start_offset, seq_id) sorted by doc_id.
     """
-    from open_finance_lakehouse_ray.pipelines.dedup import _pk_tagger  # noqa: F401
-
     stats = (
         docs.select_columns([id_col, text_col])
         .map_batches(token_stats, batch_format="pyarrow")
