@@ -175,3 +175,36 @@ def test_plan_bins_respects_target():
     big = FileEntry(path="data/big.parquet", rows=1, bytes=500, stats={})
     bins = plan_bins(entries + [big], target_bytes=100)
     assert all(big not in b for b in bins)  # already-large file untouched
+
+
+def test_overwrite_swaps_snapshot_and_time_travel_reads_old(ray_session, tmp_path):
+    """S17 gold overwrite: the live file set is replaced atomically, the
+    pre-overwrite snapshot stays readable by version (time travel), and
+    an independent DuckDB read sees only the new rows at head."""
+    import duckdb
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.scan import scan
+    from open_finance_lakehouse_ray.sources.transcripts import build_transcripts
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    root = str(tmp_path / "ow")
+    old = build_transcripts(seed=1, n_convs=10)
+    new = build_transcripts(seed=2, n_convs=6)
+    s1 = ingest_dataset(rd.from_arrow(old).repartition(3), root, job_id="ow-a")
+    s2 = ingest_dataset(
+        rd.from_arrow(new).repartition(2), root, job_id="ow-b", mode="overwrite"
+    )
+    assert s2.version == s1.version + 1
+
+    log = TableLog(root)
+    con = duckdb.connect()
+    head_rows = con.execute(
+        "SELECT COUNT(*) FROM read_parquet($1)", [log.file_paths()]
+    ).fetchone()[0]
+    assert head_rows == new.num_rows
+
+    # time travel: the old snapshot's files are still on disk pre-expire
+    assert scan(root, version=s1.version).count() == old.num_rows
+    assert scan(root).count() == new.num_rows
