@@ -113,6 +113,73 @@ def main() -> int:
     out["vocab_df_sec"] = round(time.perf_counter() - t0, 2)
     out["vocab_df_rows"] = vocab.num_rows
 
+    # --- SimHash at scale: pigeonhole banding guarantees recall 1.0 for
+    # hamming <= 3, so the found set must EQUAL the set of seeded twins
+    # whose true signature hamming is <= 3 (computed directly from the
+    # 500 twin signatures — cheap) ----------------------------------
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        _popcount64,
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+
+    t0 = time.perf_counter()
+    sh = simhash_near_dup_pairs(docs, max_hamming=3)
+    out["simhash_sec"] = round(time.perf_counter() - t0, 2)
+    sh_got = set(zip(sh["id_a"].to_pylist(), sh["id_b"].to_pylist()))
+    by_id = dict(zip(ids, texts))
+    sh_expected = set()
+    for a, b in twin_pairs:
+        sa, sb = simhash64([by_id[a], by_id[b]])
+        if int(_popcount64(np.array([sa ^ sb], dtype=np.uint64))[0]) <= 3:
+            sh_expected.add((a, b))
+    out["simhash_pairs"] = len(sh_got)
+    out["simhash_expected_twins"] = len(sh_expected)
+    out["simhash_exact_match"] = sh_got == sh_expected
+
+    # --- embedding near-dup at scale: replicate embeddings to ~64k
+    # vectors with heavy per-replica noise (kills accidental cosine
+    # pairs) + tiny-noise twins for 1-in-40 vectors -------------------
+    from open_finance_lakehouse_ray.pipelines.dedup import embedding_near_dup_pairs
+
+    et = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    base_vec = np.stack(et["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(29)
+    vecs, vids, emb_twins = [], [], []
+    nxt = 0
+    for r in range(32):
+        noise = rng.normal(scale=2.0, size=base_vec.shape)
+        block = base_vec + noise
+        for i in range(len(block)):
+            vids.append(nxt)
+            vecs.append(block[i])
+            me = nxt
+            nxt += 1
+            if r == 0 and i % 40 == 0:
+                vids.append(nxt)
+                vecs.append(block[i] + rng.normal(scale=0.005, size=block.shape[1]))
+                emb_twins.append((me, nxt))
+                nxt += 1
+    emb_tab = pa.table({
+        "vec_id": pa.array(vids, pa.int64()),
+        "embedding": pa.array([v.astype(np.float32) for v in vecs]),
+    })
+    emb_scratch = "/tmp/oflr-embscale.parquet"
+    pq.write_table(emb_tab, emb_scratch)
+    emb_ds = rd.read_parquet(emb_scratch).repartition(NUM_CPUS)
+    out["n_vectors"] = emb_tab.num_rows
+
+    t0 = time.perf_counter()
+    ep = embedding_near_dup_pairs(emb_ds, threshold=0.99, strategy="lsh")
+    out["emb_lsh_sec"] = round(time.perf_counter() - t0, 2)
+    ep_got = set(zip(ep["id_a"].to_pylist(), ep["id_b"].to_pylist()))
+    exp_emb = set(emb_twins)
+    out["emb_pairs"] = len(ep_got)
+    out["emb_subset_of_seeded"] = ep_got <= exp_emb
+    out["emb_recall"] = round(len(ep_got & exp_emb) / max(len(exp_emb), 1), 4)
+    os.unlink(emb_scratch)
+
     # --- sessionization at scale: replicate events 32x (disjoint users),
     # verify the bounded-partition sessionizer against DuckDB's own
     # gaps-and-islands over the SAME parquet -------------------------
@@ -173,6 +240,9 @@ def main() -> int:
         out["ngram_jaccard_exact_match"]
         and out["minhash_subset_of_seeded"]
         and out["minhash_recall"] >= 0.95
+        and out["simhash_exact_match"]
+        and out["emb_subset_of_seeded"]
+        and out["emb_recall"] >= 0.95
         and out["sessionize_matches_duckdb"]
     )
     ray.shutdown()
