@@ -396,7 +396,14 @@ def ngram_jaccard_pairs(
             if len(h) == 0:
                 continue
             h = np.sort(h)
-            p = len(h) - int(np.ceil(threshold * len(h))) + 1
+            # exact overlap bound: ceil(t*n) computed with a 1e-9 slack so
+            # float representation error NEVER rounds the bound UP (e.g.
+            # 0.55*100 = 55.000000000000007 -> ceil 56 would shorten the
+            # prefix by one and silently break the recall-1.0 guarantee);
+            # erring low only lengthens the prefix (more candidates, never
+            # fewer)
+            bound = int(np.ceil(threshold * len(h) - 1e-9))
+            p = len(h) - bound + 1
             pref = h[: max(1, p)]
             out_hash.append(pref.view(np.int64))
             out_id.append(np.full(len(pref), ids[i], dtype=np.int64))

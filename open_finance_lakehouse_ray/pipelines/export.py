@@ -131,6 +131,18 @@ def export_table_partitioned(
     snap = log.snapshot(version)
     ds = scan(root, version=snap.version)
     os.makedirs(dest, exist_ok=True)
+    # re-export: drop the completion signal FIRST (an interrupted re-run
+    # must not be mistaken for the previous finished export), then clear
+    # the previous partition directories — write_parquet appends uniquely
+    # named files, so stale parts would otherwise double-count rows
+    # against the new manifest
+    old_manifest = os.path.join(dest, EXPORT_MANIFEST)
+    if os.path.exists(old_manifest):
+        os.unlink(old_manifest)
+    prefix = f"{by}="
+    for name in os.listdir(dest):
+        if name.startswith(prefix):
+            shutil.rmtree(os.path.join(dest, name), ignore_errors=True)
     ds.write_parquet(dest, partition_cols=[by])
     counts = ds.groupby(by).count().to_pandas().sort_values(by)
 

@@ -126,28 +126,6 @@ def join(
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
 
-    # Ray drops the schema of an EMPTY dataset entirely (an empty
-    # pandas-sourced Dataset reports schema()=None after any reshuffle),
-    # so an empty side's non-key columns are unknowable here. Degrade
-    # per join semantics instead of crashing: the empty side contributes
-    # no rows, and for the one case whose output still has rows (outer /
-    # left with the OTHER side live) the unknowable columns are omitted —
-    # documented, and pinned by tests/test_join.py::test_empty_sides.
-    if left.schema(fetch_if_missing=True) is None:
-        if how == "outer":
-            ren_keys = dict(zip(r_on, left_on))
-            return right.map_batches(
-                lambda t: t.rename_columns(
-                    [ren_keys.get(c, c) for c in t.column_names]
-                ),
-                batch_format="pyarrow",
-            )
-        return left  # inner/left/semi/anti of an empty left are empty
-    if right.schema(fetch_if_missing=True) is None:
-        if how in ("inner", "semi"):
-            return right  # empty
-        return left  # left/anti/outer keep every left row unchanged
-
     if strategy == "auto":
         if how == "outer":
             strategy = "shuffle"
@@ -184,6 +162,30 @@ def join(
 
     l_schema = left.schema()
     r_schema = right.schema()
+    # Ray drops the schema of an EMPTY dataset entirely (an empty
+    # pandas-sourced Dataset reports schema()=None after any reshuffle),
+    # so an empty side's non-key columns are unknowable here. Degrade per
+    # join semantics instead of crashing: the empty side contributes no
+    # rows, and for the one case whose output still has rows (outer with
+    # the OTHER side live) the unknowable columns are omitted —
+    # documented, pinned by tests/test_join.py::test_empty_sides. The
+    # guard lives HERE (shuffle path only) because the schema fetch is
+    # mandatory for the plan anyway; the broadcast path handles empty
+    # sides naturally (no batches / empty lookup) with zero extra probes.
+    if l_schema is None:
+        if how == "outer":
+            ren_keys = dict(zip(r_on, left_on))
+            return right.map_batches(
+                lambda t: t.rename_columns(
+                    [ren_keys.get(c, c) for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        return left  # inner/left/semi/anti of an empty left are empty
+    if r_schema is None:
+        if how in ("inner", "semi"):
+            return right  # empty
+        return left  # left/anti/outer keep every left row unchanged
     l_cols = list(l_schema.names)
     r_cols = [c for c in r_schema.names]
     # right key columns are renamed onto the left key names; the remaining

@@ -2131,10 +2131,7 @@ def q_ev_sessionize(sf_dir: str) -> pa.Table:
     aggregate shape Ray Data has no native operator for (SURVEY.md §2.9's
     session analog; the reference's windows are fixed 1-min tumbles,
     ``ofl/streaming/silver.py:107-112``)."""
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "value"],
-    )
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
 
     def sessions_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")

@@ -187,10 +187,21 @@ def corpus_prep(
             .drop(columns=["_pk"])
         )
 
+    # canonicalize to (doc_id, text): the analyze stages operate on those
+    # names, so non-default id_col/text_col work too (output keeps the
+    # canonical names documented in the return contract)
+    docs = docs.select_columns([id_col, text_col])
+    if (id_col, text_col) != ("doc_id", "text"):
+        docs = docs.map_batches(
+            lambda t: t.rename_columns(["doc_id", "text"]),
+            batch_format="pyarrow",
+        )
+        id_col = "doc_id"
+
     survivors = (
-        analyze_documents(docs.select_columns([id_col, text_col]))
+        analyze_documents(docs)
         .map_batches(quality_gate, batch_format="pyarrow")
-        .select_columns([id_col, text_col, "n_tokens", "md5"])
+        .select_columns([id_col, "text", "n_tokens", "md5"])
         .map_batches(_pk_tagger(("md5",), 64), batch_format="pyarrow")
         .groupby("_pk")
         .map_groups(keep_min_per_md5, batch_format="pandas")
@@ -198,8 +209,8 @@ def corpus_prep(
     )
 
     pairs = ngram_jaccard_pairs(
-        survivors.select_columns([id_col, text_col]),
-        id_col=id_col, text_col=text_col, threshold=jaccard_threshold,
+        survivors.select_columns([id_col, "text"]),
+        id_col=id_col, text_col="text", threshold=jaccard_threshold,
     )
     drop_ref = ray.put(set(pairs["id_b"].to_pylist()))
 
@@ -243,10 +254,29 @@ def corpus_prep(
         bucketed.groupby("_bucket")
         .map_groups(bucket_cumsum, batch_format="pandas")
         .to_pandas()
-        .sort_values(id_col)
-        .astype({"cum_tokens": "int64"})
     )
+    if "cum_tokens" not in out.columns:  # every bucket empty: schema lost
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "cum_tokens": pa.array([], pa.int64())})
+    out = out.sort_values(id_col).astype({"cum_tokens": "int64"})
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def _distinct_token_df(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch document-frequency partials over each doc's DISTINCT
+    tokens — the map-side combiner shared by the vocabulary and TF-IDF
+    operators (one row per (batch, token) enters any shuffle)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        c.update(set(t.split()))
+    toks = list(c.keys())
+    return pa.table(
+        {"token": pa.array(toks, pa.string()),
+         "df": pa.array([c[t] for t in toks], pa.int64())}
+    )
 
 
 def vocab_df_topk(
@@ -276,16 +306,7 @@ def vocab_df_topk(
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for t in batch[text_col].to_pylist():
-            c.update(set(t.split()))
-        toks = list(c.keys())
-        return pa.table(
-            {"token": pa.array(toks, pa.string()),
-             "df": pa.array([c[t] for t in toks], pa.int64())}
-        )
+        return _distinct_token_df(batch, text_col)
 
     def bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(np.asarray(t["token"].to_pylist(), dtype=object))
@@ -304,6 +325,9 @@ def vocab_df_topk(
         .map_groups(per_bucket_topk, batch_format="pandas")
         .to_pandas()
     )
+    if "df" not in cand.columns:  # empty corpus: schema lost
+        return pa.table({"token": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
     top = (
         cand.sort_values(["df", "token"], ascending=[False, True])
         .head(k)
@@ -343,14 +367,7 @@ def tfidf_top_terms(
     from collections import Counter
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch[text_col].to_pylist():
-            c.update(set(t.split()))
-        toks = list(c.keys())
-        return pa.table(
-            {"token": pa.array(toks, pa.string()),
-             "df": pa.array([c[t] for t in toks], pa.int64())}
-        )
+        return _distinct_token_df(batch, text_col)
 
     mat = docs.select_columns([id_col, text_col]).materialize()
     n_docs = mat.count()

@@ -260,4 +260,17 @@ def test_partitioned_export_roundtrip(ray_session, tmp_path):
             f"SELECT COUNT(*) FROM '{dest}/role={p['role']}/*.parquet'"
         ).fetchone()[0]
         assert n == p["rows"]
+
+    # re-export after the table changes: stale parts must be cleared so
+    # per-partition counts still match exactly
+    tab2 = build_transcripts(seed=12, n_convs=9)
+    ingest_dataset(rd.from_arrow(tab2).repartition(2), root,
+                   job_id="pe-ingest-2", mode="overwrite")
+    man2 = export_table_partitioned(root, dest, by="role")
+    assert man2["total_rows"] == tab2.num_rows
+    for p in man2["partitions"]:
+        n = con.execute(
+            f"SELECT COUNT(*) FROM '{dest}/role={p['role']}/*.parquet'"
+        ).fetchone()[0]
+        assert n == p["rows"]
     con.close()

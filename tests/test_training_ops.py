@@ -248,17 +248,26 @@ def test_ngram_jaccard_exact_recall_vs_brute_force(ray_session):
         base[-1] = "tail"
         docs.append((i, " ".join(base)))
 
+    t = pa.table({"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]})
+    # several thresholds, including ones where float ceil(t*n) overshoots
+    # the exact integer bound (0.55*100 = 55.000...01) — the prefix-length
+    # slack must keep recall at exactly 1.0 for all of them
+    for thr in (0.35, 0.5, 0.55, 0.7):
+        brute = {
+            (a, b)
+            for (a, ta), (b, tb) in itertools.combinations(docs, 2)
+            if dd.exact_jaccard(ta, tb) >= thr
+        }
+        out = dd.ngram_jaccard_pairs(rd.from_arrow(t), threshold=thr)
+        got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+        assert got == brute, thr
+
+    # scale path (forced bucketed joins) must agree exactly
     brute = {
         (a, b)
         for (a, ta), (b, tb) in itertools.combinations(docs, 2)
         if dd.exact_jaccard(ta, tb) >= 0.5
     }
-    t = pa.table({"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]})
-    out = dd.ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.5)
-    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
-    assert got == brute
-
-    # scale path (forced bucketed joins) must agree exactly
     out2 = dd.ngram_jaccard_pairs(
         rd.from_arrow(t), threshold=0.5, broadcast_max_bytes=0
     )
@@ -485,3 +494,44 @@ def test_collision_groups_and_dedup_pairs_match_naive(ray_session):
     assert sorted(zip(out["id_a"], out["id_b"], out["extra"])) == [
         (1, 3, 9), (2, 5, 8)
     ]
+
+
+def test_corpus_prep_edge_cases(ray_session):
+    """Tiny budget (all buckets empty) returns a typed empty table, and
+    non-default id/text column names work end to end."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.textpipe import corpus_prep
+
+    # every 3rd token is doc-unique so no 3-shingles are shared: the
+    # near-dup stage must keep all docs
+    texts = [
+        f"the quick u{i}a brown fox u{i}b is of u{i}c it and u{i}d to in"
+        for i in range(8)
+    ]
+    t = pa.table({"my_id": list(range(8)), "body": texts})
+    empty = corpus_prep(
+        rd.from_arrow(t), id_col="my_id", text_col="body",
+        min_tokens=5, min_stop_ratio=0.0, token_budget=1, bucket_width=4,
+    )
+    assert empty.num_rows == 0
+    assert empty.column_names == ["doc_id", "n_tokens", "cum_tokens"]
+
+    full = corpus_prep(
+        rd.from_arrow(t), id_col="my_id", text_col="body",
+        min_tokens=5, min_stop_ratio=0.0, token_budget=10_000, bucket_width=4,
+    ).to_pandas()
+    assert full["doc_id"].tolist() == list(range(8))
+    assert full["cum_tokens"].is_monotonic_increasing
+
+
+def test_vocab_df_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.textpipe import vocab_df_topk
+
+    t = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    out = vocab_df_topk(rd.from_arrow(t))
+    assert out.num_rows == 0
+    assert out.column_names == ["token", "df"]
