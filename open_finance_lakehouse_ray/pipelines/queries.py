@@ -2508,3 +2508,35 @@ ORACLES.update(
         "doc_stratified_sample": Q_DOC_STRATIFIED_SQL,
     }
 )
+
+
+def q_doc_bpe_tokens(sf_dir: str) -> pa.Table:
+    """Whitespace + BPE-ish token counts (GPT-2-style pre-tokenizer
+    regex, RE2 subset) — see :func:`..textpipe.bpe_token_stats`."""
+    from open_finance_lakehouse_ray.pipelines.textpipe import bpe_token_stats
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bpe_token_stats, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens", "bpe_per_ws"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_BPE_SQL = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(text,
+               '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+           ROUND(len(regexp_extract_all(text,
+               '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::DOUBLE
+                 / GREATEST(len(regexp_extract_all(text, '\S+')), 1), 4)
+               AS bpe_per_ws
+    FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES.update({"doc_bpe_tokens": q_doc_bpe_tokens})
+ORACLES.update({"doc_bpe_tokens": Q_DOC_BPE_SQL})

@@ -473,3 +473,32 @@ def sequence_pack(
         .sort_values(id_col)
     )
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# BPE-ish pre-tokenizer: contraction suffixes, letter runs, digit runs,
+# punctuation runs (the GPT-2 pre-tokenizer family, simplified to the
+# RE2 subset both Arrow and DuckDB execute identically)
+BPE_RE = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace AND BPE-ish token counts per doc — pure Arrow RE2
+    kernels (``pc.count_substring_regex``), no Python per row. The ratio
+    (sub-tokens per whitespace token) is the fertility statistic a
+    tokenizer-budget planner needs."""
+    text = batch[text_col]
+    ws = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+    bpe = pc.cast(pc.count_substring_regex(text, BPE_RE), pa.int64())
+    ratio = pc.round(
+        pc.divide(
+            pc.cast(bpe, pa.float64()),
+            pc.cast(pc.max_element_wise(ws, 1), pa.float64()),
+        ),
+        4,
+        round_mode="half_towards_infinity",
+    )
+    return (
+        batch.append_column("n_ws_tokens", ws)
+        .append_column("n_bpe_tokens", bpe)
+        .append_column("bpe_per_ws", ratio)
+    )
