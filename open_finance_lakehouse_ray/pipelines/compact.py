@@ -70,6 +70,20 @@ def plan_bins(
         return (1, c[0] if c else "", t[0] if t else 0)
 
     small = sorted((e for e in entries if e.bytes < target_bytes), key=order_key)
+    # z-ranges of the EXCLUDED (already-at-target) files: a bin must not
+    # straddle one. Two small files that are z-adjacent only among the
+    # small set can flank a large file (S1 [5,8], big B [10,20], S2
+    # [25,30]); merging them yields z_range [5,30] overlapping B, so every
+    # compaction cycle would WORSEN clustering and widen scan/MERGE
+    # pruning sets. Close the bin at any such gap instead.
+    large_ranges = sorted(
+        e.z_range for e in entries
+        if e.bytes >= target_bytes and e.z_range
+    )
+
+    def straddles_large(lo: int, hi: int) -> bool:
+        return any(lo < lr[0] and lr[1] < hi for lr in large_ranges)
+
     bins: list[list[FileEntry]] = []
     cur: list[FileEntry] = []
     cur_bytes = 0
@@ -78,7 +92,17 @@ def plan_bins(
         # cap on BYTES (output file size) and on ROWS (task memory/latency
         # — compressed bytes understate decompressed work on text-heavy
         # tables, and a bin is one task's unit of read+sort+write)
-        if cur and (cur_bytes + e.bytes > target_bytes or cur_rows + e.rows > max_rows):
+        z_break = (
+            cur
+            and e.z_range
+            and cur[-1].z_range
+            and straddles_large(cur[-1].z_range[1], e.z_range[0])
+        )
+        if cur and (
+            cur_bytes + e.bytes > target_bytes
+            or cur_rows + e.rows > max_rows
+            or z_break
+        ):
             bins.append(cur)
             cur, cur_bytes, cur_rows = [], 0, 0
         cur.append(e)
@@ -115,7 +139,16 @@ def _compact_bin(
 
     log = TableLog(root)
     done = log.get_partition(job_id, bin_id)
-    if done is not None and done.get("inputs") == paths:
+    if (
+        done is not None
+        and done.get("inputs") == paths
+        and all(
+            os.path.exists(os.path.join(root, o["path"]))
+            for o in done.get("outputs", [])
+        )
+    ):
+        # reuse only if the recorded outputs still exist — a crashed job's
+        # uncommitted files may have been orphan-swept after the grace window
         return done
     table = pa.concat_tables(
         [pq.read_table(os.path.join(root, p)) for p in paths]
@@ -207,11 +240,15 @@ def compact(
         added = []
         for row in plan_rows:
             rec = parts.get(row["bin_id"])
-            assert rec is not None and rec.get("inputs") == row["paths"], (
-                f"bin {row['bin_id']}: missing or stale lineage record"
-            )
+            if rec is None or rec.get("inputs") != row["paths"]:
+                raise RuntimeError(
+                    f"bin {row['bin_id']}: missing or stale lineage record"
+                )
             added.extend(FileEntry.from_json(o) for o in rec["outputs"])
-        assert len(records) == len(bins)
+        if len(records) != len(bins):
+            raise RuntimeError(
+                f"bin runner returned {len(records)} records for {len(bins)} bins"
+            )
         try:
             snap = commit_via_actor_or_direct(
                 log,

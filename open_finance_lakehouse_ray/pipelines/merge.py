@@ -69,12 +69,17 @@ def prune_affected(
     return affected, untouched
 
 
-def _make_bucket_apply(root: str, job_id: str, plan_base: int | None):
+def _make_bucket_apply(
+    root: str, job_id: str, plan_base: int | None, num_buckets: int
+):
     """Per-bucket upsert: dedup latest-wins, write one file + lineage
     record. Idempotent on resume via the record file — but ONLY records
-    from the same plan (``plan_base`` = the table version the bucket's
-    input rows were read at). A record left by a crashed attempt against
-    an older head would otherwise resurrect pre-concurrent-commit data."""
+    from the same plan: same ``plan_base`` (table version the bucket's
+    inputs were read at), same ``kind`` (a crashed BROADCAST attempt's
+    file records share part-id shapes), same ``num_buckets`` (a record
+    partitioned hash%32 reused by a hash%16 plan would silently drop the
+    rows outside its bucket), and outputs still on disk (an orphan sweep
+    may have removed a crashed job's uncommitted files)."""
 
     def _apply(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) == 0:
@@ -83,8 +88,16 @@ def _make_bucket_apply(root: str, job_id: str, plan_base: int | None):
         part_id = f"{bucket:06d}"
         log = TableLog(root)
         done = log.get_partition(job_id, part_id)
-        if done is not None and done.get("plan_base") != plan_base:
-            done = None  # stale record from a different plan: recompute
+        if done is not None and not (
+            done.get("plan_base") == plan_base
+            and done.get("kind") == "bucket"
+            and done.get("num_buckets") == num_buckets
+            and all(
+                os.path.exists(os.path.join(root, o["path"]))
+                for o in done.get("outputs", [])
+            )
+        ):
+            done = None  # stale/incompatible/swept record: recompute
         if done is None:
             g = group.sort_values(
                 ["conv_id", "turn_idx", "ts", "_src", "text"], kind="mergesort"
@@ -94,7 +107,9 @@ def _make_bucket_apply(root: str, job_id: str, plan_base: int | None):
             table = conform_batch(pa.Table.from_pandas(g, preserve_index=False))
             entry = write_table_file(root, table, prefix="merge")
             done = {
+                "kind": "bucket",
                 "bucket": bucket,
+                "num_buckets": num_buckets,
                 "outputs": [entry.to_json()],
                 "rows": entry.rows,
                 "z_range": entry.z_range,
@@ -247,7 +262,8 @@ def _merge_attempt(
     unioned = sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0]
 
     unioned.groupby("_bucket").map_groups(
-        _make_bucket_apply(root, job_id, base_version), batch_format="pandas"
+        _make_bucket_apply(root, job_id, base_version, num_buckets),
+        batch_format="pandas",
     ).take_all()
 
     # assemble from THIS plan's records only (a crashed prior attempt may
@@ -256,6 +272,8 @@ def _merge_attempt(
         FileEntry.from_json(o)
         for r in log.committed_partitions(job_id).values()
         if r.get("plan_base") == base_version
+        and r.get("kind") == "bucket"
+        and r.get("num_buckets") == num_buckets
         for o in r["outputs"]
     ]
     snap = commit_via_actor_or_direct(
@@ -332,11 +350,16 @@ def _merge_broadcast(
         for row in batch.to_pylist():
             part_id = row["file_id"]
             done = log.get_partition(job_id, part_id)
-            if done is not None and (
-                done.get("inputs") != [row["path"]]
-                or done.get("plan_base") != base_version
+            if done is not None and not (
+                done.get("inputs") == [row["path"]]
+                and done.get("plan_base") == base_version
+                and done.get("kind") == "file"
+                and all(
+                    os.path.exists(os.path.join(root, o["path"]))
+                    for o in done.get("outputs", [])
+                )
             ):
-                done = None  # stale record from a different plan: recompute
+                done = None  # stale/incompatible/swept record: recompute
             if done is None:
                 target = pq.read_table(os.path.join(root, row["path"])).to_pandas()
                 # update rows whose KEY exists in this file (each key lives
@@ -346,7 +369,8 @@ def _merge_broadcast(
                 hit = ukeys.isin(tkeys)
                 matched = upd[hit]
                 if len(matched) == 0:
-                    done = {"matched_keys": [], "outputs": [], "rows": len(target),
+                    done = {"kind": "file", "matched_keys": [], "outputs": [],
+                            "rows": len(target),
                             "unchanged": True, "inputs": [row["path"]],
                             "plan_base": base_version}
                 else:
@@ -363,6 +387,7 @@ def _merge_broadcast(
                         prefix="merge",
                     )
                     done = {
+                        "kind": "file",
                         "matched_keys": [
                             [str(c), int(t)]
                             for c, t in zip(matched["conv_id"], matched["turn_idx"])
@@ -391,6 +416,8 @@ def _merge_broadcast(
     for r in records.values():
         if r.get("plan_base") != base_version:
             continue  # stale record from a crashed prior plan
+        if r.get("kind") not in ("file", "inserts"):
+            continue  # e.g. bucket records from a crashed shuffle attempt
         if r.get("unchanged"):
             continue
         for o in r.get("outputs", []):
@@ -429,11 +456,18 @@ def _insert_pass(root: str, job_id: str, updf, plan_base: int | None) -> int:
     log = TableLog(root)
     records = log.committed_partitions(job_id)
     ins_rec = records.get("inserts")
-    if ins_rec is not None and ins_rec.get("plan_base") == plan_base:
+    if (
+        ins_rec is not None
+        and ins_rec.get("plan_base") == plan_base
+        and all(
+            os.path.exists(os.path.join(root, o["path"]))
+            for o in ins_rec.get("outputs", [])
+        )
+    ):
         return int(ins_rec["rows"])
     matched_all = {
         tuple(k) for pid, r in records.items()
-        if pid != "inserts" and r.get("plan_base") == plan_base
+        if r.get("kind") == "file" and r.get("plan_base") == plan_base
         for k in r.get("matched_keys", [])
     }
     ukeys = [(str(c), int(t)) for c, t in zip(updf["conv_id"], updf["turn_idx"])]
@@ -446,8 +480,8 @@ def _insert_pass(root: str, job_id: str, updf, plan_base: int | None) -> int:
             prefix="merge-ins",
         )
         outputs = [entry.to_json()]
-    ins_rec = {"outputs": outputs, "rows": int(len(inserts)), "inputs": [],
-               "plan_base": plan_base}
+    ins_rec = {"kind": "inserts", "outputs": outputs, "rows": int(len(inserts)),
+               "inputs": [], "plan_base": plan_base}
     log.record_partition(job_id, "inserts", ins_rec)
     return int(ins_rec["rows"])
 

@@ -44,7 +44,12 @@ from open_finance_lakehouse_ray.functions.zorder import (
 )
 from open_finance_lakehouse_ray.stages.writer import make_stats_writer, meta_rows_to_entries
 from open_finance_lakehouse_ray.state.commit_actor import commit_via_actor_or_direct
-from open_finance_lakehouse_ray.state.txlog import FileEntry, Snapshot, TableLog
+from open_finance_lakehouse_ray.state.txlog import (
+    CommitConflict,
+    FileEntry,
+    Snapshot,
+    TableLog,
+)
 
 ZKEY = "_zkey"
 
@@ -120,11 +125,16 @@ def sample_conv_boundaries(
     boundary pass, reused so the cluster key is monotone in conv_id."""
     total = total_rows if total_rows is not None else ds.count()
     frac = min(1.0, (4.0 * n_sample) / max(1, total))
+    # take_all, not take(n): take(n) returns the LEADING rows of the
+    # sample stream, biasing boundaries toward the first files (fatal on a
+    # previously clustered table where file order correlates with key
+    # order); the Bernoulli sample is already sized to ~4x n_sample and
+    # the equal-frequency cut below subsamples it uniformly
     frac_rows = [
         r["conv_id"]
         for r in ds.select_columns(["conv_id"])
         .random_sample(frac, seed=seed)
-        .take(n_sample)
+        .take_all()
     ]
     if not frac_rows:
         return np.array([], dtype="U64")
@@ -139,8 +149,12 @@ def zorder(
     job_id: str,
     curve: str = "morton",
     target_rows_per_file: int | None = None,
+    _retries: int = 3,
 ) -> Snapshot | None:
-    """Rewrite the whole table clustered by the space-filling curve."""
+    """Rewrite the whole table clustered by the space-filling curve.
+    On a commit conflict (a concurrent compact/merge rewrote an input
+    file) the job replans from the new head — the same replan contract
+    as ``compact()`` / ``merge_into()``."""
     log = TableLog(root)
     existing = log.find_commit(job_id)
     if existing is not None:
@@ -194,28 +208,33 @@ def zorder(
     )
     added = meta_rows_to_entries(meta.take_all())
     removed = {e.path for e in entries}
-    snap = commit_via_actor_or_direct(
-        log,
-        operation="zorder",
-        job_id=job_id,
-        added=added,
-        removed_paths=removed,
-        read_paths=removed,
-        base_version=base_version,
-        summary={
-            "curve": curve,
-            "files_in": len(entries),
-            "files_out": len(added),
-            "ts_range": [ts_lo, ts_hi],
-            "keys_unique": log.keys_unique(base_version),
-        },
-    )
-    # per-output-file lineage records (audit + parity with compaction)
-    for i, e in enumerate(added):
-        log.record_partition(
-            job_id, f"{i:06d}", {"inputs": sorted(removed), "outputs": [e.to_json()],
-                                 "rows": e.rows, "z_range": e.z_range},
+    try:
+        snap = commit_via_actor_or_direct(
+            log,
+            operation="zorder",
+            job_id=job_id,
+            added=added,
+            removed_paths=removed,
+            read_paths=removed,
+            base_version=base_version,
+            summary={
+                "curve": curve,
+                "files_in": len(entries),
+                "files_out": len(added),
+                "ts_range": [ts_lo, ts_hi],
+                "keys_unique": log.keys_unique(base_version),
+            },
         )
+    except CommitConflict:
+        if _retries <= 0:
+            raise
+        # a concurrent commit rewrote an input: this rewrite is built on
+        # stale data (its orphaned outputs fall to the sweep) — replan
+        return zorder(
+            root, job_id=job_id, curve=curve,
+            target_rows_per_file=target_rows_per_file, _retries=_retries - 1,
+        )
+    log.clear_job(job_id)  # the snapshot is the durable lineage record
     return snap
 
 
@@ -358,7 +377,13 @@ def _zr_reduce_one(
     if done is not None and (
         done.get("inputs") == [s[0] for s in sources]
         and done.get("plan_base") == plan_base
+        and all(
+            os.path.exists(os.path.join(root, o["path"]))
+            for o in done.get("outputs", [])
+        )
     ):
+        # outputs-exist check: an orphan sweep may have removed a crashed
+        # job's uncommitted range files after the grace window
         return done
     slow = os.environ.get("HARNESS_SLOW_RANGE_S")
     if slow:  # kill-resume harness hook: env vars reach Ray workers
@@ -397,6 +422,7 @@ def zorder_ranged(
     curve: str = "morton",
     target_bytes: int = DEFAULT_RANGE_BYTES,
     n_ranges: int | None = None,
+    _retries: int = 3,
 ) -> Snapshot | None:
     """Range-partitioned Z-order rewrite with PER-RANGE resume — the scale
     path that replaces :func:`zorder`'s all-or-nothing global sort.
@@ -507,24 +533,38 @@ def zorder_ranged(
         for o in r["outputs"]
     ]
     removed = set(plan["files"])
-    snap = commit_via_actor_or_direct(
-        log,
-        operation="zorder",
-        job_id=job_id,
-        added=added,
-        removed_paths=removed,
-        read_paths=removed,
-        base_version=base_version,
-        summary={
-            "curve": curve,
-            "strategy": "ranged",
-            "files_in": len(removed),
-            "files_out": len(added),
-            "ranges": n_ranges_total,
-            "ts_range": plan["ts_range"],
-            "keys_unique": log.keys_unique(base_version),
-        },
-    )
+    try:
+        snap = commit_via_actor_or_direct(
+            log,
+            operation="zorder",
+            job_id=job_id,
+            added=added,
+            removed_paths=removed,
+            read_paths=removed,
+            base_version=base_version,
+            summary={
+                "curve": curve,
+                "strategy": "ranged",
+                "files_in": len(removed),
+                "files_out": len(added),
+                "ranges": n_ranges_total,
+                "ts_range": plan["ts_range"],
+                "keys_unique": log.keys_unique(base_version),
+            },
+        )
+    except CommitConflict:
+        # a concurrent commit rewrote an input file: the whole plan is
+        # stale (records are keyed to plan_base, so nothing can leak into
+        # a future attempt) — clear and replan from the new head rather
+        # than dying after both phases of work
+        log.clear_job(job_id)
+        shutil.rmtree(_shuffle_dir(root, job_id), ignore_errors=True)
+        if _retries <= 0:
+            raise
+        return zorder_ranged(
+            root, job_id=job_id, curve=curve, target_bytes=target_bytes,
+            n_ranges=n_ranges, _retries=_retries - 1,
+        )
     log.clear_job(job_id)
     shutil.rmtree(_shuffle_dir(root, job_id), ignore_errors=True)
     try:

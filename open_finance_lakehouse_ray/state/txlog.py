@@ -356,6 +356,13 @@ class TableLog:
             if base_version is not None and head is not None and head != base_version:
                 # someone committed since we planned: check true conflicts
                 self._check_conflicts(base_version, head, removed | read)
+                # a keys_unique attestation was computed against the OLD
+                # base; intervening commits may have added un-deduped keys.
+                # AND it with the head's state (conservative: a False bit
+                # only downgrades the broadcast-MERGE fast path to shuffle)
+                if summary and summary.get("keys_unique"):
+                    summary = {**summary,
+                               "keys_unique": bool(self.keys_unique(head))}
                 base_version = head  # safe rebase
             parent = head
             new_version = (head or 0) + 1 if head is not None else 1
@@ -363,6 +370,8 @@ class TableLog:
             # build manifest list: rewrite manifests containing removed
             # entries, carry the rest by name, append one for added files
             manifests: list[str] = []
+            written_this_try: list[str] = []
+            live: list[FileEntry] = []
             if parent is not None:
                 parent_snap = self.snapshot(parent)
                 for m in parent_snap.manifests:
@@ -370,16 +379,18 @@ class TableLog:
                     if removed and any(e.path in removed for e in entries):
                         kept = [e for e in entries if e.path not in removed]
                         if kept:
-                            manifests.append(self.write_manifest(kept))
+                            nm = self.write_manifest(kept)
+                            manifests.append(nm)
+                            written_this_try.append(nm)
+                            live.extend(kept)
                     else:
                         manifests.append(m)
-            new_manifest = self.write_manifest(added) if added else None
-            if new_manifest:
-                manifests.append(new_manifest)
-
-            live = []
-            for m in manifests:
-                live.extend(self.read_manifest(m))
+                        live.extend(entries)
+            if added:
+                nm = self.write_manifest(added)
+                manifests.append(nm)
+                written_this_try.append(nm)
+                live.extend(added)
             snap = Snapshot(
                 version=new_version,
                 parent=parent,
@@ -399,7 +410,14 @@ class TableLog:
             if _atomic_create_json(self.staging, self._snapshot_path(new_version), snap.to_json()):
                 self._write_txn_marker(snap)
                 return snap
-            # lost the CAS: loop — next pass re-checks conflicts vs new head
+            # lost the CAS: drop this iteration's manifests (no snapshot
+            # references them — they would otherwise leak forever) and
+            # loop; the next pass re-checks conflicts vs the new head
+            for nm in written_this_try:
+                try:
+                    os.unlink(os.path.join(self.root, nm))
+                except OSError:
+                    pass
             if base_version is None:
                 base_version = self.current_version()
         raise RuntimeError(f"commit contention: gave up after {max_retries} retries")
@@ -410,7 +428,16 @@ class TableLog:
         if not depends_on:
             return
         for v in range(base + 1, head + 1):
-            s = self.snapshot(v)
+            try:
+                s = self.snapshot(v)
+            except StaleTableError as e:
+                # an intervening snapshot was expired before we could
+                # inspect it: conflicts cannot be ruled out — surface the
+                # replannable signal, not a hard failure
+                raise CommitConflict(
+                    f"cannot verify conflicts: intervening snapshot v{v} "
+                    f"already expired"
+                ) from e
             overlap = depends_on.intersection(s.removed_paths)
             if overlap:
                 raise CommitConflict(
@@ -549,6 +576,25 @@ class TableLog:
         for v in self.versions():
             for m in self.snapshot(v).manifests:
                 referenced.update(e.path for e in self.read_manifest(m))
+        # outputs recorded by LIVE job lineage (jobs/<id>/*.json) belong to
+        # a crashed-but-resumable run: the resume will commit them, so they
+        # are not orphans no matter how old they are. A finished job clears
+        # its records (clear_job), releasing the protection.
+        if os.path.isdir(self.jobsdir):
+            for dirpath, _dirs, fnames in os.walk(self.jobsdir):
+                for f in fnames:
+                    if not f.endswith(".json"):
+                        continue
+                    try:
+                        with open(os.path.join(dirpath, f)) as fh:
+                            rec = json.load(fh)
+                    except (OSError, json.JSONDecodeError):
+                        continue
+                    if isinstance(rec, dict):
+                        referenced.update(
+                            o.get("path") for o in rec.get("outputs", [])
+                            if isinstance(o, dict)
+                        )
         cutoff = time.time() - grace_seconds
         orphans: list[str] = []
         if os.path.isdir(self.datadir):
@@ -564,7 +610,17 @@ class TableLog:
         # window with no commit in sight is debris
         shuffle_root = os.path.join(self.root, "_shuffle")
         if os.path.isdir(shuffle_root):
+            live_jobs: set[str] = set()
+            if os.path.isdir(self.jobsdir):
+                # job ids may be nested ("run1/zorder"): reconstruct every
+                # record-bearing dir's id in the shuffle-dir naming scheme
+                for dirpath, _dirs, fnames in os.walk(self.jobsdir):
+                    if any(f.endswith(".json") for f in fnames):
+                        rel = os.path.relpath(dirpath, self.jobsdir)
+                        live_jobs.add(rel.replace(os.sep, "_"))
             for d in os.listdir(shuffle_root):
+                if d in live_jobs:
+                    continue  # a resumable job still owns these intermediates
                 jdir = os.path.join(shuffle_root, d)
                 files = [os.path.join(jdir, f) for f in os.listdir(jdir)]
                 if files and all(os.path.getmtime(f) < cutoff for f in files):

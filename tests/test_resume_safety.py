@@ -201,3 +201,110 @@ def test_force_expire_keeps_orphan_grace(ray_session, table_root):
     res2 = expire(table_root, keep_last=1, force=True, force_orphans=True)
     assert not os.path.exists(inflight)
     assert "data/inflight-uncommitted.parquet" in res2["orphans_swept"]
+
+
+def test_bucket_record_with_wrong_num_buckets_is_recomputed(ray_session, table_root):
+    """A crashed shuffle merge's bucket record partitioned rows by hash%N;
+    a resume running hash%M (different cluster sizing) must NOT reuse it —
+    the record covers a different row subset and reuse would drop rows."""
+    from open_finance_lakehouse_ray.sources.transcripts import late_turns
+
+    base = build_transcripts(seed=6, n_convs=25)
+    _ingest(table_root, base, job_id="nb-ingest")
+    log = TableLog(table_root)
+    v = log.current_version()
+
+    # plant a record that claims bucket 0 under num_buckets=32
+    log.record_partition("nb-merge", "000000", {
+        "kind": "bucket", "bucket": 0, "num_buckets": 32,
+        "outputs": [], "rows": 0, "z_range": None, "plan_base": v,
+    })
+    late = late_turns(base, seed=7, n_updates=20, n_inserts=10, n_stale=5)
+    merge_into(table_root, late, job_id="nb-merge", num_buckets=8,
+               strategy="shuffle")
+
+    # every base + update key must be present exactly once
+    import duckdb
+
+    log = TableLog(table_root)
+    con = duckdb.connect()
+    n, d = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT conv_id || '#' || turn_idx) "
+        "FROM read_parquet($1)", [log.file_paths()]
+    ).fetchone()
+    assert n == d
+    assert n == base.num_rows + 10  # inserts added, updates/stales keyed
+
+
+def test_sweep_spares_live_job_outputs(ray_session, table_root):
+    """Orphan sweep must not delete files recorded by a crashed-but-
+    resumable job's lineage, even past the grace window."""
+    _ingest(table_root, build_transcripts(seed=8, n_convs=10), job_id="sw-ingest")
+    log = TableLog(table_root)
+
+    # simulate a crashed job: an uncommitted data file + a lineage record
+    import pyarrow.parquet as pq
+
+    orphan_rel = os.path.join("data", "crashed-part.parquet")
+    orphan = os.path.join(table_root, orphan_rel)
+    pq.write_table(pa.table({"x": [1]}), orphan)
+    os.utime(orphan, (1, 1))  # ancient mtime: normally sweepable
+    debris_rel = os.path.join("data", "true-debris.parquet")
+    debris = os.path.join(table_root, debris_rel)
+    pq.write_table(pa.table({"x": [2]}), debris)
+    os.utime(debris, (1, 1))
+
+    log.record_partition("crashed-job", "000000", {
+        "kind": "bucket", "outputs": [{"path": orphan_rel, "rows": 1,
+                                       "bytes": 1, "stats": {}, "z_range": None}],
+        "rows": 1, "plan_base": log.current_version(),
+    })
+    swept = log.sweep_orphans(grace_seconds=3600)
+    assert debris_rel in swept
+    assert orphan_rel not in swept and os.path.exists(orphan)
+    # job finishes -> protection released
+    log.clear_job("crashed-job")
+    swept2 = log.sweep_orphans(grace_seconds=3600)
+    assert orphan_rel in swept2
+
+
+def test_conflict_check_on_expired_snapshot_is_replannable(ray_session, table_root):
+    """If an intervening snapshot was expired before the conflict walk,
+    commit must raise CommitConflict (replannable), not StaleTableError."""
+    from open_finance_lakehouse_ray.state.txlog import CommitConflict
+
+    _ingest(table_root, build_transcripts(seed=9, n_convs=8), job_id="cx-ingest")
+    log = TableLog(table_root)
+    v1 = log.current_version()
+    # two more commits; expire everything but the head
+    compact(table_root, job_id="cx-compact", target_bytes=1 << 20)
+    _ingest(table_root, build_transcripts(seed=10, n_convs=2),
+            job_id="cx-ingest-2")
+    log.expire_snapshots(keep_last=1, retain_seconds=0.0)
+
+    with pytest.raises(CommitConflict):
+        log.commit(
+            operation="test", job_id="cx-stale",
+            added=[], removed_paths={"data/whatever.parquet"},
+            base_version=v1,
+        )
+
+
+def test_rebase_downgrades_stale_keys_unique(ray_session, table_root):
+    """A keys_unique=True summary computed at the old base must not survive
+    a rebase over an un-attested commit."""
+    _ingest(table_root, build_transcripts(seed=11, n_convs=6), job_id="ku-a")
+    log = TableLog(table_root)
+    v1 = log.current_version()
+    assert log.keys_unique(v1)
+
+    # concurrent un-attested ingest moves the head (keys_unique -> False)
+    _ingest(table_root, build_transcripts(seed=12, n_convs=2),
+            job_id="ku-b", unique=False)
+    assert not log.keys_unique(log.current_version())
+
+    snap = log.commit(
+        operation="test", job_id="ku-c", added=[],
+        base_version=v1, summary={"keys_unique": True},
+    )
+    assert snap.summary["keys_unique"] is False
