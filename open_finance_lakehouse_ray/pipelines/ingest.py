@@ -82,4 +82,8 @@ def ingest_dataset(
         read_paths=set(),
         base_version=base_version,
         summary={"mode": mode, **(summary or {})},
+        # REPLACE semantics under concurrency: re-resolve the removed set
+        # at commit time so an append landing between plan and commit is
+        # serialized before the overwrite, not left alive beside it
+        overwrite_live=(mode == "overwrite"),
     )

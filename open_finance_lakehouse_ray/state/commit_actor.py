@@ -42,6 +42,7 @@ class CommitActor:
         read_paths: list[str] | None = None,
         base_version: int | None = None,
         summary: dict[str, Any] | None = None,
+        overwrite_live: bool = False,
     ) -> dict[str, Any]:
         snap = self.log.commit(
             operation=operation,
@@ -51,6 +52,7 @@ class CommitActor:
             read_paths=set(read_paths or ()),
             base_version=base_version,
             summary={**(summary or {}), **({"metrics": self.metrics} if self.metrics else {})},
+            overwrite_live=overwrite_live,
         )
         return snap.to_json()
 
@@ -76,6 +78,7 @@ def commit_via_actor_or_direct(
     read_paths: set[str] | None = None,
     base_version: int | None = None,
     summary: dict[str, Any] | None = None,
+    overwrite_live: bool = False,
 ) -> Snapshot:
     """Commit through a short-lived CommitActor when a Ray session exists
     (the actor-pool bookkeeping stage of the north rule), else directly."""
@@ -93,6 +96,7 @@ def commit_via_actor_or_direct(
                     read_paths=sorted(read_paths or ()),
                     base_version=base_version,
                     summary=summary,
+                    overwrite_live=overwrite_live,
                 )
             )
             return Snapshot.from_json(d)

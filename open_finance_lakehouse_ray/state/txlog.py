@@ -338,12 +338,19 @@ class TableLog:
         base_version: int | None = None,
         summary: dict[str, Any] | None = None,
         max_retries: int = 20,
+        overwrite_live: bool = False,
     ) -> Snapshot:
         """Commit a change; returns the published (or pre-existing) snapshot.
 
         ``removed_paths``/``read_paths`` are table-relative data paths.
         ``base_version=None`` means "create the table" (parent = current
         head if one exists, with nothing removed).
+
+        ``overwrite_live=True`` gives REPLACE-the-table semantics under
+        concurrency: the removed set is re-resolved to every file live at
+        the CURRENT head on each attempt, so a concurrent append that
+        lands between plan and commit is removed too (serialized before
+        the overwrite) instead of silently surviving beside it.
         """
         removed = set(removed_paths or ())
         read = set(read_paths or ())
@@ -353,6 +360,9 @@ class TableLog:
                 return existing  # idempotent replay: no-op (ST2 semantics)
 
             head = self.current_version()
+            if overwrite_live and head is not None:
+                removed = {e.path for e in self.files(head)}
+                base_version = head  # deps derived FROM head: nothing stale
             if base_version is not None and head is not None and head != base_version:
                 # someone committed since we planned: check true conflicts
                 self._check_conflicts(base_version, head, removed | read)

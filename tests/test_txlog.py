@@ -241,3 +241,47 @@ def test_txn_marker_survives_expire(table_root):
     assert found.version == 1
     # live snapshot still resolves normally
     assert log.find_commit("jB").operation == "ingest"
+
+
+def test_overwrite_live_serializes_concurrent_append(table_root):
+    """REPLACE semantics: an append landing between an overwrite's plan and
+    its commit is removed by the overwrite, not left alive beside it."""
+    log = TableLog(table_root)
+    log.create()
+    log.commit(operation="ingest", job_id="j1", added=[fe("data/a.parquet")])
+    # overwrite planned at v1: removed={a}, base_version=1
+    planned_removed = {"data/a.parquet"}
+    # ...then a concurrent append lands at v2
+    log.commit(operation="ingest", job_id="j2", added=[fe("data/b.parquet")])
+    s = log.commit(
+        operation="ingest",
+        job_id="ow",
+        added=[fe("data/c.parquet")],
+        removed_paths=planned_removed,
+        base_version=1,
+        overwrite_live=True,
+    )
+    assert s.version == 3
+    # b.parquet was serialized BEFORE the overwrite and replaced too
+    assert [e.path for e in log.files()] == ["data/c.parquet"]
+    assert sorted(s.removed_paths) == ["data/a.parquet", "data/b.parquet"]
+
+
+def test_overwrite_live_idempotent_replay(table_root):
+    log = TableLog(table_root)
+    log.create()
+    log.commit(operation="ingest", job_id="j1", added=[fe("data/a.parquet")])
+    s1 = log.commit(operation="ingest", job_id="ow", added=[fe("data/b.parquet")],
+                    overwrite_live=True)
+    s2 = log.commit(operation="ingest", job_id="ow", added=[fe("data/z.parquet")],
+                    overwrite_live=True)
+    assert s2.version == s1.version  # replay is a no-op
+    assert [e.path for e in log.files()] == ["data/b.parquet"]
+
+
+def test_overwrite_live_on_empty_table_is_plain_create(table_root):
+    log = TableLog(table_root)
+    log.create()
+    s = log.commit(operation="ingest", job_id="ow", added=[fe("data/a.parquet")],
+                   overwrite_live=True)
+    assert s.version == 1 and s.removed_paths == []
