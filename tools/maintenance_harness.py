@@ -23,6 +23,10 @@ Scenarios (FIXTURES.md F5):
   concurrent   — a compaction and a MERGE race from the same base
                  snapshot; overlapping file sets must conflict-and-replan,
                  and the final scan must equal the serial execution.
+  overwrite-race — an append commits inside an overwrite's plan->commit
+                 window (deterministic via a file gate); the overwrite
+                 must serialize it first and replace it (REPLACE
+                 isolation), verified by an independent DuckDB read.
 
 Usage:  python tools/maintenance_harness.py [--scenario all]
 """
@@ -80,6 +84,29 @@ elif cmd == "compact":
         cp._compact_bin = slow_bin
     snap = compact(root, job_id=sys.argv[3], target_bytes=1 * 1024 * 1024)
     print(json.dumps({"version": None if snap is None else snap.version}))
+elif cmd == "ingest-job":
+    # parameterized ingest: root, job_id, seed, n_convs, mode
+    # HARNESS_COMMIT_GATE=<path>: block just before the commit until the
+    # file appears — lets a scenario interleave another writer's commit
+    # into the plan->commit window deterministically.
+    import ray.data as rd
+    from open_finance_lakehouse_ray.sources.transcripts import build_transcripts
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    gate = os.environ.get("HARNESS_COMMIT_GATE")
+    if gate:
+        import open_finance_lakehouse_ray.pipelines.ingest as ing
+        orig_commit = ing.commit_via_actor_or_direct
+        def gated(log, **kw):
+            t0 = time.time()
+            while not os.path.exists(gate) and time.time() - t0 < 120:
+                time.sleep(0.1)
+            return orig_commit(log, **kw)
+        ing.commit_via_actor_or_direct = gated
+    job_id, seed, n_convs, mode = sys.argv[3], int(sys.argv[4]), int(sys.argv[5]), sys.argv[6]
+    tab = build_transcripts(seed=seed, n_convs=n_convs)
+    snap = ingest_dataset(rd.from_arrow(tab).repartition(8), root, job_id=job_id, mode=mode)
+    print(json.dumps({"version": snap.version, "rows": snap.summary["rows"],
+                      "added": snap.added_paths, "removed": snap.removed_paths}))
 elif cmd == "zorder-ranged":
     from open_finance_lakehouse_ray.pipelines.zorder import zorder_ranged
     snap = zorder_ranged(root, job_id=sys.argv[3], n_ranges=8)
@@ -366,12 +393,55 @@ def scenario_concurrent(scratch: str) -> dict:
     return {"ok": comparable == got, "ops": ops, "concurrent": state, "serial": ref}
 
 
+def scenario_overwrite_race(scratch: str) -> dict:
+    """REPLACE isolation: an append that commits inside an overwrite's
+    plan->commit window must be serialized BEFORE the overwrite and
+    replaced by it — never left alive beside the replacement data."""
+    root = os.path.join(scratch, "ow-race")
+    run_worker(["ingest-job", root, "base", "42", "40", "append"])  # v1
+    gate = os.path.join(scratch, "ow-race.gate")
+    p_ow = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC,
+         "ingest-job", root, "ow", "7", "25", "overwrite"],
+        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_COMMIT_GATE": gate},
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    # the racer commits fully while the overwrite is parked pre-commit
+    racer = run_worker(["ingest-job", root, "racer", "99", "5", "append"])
+    with open(gate, "w") as f:
+        f.write("go")
+    out, err = p_ow.communicate(timeout=900)
+    if p_ow.returncode != 0:
+        return {"ok": False, "overwrite_err": err[-2000:]}
+    ow = json.loads(out.strip().splitlines()[-1])
+
+    state = independent_state(root)
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    log = TableLog(root)
+    head = log.snapshot()
+    live = sorted(e.path for e in log.files())
+    checks = {
+        # the racer committed BEFORE the overwrite in the version order
+        "racer_serialized_first": racer["version"] < ow["version"],
+        # final table is EXACTLY the overwrite's file set / rows
+        "live_is_overwrite_only": live == sorted(ow["added"]),
+        "rows_match_overwrite": state["rows"] == ow["rows"],
+        # the racer's files were replaced by the overwrite commit
+        "racer_files_removed": set(racer["added"]) <= set(head.removed_paths),
+        "mode_recorded": head.summary.get("mode") == "overwrite",
+    }
+    return {"ok": all(checks.values()), **checks,
+            "versions": {"racer": racer["version"], "overwrite": ow["version"]},
+            "state": state}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="all",
                     choices=["all", "double-run", "kill-resume",
                              "zorder-kill-resume", "merge-kill-resume",
-                             "concurrent"])
+                             "concurrent", "overwrite-race"])
     args = ap.parse_args()
     scratch = tempfile.mkdtemp(prefix="ofl-harness-")
     scenarios = {
@@ -380,6 +450,7 @@ def main() -> int:
         "zorder-kill-resume": scenario_zorder_kill_resume,
         "merge-kill-resume": scenario_merge_kill_resume,
         "concurrent": scenario_concurrent,
+        "overwrite-race": scenario_overwrite_race,
     }
     todo = list(scenarios) if args.scenario == "all" else [args.scenario]
     failed = False
