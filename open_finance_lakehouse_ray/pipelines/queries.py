@@ -2540,3 +2540,248 @@ Q_DOC_BPE_SQL = r"""
 
 QUERIES.update({"doc_bpe_tokens": q_doc_bpe_tokens})
 ORACLES.update({"doc_bpe_tokens": Q_DOC_BPE_SQL})
+
+
+# --------------------------------------------- window rank / order statistics
+
+
+def q_ev_user_rank(sf_dir: str) -> pa.Table:
+    """Per-key window ranking (ROW_NUMBER): each user's top-3 events by
+    (value DESC, event_id) — the window-function family over a
+    high-cardinality partition key. Bounded shuffle via
+    ``_keyed_partitions`` (64 hash partitions, one vectorized
+    sort+cumcount per partition) — never one Python call per user."""
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df["rn"] = df.groupby("user_id", sort=False).cumcount() + 1
+        return df.loc[df["rn"] <= 3, ["user_id", "event_id", "value", "rn"]]
+
+    out = (
+        _keyed_partitions(ds, ["user_id"], rank_part)
+        .to_pandas()
+        .sort_values(["user_id", "rn"])
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_EV_USER_RANK_SQL = """
+    SELECT user_id, event_id, value, rn FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY value DESC, event_id) AS rn
+        FROM events)
+    WHERE rn <= 3 ORDER BY user_id, rn
+"""
+
+
+_QUANTILES = (0.25, 0.50, 0.75, 0.90)
+_N_QBINS = 1024
+
+
+def _qbin(values: np.ndarray, vmin: float, vmax: float) -> np.ndarray:
+    """Deterministic bin assignment shared by the histogram and collect
+    passes — identical linspace edges + searchsorted in both places."""
+    if vmax <= vmin:
+        return np.zeros(len(values), dtype=np.int64)
+    edges = np.linspace(vmin, vmax, _N_QBINS + 1)
+    return np.clip(
+        np.searchsorted(edges, values, side="right") - 1, 0, _N_QBINS - 1
+    )
+
+
+def q_ev_type_quantiles(sf_dir: str) -> pa.Table:
+    """Distributed EXACT order statistics (SQL ``percentile_disc``:
+    sorted rank ``ceil(q*n)``) per group WITHOUT a global sort:
+
+    1. per-type (count, min, max) from map-side partials;
+    2. per-(type, bin) histogram (count, bin-min, bin-max) over a
+       broadcast 1024-bin grid, combined by a tiny groupby shuffle —
+       at most types×1024 metadata rows ever move;
+    3. rank arithmetic finds each quantile's bin; a PURE bin
+       (min == max) answers immediately, otherwise one filtered pass
+       collects only the needed bins' values (~n/1024 each) and picks
+       the exact rank with ``np.sort``.
+
+    Driver traffic is bounded by histogram metadata plus the few
+    selected bins — never the data. The same two-pass binned-selection
+    kernel is how exact medians stay feasible at 100 TB."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=["value"])
+        agg = df.groupby("event_type")["value"].agg(["count", "min", "max"])
+        return pa.Table.from_pandas(
+            agg.rename(columns={"count": "cnt", "min": "vmin", "max": "vmax"})
+            .reset_index(),
+            preserve_index=False,
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Min("vmin", alias_name="vmin"),
+            Max("vmax", alias_name="vmax"),
+        )
+        .to_pandas()
+    )
+    if stats.empty:
+        return pa.table(
+            {"event_type": pa.array([], pa.string())}
+            | {f"p{int(q * 100)}": pa.array([], pa.float64()) for q in _QUANTILES}
+        )
+    ranges = {
+        r.event_type: (float(r.vmin), float(r.vmax), int(r.cnt))
+        for r in stats.itertuples()
+    }
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=["value"])
+        outs = []
+        for etype, g in df.groupby("event_type"):
+            vmin, vmax, _ = ranges[etype]
+            vals = g["value"].to_numpy()
+            sub = pd.DataFrame({"bin": _qbin(vals, vmin, vmax), "value": vals})
+            agg = sub.groupby("bin")["value"].agg(["count", "min", "max"]).reset_index()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_type": etype,
+                        "bin": agg["bin"],
+                        "cnt": agg["count"],
+                        "bmin": agg["min"],
+                        "bmax": agg["max"],
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "bmin": pa.array([], pa.float64()),
+                    "bmax": pa.array([], pa.float64()),
+                }
+            )
+        return pa.Table.from_pandas(pd.concat(outs), preserve_index=False)
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Min("bmin", alias_name="bmin"),
+            Max("bmax", alias_name="bmax"),
+        )
+        .to_pandas()
+        .sort_values(["event_type", "bin"])
+    )
+
+    # rank arithmetic on the driver: locate each target's bin
+    answers: dict[tuple[str, float], float] = {}
+    needed: dict[tuple[str, int], list[tuple[float, int]]] = {}
+    for etype, g in hist.groupby("event_type"):
+        n = ranges[etype][2]
+        cum_before = 0
+        targets = [(q, int(np.ceil(q * n)) or 1) for q in _QUANTILES]
+        ti = 0
+        for row in g.itertuples():
+            hi = cum_before + int(row.cnt)
+            while ti < len(targets) and targets[ti][1] <= hi:
+                q, k = targets[ti]
+                if row.bmin == row.bmax:  # pure bin: the value is known
+                    answers[(etype, q)] = float(row.bmin)
+                else:
+                    needed.setdefault((etype, int(row.bin)), []).append(
+                        (q, k - cum_before)
+                    )
+                ti += 1
+            cum_before = hi
+
+    if needed:
+        _bins: dict[str, list[int]] = {}
+        for etype, bn in needed:
+            _bins.setdefault(etype, []).append(bn)
+        bins_by_type = {k: np.asarray(v, dtype=np.int64) for k, v in _bins.items()}
+
+        def collect(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().dropna(subset=["value"])
+            outs = []
+            for etype, g in df.groupby("event_type"):
+                want = bins_by_type.get(etype)
+                if want is None:
+                    continue
+                vmin, vmax, _ = ranges[etype]
+                vals = g["value"].to_numpy()
+                b = _qbin(vals, vmin, vmax)
+                mask = np.isin(b, want)
+                if mask.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {"event_type": etype, "bin": b[mask], "value": vals[mask]}
+                        )
+                    )
+            if not outs:
+                return pa.table(
+                    {
+                        "event_type": pa.array([], pa.string()),
+                        "bin": pa.array([], pa.int64()),
+                        "value": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.Table.from_pandas(pd.concat(outs), preserve_index=False)
+
+        got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        for (etype, bn), wants in needed.items():
+            vals = np.sort(
+                got.loc[
+                    (got["event_type"] == etype) & (got["bin"] == bn), "value"
+                ].to_numpy()
+            )
+            for q, r in wants:
+                answers[(etype, q)] = float(vals[r - 1])
+
+    types = sorted(ranges)
+    return pa.table(
+        {"event_type": pa.array(types, pa.string())}
+        | {
+            f"p{int(q * 100)}": pa.array(
+                [answers[(t, q)] for t in types], pa.float64()
+            )
+            for q in _QUANTILES
+        }
+    )
+
+
+Q_EV_TYPE_QUANTILES_SQL = """
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.75) AS p75,
+           quantile_disc(value, 0.90) AS p90
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "ev_user_rank": q_ev_user_rank,
+        "ev_type_quantiles": q_ev_type_quantiles,
+    }
+)
+ORACLES.update(
+    {
+        "ev_user_rank": Q_EV_USER_RANK_SQL,
+        "ev_type_quantiles": Q_EV_TYPE_QUANTILES_SQL,
+    }
+)
