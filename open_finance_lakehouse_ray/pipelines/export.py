@@ -43,6 +43,12 @@ def export_table(
     snap = log.snapshot(version)
     entries = log.files(snap.version)
     os.makedirs(dest, exist_ok=True)
+    # drop the completion signal BEFORE touching any part file: a killed
+    # re-export must not leave the previous manifest claiming "complete"
+    # over a mixed old/new file set (same order as the partitioned export)
+    old_manifest = os.path.join(dest, EXPORT_MANIFEST)
+    if os.path.exists(old_manifest):
+        os.unlink(old_manifest)
 
     files = []
     for i, e in enumerate(entries):
@@ -119,9 +125,9 @@ def export_table_partitioned(
     (one directory per key value; readers prune by directory).
 
     The data move is one streaming ``write_parquet(partition_cols=...)``
-    pass; per-partition row counts come from a parallel ``groupby.count``
-    (an aggregate, never a driver materialization) and land in the
-    manifest, which is written LAST and atomically — its presence is the
+    pass; per-partition row counts come from the written files' parquet
+    footers (O(files) metadata reads, never a second data scan) and land
+    in the manifest, which is written LAST and atomically — its presence is the
     completion signal (a killed export is never mistaken for finished),
     and consumers can validate each partition against its recorded count.
     """
@@ -144,20 +150,36 @@ def export_table_partitioned(
         if name.startswith(prefix):
             shutil.rmtree(os.path.join(dest, name), ignore_errors=True)
     ds.write_parquet(dest, partition_cols=[by])
-    counts = ds.groupby(by).count().to_pandas().sort_values(by)
+    # per-partition counts from the WRITTEN files' parquet footers — pure
+    # metadata reads, instead of a second full execution of the scan
+    # pipeline (the lazy ``ds`` would re-read every source file)
+    import pyarrow.parquet as pq
+
+    partitions = []
+    total = 0
+    for name in sorted(os.listdir(dest)):
+        if not name.startswith(prefix):
+            continue
+        pdir = os.path.join(dest, name)
+        rows = sum(
+            pq.ParquetFile(os.path.join(pdir, fn)).metadata.num_rows
+            for fn in os.listdir(pdir)
+            if fn.endswith(".parquet")
+        )
+        partitions.append({by: name[len(prefix):], "rows": rows})
+        total += rows
 
     manifest = {
         "source_root": os.path.abspath(root),
         "snapshot_version": snap.version,
         "partitioned_by": by,
-        "partitions": [
-            {by: str(k), "rows": int(n)}
-            for k, n in zip(counts[by], counts["count()"])
-        ],
-        "total_rows": int(counts["count()"].sum()),
+        "partitions": partitions,
+        "total_rows": total,
     }
     tmp = os.path.join(dest, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(dest, EXPORT_MANIFEST))
     return manifest

@@ -50,9 +50,26 @@ def _as_list(x: str | Iterable[str]) -> list[str]:
 def _key_buckets(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
     """Deterministic bucket per row from the full join key (pandas'
     C-implemented siphash with its fixed default key — stable across
-    processes and runs, the resume/scaling determinism contract)."""
+    processes and runs, the resume/scaling determinism contract).
+    Callers must present BOTH sides' keys at one common dtype first:
+    hash_pandas_object is dtype-sensitive (int64 5 and float64 5.0 hash
+    differently), so un-promoted sides would never co-locate."""
     h = pd.util.hash_pandas_object(df[keys].set_axis(range(len(df))), index=False)
     return (h.to_numpy() % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _promote_key_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType:
+    """Common comparison type for one join-key column (SQL-style numeric
+    promotion). Equal types pass through; mixed ints widen to int64;
+    int × float compares as float64; anything else must match exactly."""
+    if lt.equals(rt):
+        return lt
+    num = lambda t: pa.types.is_integer(t) or pa.types.is_floating(t)  # noqa: E731
+    if pa.types.is_integer(lt) and pa.types.is_integer(rt):
+        return pa.int64()
+    if num(lt) and num(rt):
+        return pa.float64()
+    raise TypeError(f"incompatible join key types: {lt} vs {rt}")
 
 
 def _default_num_buckets() -> int:
@@ -80,10 +97,12 @@ class _BroadcastJoiner:
 
     def __init__(self, right_ref, left_on, right_on, how, suffix, r_names):
         rdf = ray.get(right_ref)
-        self.right = (
-            rdf if rdf is not None
-            else pd.DataFrame({c: [] for c in r_names})
-        )
+        if rdf is None:
+            rdf = pd.DataFrame({c: [] for c in r_names})
+        elif len(rdf):
+            # SQL semantics: NULL keys never match (pandas would NaN==NaN)
+            rdf = rdf[~rdf[right_on].isna().any(axis=1)]
+        self.right = rdf
         self.left_on = left_on
         self.right_on = right_on
         self.how = how
@@ -209,13 +228,20 @@ def join(
     l_types = {c: _arrow_type(t) for c, t in zip(l_schema.names, l_schema.types)}
     all_cols = l_cols + [c for c in r_out if c not in l_cols]
     all_types = {**r_types, **l_types}  # left wins for shared key columns
+    # join keys compare at ONE promoted type on both sides — the bucket
+    # hash and pandas merge are both dtype-sensitive
+    for k in left_on:
+        all_types[k] = _promote_key_type(l_types[k], r_types.get(k, l_types[k]))
 
     def widen(src: int):
         def _w(t: pa.Table) -> pa.Table:
             if src == 1:
                 t = t.rename_columns([ren[c] for c in t.column_names])
-            df = t.to_pandas()
-            b = _key_buckets(df, left_on, nb)
+            for k in left_on:  # cast keys to the promoted comparison type
+                i = t.column_names.index(k)
+                if not t.schema.field(i).type.equals(all_types[k]):
+                    t = t.set_column(i, k, t[i].cast(all_types[k]))
+            b = _key_buckets(t.select(left_on).to_pandas(), left_on, nb)
             cols = {}
             for c in all_cols:
                 cols[c] = (
@@ -255,6 +281,13 @@ def join(
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g[_JSRC] == 0][left_on + l_only].astype(l_cast, copy=False)
         rg = g[g[_JSRC] == 1][left_on + r_only].astype(r_cast, copy=False)
+        # SQL equi-join semantics: a NULL key never matches anything —
+        # pandas merge would match NaN with NaN. Null-key right rows can
+        # only ever surface as OUTER unmatched; null-key left rows flow
+        # through left/anti/outer as unmatched naturally once the right
+        # nulls are gone.
+        rg_null = rg[rg[left_on].isna().any(axis=1)] if len(rg) else rg
+        rg = rg.drop(rg_null.index)
         if how in ("semi", "anti"):
             m = lg.merge(
                 rg[left_on].drop_duplicates(), how="left", on=left_on,
@@ -262,6 +295,10 @@ def join(
             )
             mask = m["_merge"] == "both" if how == "semi" else m["_merge"] == "left_only"
             return m[mask][left_on + l_only]
+        if how == "outer":
+            lg_null = lg[lg[left_on].isna().any(axis=1)] if len(lg) else lg
+            out = lg.drop(lg_null.index).merge(rg, how="outer", on=left_on)
+            return pd.concat([out, lg_null, rg_null], ignore_index=True)
         return lg.merge(rg, how=how, on=left_on)
 
     return unioned.groupby(_JB).map_groups(per_bucket, batch_format="pandas")

@@ -397,8 +397,6 @@ def q_ev_ohlc_1m(sf_dir: str) -> pa.Table:
             keys, sort=False
         )
         opn = a["open"].first()
-        first_key = a["_first_key"].first()
-        first_id = a["_first_id"].first()
         b = g.sort_values(["_last_key", "_last_id"], kind="mergesort").groupby(
             keys, sort=False
         )
@@ -412,11 +410,9 @@ def q_ev_ohlc_1m(sf_dir: str) -> pa.Table:
         out = (
             agg.join(opn.rename("open"))
             .join(cls.rename("close"))
-            .join(first_key.rename("_fk"))
-            .join(first_id.rename("_fi"))
             .reset_index()
         )
-        out["volume"] = out["volume"].round(2)
+        out["volume"] = _round_half_away(out["volume"], 2)
         out["n_events"] = out["n_events"].astype("int64")
         return out[
             ["event_type", "window_start", "open", "high", "low", "close",
@@ -508,7 +504,7 @@ def q_ev_monthly_type_mean(sf_dir: str) -> pa.Table:
         s=("s", "sum"), n=("n", "sum")
     )
     out = g.reset_index()
-    out["avg_value"] = (out["s"] / out["n"]).round(4)
+    out["avg_value"] = _round_half_away(out["s"] / out["n"], 4)
     out["n_events"] = out["n"].astype("int64")
     out["month"] = pd.to_datetime(out["month"])
     return pa.Table.from_pandas(
@@ -569,7 +565,7 @@ def q_ev_rolling_avg(sf_dir: str) -> pa.Table:
             .mean()
             .reset_index(level=0, drop=True)
         )
-        df["rolling_avg"] = r.round(4)
+        df["rolling_avg"] = _round_half_away(r, 4)
         return df[["event_id", "user_id", "rolling_avg"]]
 
     out = (
@@ -721,9 +717,9 @@ def q_li_pricing_summary(sf_dir: str) -> pa.Table:
         .to_pandas()
         .sort_values(["l_returnflag", "l_linestatus"])
     )
-    out["sum_qty"] = out["sum_qty"].round(0).astype("int64")
-    out["sum_revenue"] = out["sum_revenue"].round(2)
-    out["avg_disc"] = out["avg_disc"].round(4)
+    out["sum_qty"] = _round_half_away(out["sum_qty"], 0).astype("int64")
+    out["sum_revenue"] = _round_half_away(out["sum_revenue"], 2)
+    out["avg_disc"] = _round_half_away(out["avg_disc"], 4)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -772,7 +768,7 @@ def q_ord_revenue_by_nation(sf_dir: str) -> pa.Table:
 
     parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.groupby("n_name", sort=True).agg(s=("s", "sum"), n=("n", "sum")).reset_index()
-    out["revenue"] = out["s"].round(2)
+    out["revenue"] = _round_half_away(out["s"], 2)
     out["n_orders"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out[["n_name", "revenue", "n_orders"]], preserve_index=False)
 
@@ -869,8 +865,10 @@ def q_li_gap_check(sf_dir: str) -> pa.Table:
         .groupby("_ob")
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
-        .sort_values("l_orderkey")
     )
+    if "l_orderkey" not in bad.columns:  # no violations anywhere: schema lost
+        bad = pd.DataFrame(columns=["l_orderkey", "n_lines", "max_line"])
+    bad = bad.sort_values("l_orderkey")
     bad = bad.astype({"l_orderkey": "int64", "n_lines": "int64", "max_line": "int64"})
     return pa.Table.from_pandas(bad.reset_index(drop=True), preserve_index=False)
 
@@ -944,7 +942,7 @@ def q_doc_near_dup_pairs(sf_dir: str) -> pa.Table:
     out = minhash_near_dup_pairs(
         _docs(sf_dir, ["doc_id", "text"]), threshold=0.8
     ).to_pandas()
-    out["jaccard"] = out["jaccard"].round(3)
+    out["jaccard"] = _round_half_away(out["jaccard"], 3)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -1290,7 +1288,7 @@ def q_ord_month_end_snapshot(sf_dir: str) -> pa.Table:
         .sort_values(["o_custkey", "month"])
     )
     out["month"] = pd.to_datetime(out["month"])
-    out["o_totalprice"] = out["o_totalprice"].round(2)
+    out["o_totalprice"] = _round_half_away(out["o_totalprice"], 2)
     return pa.Table.from_pandas(
         out[["o_custkey", "month", "o_orderkey", "o_totalprice"]].reset_index(drop=True),
         preserve_index=False,
@@ -1335,7 +1333,7 @@ def q_ev_compound_growth(sf_dir: str) -> pa.Table:
     out = pd.DataFrame(
         {
             "day": pd.to_datetime(m.index),
-            "compound_12d": (np.expm1(roll)).round(6),
+            "compound_12d": _round_half_away(np.expm1(roll), 6),
         }
     ).dropna()
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
@@ -1382,9 +1380,9 @@ def q_ev_monthly_real_diff(sf_dir: str) -> pa.Table:
     out = pd.DataFrame(
         {
             "month": pd.to_datetime(means.index),
-            "real_diff": (
-                (1 + means["purchase"]) / (1 + means["click"]) - 1
-            ).round(6).values,
+            "real_diff": _round_half_away(
+                (1 + means["purchase"]) / (1 + means["click"]) - 1, 6
+            ).values,
         }
     )
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
@@ -1534,7 +1532,7 @@ def q_ev_interp_purchase(sf_dir: str) -> pa.Table:
                 / (above_t[p] - below_t[p]),
             }
         ).dropna()
-        out["interp_value"] = out["interp_value"].round(4)
+        out["interp_value"] = _round_half_away(out["interp_value"], 4)
         return out
 
     def interp_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -1568,15 +1566,16 @@ def q_ev_interp_purchase(sf_dir: str) -> pa.Table:
 Q_EV_INTERP_SQL = """
     WITH t AS (
         SELECT event_id, user_id, event_type, value, ts,
-               MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tb,
+               -- event_id inside the struct: MAX/MIN tie-break on equal ts
+               -- matches the engine's (ts, event_id) row order exactly
                MAX(CASE WHEN event_type = 'view' THEN
-                   CAST(ROW(epoch_us(ts), value) AS ROW(t BIGINT, v DOUBLE)) END) OVER (
+                   CAST(ROW(epoch_us(ts), event_id, value)
+                        AS ROW(t BIGINT, i BIGINT, v DOUBLE)) END) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below,
                MIN(CASE WHEN event_type = 'view' THEN
-                   CAST(ROW(epoch_us(ts), value) AS ROW(t BIGINT, v DOUBLE)) END) OVER (
+                   CAST(ROW(epoch_us(ts), event_id, value)
+                        AS ROW(t BIGINT, i BIGINT, v DOUBLE)) END) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS above
         FROM events
@@ -2099,7 +2098,7 @@ def q_doc_jaccard_pairs(sf_dir: str) -> pa.Table:
     out = ngram_jaccard_pairs(
         _docs(sf_dir, ["doc_id", "text"]), threshold=0.6
     ).to_pandas()
-    out["jaccard"] = out["jaccard"].round(3)
+    out["jaccard"] = _round_half_away(out["jaccard"], 3)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -2151,7 +2150,7 @@ def q_ev_sessionize(sf_dir: str) -> pa.Table:
             )
             .reset_index()
         )
-        agg["total_value"] = agg["total_value"].round(4)
+        agg["total_value"] = _round_half_away(agg["total_value"], 4)
         agg["n_events"] = agg["n_events"].astype("int64")
         return agg
 

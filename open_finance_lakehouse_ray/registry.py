@@ -157,7 +157,10 @@ def ingest_table(
         summary["keys_unique"] = keys_unique
     return ingest_dataset(
         source, cfg["root"], job_id=job_id, mode=mode, validate=validate,
-        sort_within_files=tuple(cfg.get("sort_by", ("conv_id", "turn_idx"))),
+        # no implicit transcript sort: a YAML without sort_by means the
+        # table's columns are unknown here, and sorting by conv_id would
+        # crash any non-transcript schema (same default as the mart path)
+        sort_within_files=tuple(cfg.get("sort_by") or ()),
         summary=summary,
     )
 

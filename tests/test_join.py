@@ -203,3 +203,62 @@ def test_empty_sides(ray_session):
     assert join(full, empty_r, on="k", how="inner", strategy="shuffle").count() == 0
     assert join(full, empty_r, on="k", how="left", strategy="shuffle").count() == 2
     assert join(full, empty_r, on="k", how="anti", strategy="shuffle").count() == 2
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_mixed_key_dtypes_still_match(ray_session, strategy):
+    """int64 keys on one side, float64 on the other: the same key value
+    must co-locate and match (review finding: the bucket hash is
+    dtype-sensitive, so un-promoted sides silently joined to nothing)."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 5], dtype=np.int64), "v": [10, 20, 30, 50]})
+    right = pd.DataFrame({"k": np.array([2.0, 5.0, 9.0]), "w": ["b", "e", "x"]})
+    out = (
+        join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+             how="inner", strategy=strategy, num_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["k"].astype("int64").tolist() == [2, 5]
+    assert out["w"].tolist() == ["b", "e"]
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_null_keys_never_match(ray_session, strategy):
+    """SQL equi-join semantics: NULL keys match nothing (pandas merge
+    would match NaN with NaN — review finding)."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    left = pd.DataFrame({"k": [1.0, None, 3.0], "v": [10, 20, 30]})
+    right = pd.DataFrame({"k": [1.0, None], "w": ["a", "NULLROW"]})
+    inner = join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                 how="inner", strategy=strategy, num_buckets=4).to_pandas()
+    assert inner["k"].tolist() == [1.0]
+
+    lj = join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+              how="left", strategy=strategy, num_buckets=4).to_pandas()
+    assert len(lj) == 3  # null-key left row kept, unmatched
+    assert lj.loc[lj["k"].isna(), "w"].isna().all()
+
+
+def test_null_keys_outer_unmatched_survive(ray_session):
+    """FULL OUTER: null-key rows from BOTH sides are emitted exactly once
+    as unmatched — never matched with each other."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.join import join
+
+    left = pd.DataFrame({"k": [1.0, None], "v": [10, 20]})
+    right = pd.DataFrame({"k": [None, 4.0], "w": ["rnull", "r4"]})
+    out = join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+               how="outer", strategy="shuffle", num_buckets=4).to_pandas()
+    assert len(out) == 4  # 1-match-nothing, null-left, null-right, 4-match-nothing
+    # the two null-key rows are distinct unmatched rows
+    nulls = out[out["k"].isna()]
+    assert len(nulls) == 2
+    assert sorted(nulls["w"].fillna("~").tolist()) == ["rnull", "~"]

@@ -274,3 +274,31 @@ def test_partitioned_export_roundtrip(ray_session, tmp_path):
         ).fetchone()[0]
         assert n == p["rows"]
     con.close()
+
+
+def test_non_transcript_table_without_sort_by(ray_session, tmp_path):
+    """A registered table whose YAML omits sort_by must ingest unsorted —
+    not crash on the transcript default (review finding: the implicit
+    ('conv_id','turn_idx') default broke any non-transcript schema)."""
+    import ray.data as rd
+
+    path = tmp_path / "r.yml"
+    path.write_text(textwrap.dedent(f"""
+        base: {tmp_path}
+        tables:
+          metrics:
+            root: "{{base}}/metrics"
+            contract: metrics
+        contracts:
+          metrics:
+            columns:
+              event_id: int64
+              value: double
+    """))
+    reg = load_registry(str(path))
+    tbl = pa.table({"event_id": pa.array([3, 1, 2], pa.int64()),
+                    "value": pa.array([0.3, 0.1, 0.2])})
+    snap = ingest_table(reg, "metrics", rd.from_arrow(tbl), job_id="m1")
+    assert snap.summary["rows"] == 3
+    log = TableLog(os.path.join(str(tmp_path), "metrics"))
+    assert log.current_version() == snap.version

@@ -204,12 +204,21 @@ def scenario_kill_resume(scratch: str) -> dict:
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
     )
-    time.sleep(12)  # let ingest-read + a few slow bins commit records
-    p.send_signal(signal.SIGKILL)
-    p.wait()
+    # kill as soon as SOME bin records have committed — polling beats a
+    # fixed sleep on a noisy sandbox, and the verdict below PROVES the
+    # kill landed mid-run (records exist, final commit absent)
     from open_finance_lakehouse_ray.state.txlog import TableLog
 
+    deadline = time.time() + 120
+    while time.time() < deadline and p.poll() is None:
+        if len(TableLog(root).committed_partitions("compact-K")) >= 1:
+            break
+        time.sleep(0.25)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+
     partial = len(TableLog(root).committed_partitions("compact-K"))
+    mid_run = partial > 0 and TableLog(root).find_commit("compact-K") is None
 
     # resumed run (fresh process, no slowdown)
     run_worker(["compact", root, "compact-K"])
@@ -218,7 +227,8 @@ def scenario_kill_resume(scratch: str) -> dict:
     comparable = {k: ref_state[k] for k in ("rows", "distinct_keys", "content_hash")}
     got_comp = {k: got_state[k] for k in ("rows", "distinct_keys", "content_hash")}
     return {
-        "ok": comparable == got_comp,
+        "ok": comparable == got_comp and mid_run,
+        "killed_mid_run": mid_run,
         "bins_committed_before_kill": partial,
         "reference": ref_state,
         "resumed": got_state,
