@@ -2784,3 +2784,89 @@ ORACLES.update(
         "ev_type_quantiles": Q_EV_TYPE_QUANTILES_SQL,
     }
 )
+
+
+# ------------------------------------------ repetition + contamination scrub
+
+
+def q_doc_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition/diversity metrics per document — the
+    quality signals a pretraining filter thresholds on (distinct-token
+    ratio, top-token count, top-bigram count). One embarrassingly
+    parallel ``map_batches`` pass; see :func:`..textpipe.repetition_stats`."""
+    from open_finance_lakehouse_ray.pipelines.textpipe import repetition_stats
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(repetition_stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_REPETITION_SQL = r"""
+    WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM l),
+    cnt AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    base AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_count
+        FROM cnt GROUP BY doc_id
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM l WHERE len(ws) > 1
+    ),
+    bcnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+    btop AS (
+        SELECT doc_id, max(c)::BIGINT AS top_bigram_count
+        FROM bcnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_tokens, n_distinct, top_count,
+           COALESCE(top_bigram_count, 0)::BIGINT AS top_bigram_count,
+           ROUND(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio
+    FROM base b LEFT JOIN btop USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_doc_term_scrub(sf_dir: str) -> pa.Table:
+    """Denylist-term redaction (benchmark-contamination / PII scrub) —
+    actor-pool compiled-regex stage, two Arrow RE2 kernels per batch; see
+    :class:`..textpipe.TermScrubber`."""
+    from open_finance_lakehouse_ray.pipelines.textpipe import TermScrubber
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(TermScrubber, batch_format="pyarrow", concurrency=2)
+        .select_columns(["doc_id", "scrubbed", "n_hits"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_TERM_SCRUB_SQL = r"""
+    SELECT doc_id,
+           regexp_replace(text, '\b(hash|key|spark)\b', '[SCRUBBED]', 'g')
+               AS scrubbed,
+           len(regexp_extract_all(text, '\b(hash|key|spark)\b'))::BIGINT
+               AS n_hits
+    FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "doc_repetition": q_doc_repetition,
+        "doc_term_scrub": q_doc_term_scrub,
+    }
+)
+ORACLES.update(
+    {
+        "doc_repetition": Q_DOC_REPETITION_SQL,
+        "doc_term_scrub": Q_DOC_TERM_SCRUB_SQL,
+    }
+)

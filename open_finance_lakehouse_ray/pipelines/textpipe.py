@@ -475,6 +475,82 @@ def sequence_pack(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document repetition / diversity metrics — the Gopher-style
+    repetition quality signals (distinct-token ratio, most-frequent-token
+    count, most-frequent-bigram count) a pretraining filter thresholds on.
+
+    A document is ONE row, so every metric is complete inside the batch:
+    embarrassingly parallel ``map_batches``, no shuffle. The token walk is
+    pandas ``explode`` + grouped aggregations (C-implemented), not a
+    Python loop per token; tokenization is a literal single-space split so
+    the DuckDB oracle (``string_split(text, ' ')``) sees the identical
+    token stream.
+    """
+    import pandas as pd
+
+    df = batch.select(["doc_id", text_col]).to_pandas()
+    ex = df[["doc_id"]].copy()
+    ex["w"] = df[text_col].str.split(" ")
+    ex = ex.explode("w", ignore_index=True)
+    cnt = ex.groupby(["doc_id", "w"], sort=False).size().rename("c").reset_index()
+    agg = cnt.groupby("doc_id").agg(
+        n_tokens=("c", "sum"), n_distinct=("c", "size"), top_count=("c", "max")
+    )
+    # bigrams: explode preserves per-doc token order, so the grouped
+    # shift(-1) pairs each token with its successor
+    ex["w2"] = ex.groupby("doc_id")["w"].shift(-1)
+    bg = ex.dropna(subset=["w2"])
+    bcnt = (
+        bg.assign(bg=bg["w"] + " " + bg["w2"])
+        .groupby(["doc_id", "bg"], sort=False)
+        .size()
+        .rename("c")
+        .reset_index()
+    )
+    btop = bcnt.groupby("doc_id")["c"].max().rename("top_bigram_count")
+    out = agg.join(btop).reset_index()
+    out["top_bigram_count"] = out["top_bigram_count"].fillna(0)
+    ratio = out["n_distinct"] / out["n_tokens"]
+    out["distinct_ratio"] = np.floor(ratio * 1e4 + 0.5) / 1e4  # half-away
+    out = out.astype(
+        {c: "int64" for c in
+         ("n_tokens", "n_distinct", "top_count", "top_bigram_count")}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class TermScrubber:
+    """Denylist-term redaction — the benchmark-contamination scrub a
+    training pipeline runs to mask eval-set terms (or PII patterns)
+    before packing. Actor-pool stage: the alternation regex is built once
+    per actor in ``__init__``; the per-batch work is two Arrow RE2
+    kernels (``replace_substring_regex`` + ``count_substring_regex``),
+    zero Python per row. DuckDB mirrors both kernels exactly
+    (``regexp_replace(..., 'g')`` / ``regexp_extract_all``) because both
+    engines run RE2."""
+
+    def __init__(
+        self,
+        terms: tuple[str, ...] = ("key", "hash", "spark"),
+        replacement: str = "[SCRUBBED]",
+        text_col: str = "text",
+    ):
+        import re
+
+        self.pattern = r"\b(" + "|".join(re.escape(t) for t in sorted(terms)) + r")\b"
+        self.replacement = replacement
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        hits = pc.cast(pc.count_substring_regex(text, self.pattern), pa.int64())
+        scrubbed = pc.replace_substring_regex(text, self.pattern, self.replacement)
+        return batch.append_column("scrubbed", scrubbed).append_column(
+            "n_hits", hits
+        )
+
+
 # BPE-ish pre-tokenizer: contraction suffixes, letter runs, digit runs,
 # punctuation runs (the GPT-2 pre-tokenizer family, simplified to the
 # RE2 subset both Arrow and DuckDB execute identically)

@@ -535,3 +535,43 @@ def test_vocab_df_empty_corpus(ray_session):
     out = vocab_df_topk(rd.from_arrow(t))
     assert out.num_rows == 0
     assert out.column_names == ["token", "df"]
+
+
+def test_repetition_stats_metrics():
+    from open_finance_lakehouse_ray.pipelines.textpipe import repetition_stats
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "a b a b a",   # 5 tokens, 2 distinct, top 'a'x3, top bigram 'a b'x2 / 'b a'x2
+                "x",            # single token: no bigrams
+                "p q r",        # all distinct
+            ],
+        }
+    )
+    out = repetition_stats(batch).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 5
+    assert out.loc[1, "n_distinct"] == 2
+    assert out.loc[1, "top_count"] == 3
+    assert out.loc[1, "top_bigram_count"] == 2
+    assert out.loc[1, "distinct_ratio"] == 0.4
+    assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "top_bigram_count"] == 0
+    assert out.loc[3, "n_distinct"] == 3 and out.loc[3, "top_count"] == 1
+
+
+def test_term_scrubber_redacts_and_counts():
+    from open_finance_lakehouse_ray.pipelines.textpipe import TermScrubber
+
+    s = TermScrubber(terms=("key", "a+b"))  # regex metachar must be escaped
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["key of keys a+b key", "nothing here"],
+        }
+    )
+    out = s(batch).to_pandas()
+    # 'keys' must NOT match (word boundary); 'a+b' matches literally
+    assert out.loc[0, "scrubbed"] == "[SCRUBBED] of keys [SCRUBBED] [SCRUBBED]"
+    assert out.loc[0, "n_hits"] == 3
+    assert out.loc[1, "n_hits"] == 0 and out.loc[1, "scrubbed"] == "nothing here"
