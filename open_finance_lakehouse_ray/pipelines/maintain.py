@@ -32,6 +32,7 @@ def maintain(
     keep_last: int = 1,
     force_expire: bool = False,
     with_checks: bool = True,
+    checks: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Compact + (conditionally) re-cluster + validate + expire.
 
@@ -64,9 +65,9 @@ def maintain(
     else:
         out["reclustered"] = None
 
-    if with_checks:
+    if with_checks or checks:
         try:
-            out["checks"] = run_checks(root)
+            out["checks"] = run_checks(root, checks=checks)
         except CheckError:
             # withdraw this run's maintenance snapshots: the table head
             # must never be left in a state the check suite rejects

@@ -19,6 +19,9 @@ contract and its marts is a config change. Same surface here:
           retain_hours: 168
           keep_last: 1
         checks: [unique_keys, manifest_stats]
+        expectations:               # table-scale GX-style suite
+          - "no_nulls:conv_id"
+          - "in_range:turn_idx,0,100000"
     marts:
       daily_ohlc:
         root: "{base}/marts/daily_ohlc"
@@ -111,13 +114,20 @@ def _check_suite(names: list[str] | None) -> dict | None:
 def maintain_table(reg: Registry, table: str, *, job_id: str) -> dict[str, Any]:
     """Run maintain() on one registered table with its YAML knobs and its
     named check suite (the per-table config of §2.10)."""
-    from open_finance_lakehouse_ray.pipelines.checks import run_checks
     from open_finance_lakehouse_ray.pipelines.maintain import maintain
 
     cfg = reg.tables[table]
     m = cfg.get("maintenance") or {}
     suite = _check_suite(cfg.get("checks"))
-    out = maintain(
+    exp_specs = cfg.get("expectations")
+    if exp_specs:
+        from open_finance_lakehouse_ray.pipelines.expectations import (
+            expectation_check,
+        )
+
+        suite = dict(suite or {})
+        suite["expectations"] = expectation_check(list(exp_specs))
+    return maintain(
         cfg["root"],
         job_id=job_id,
         target_bytes=int(m.get("target_bytes", 96 * 1024 * 1024)),
@@ -127,11 +137,12 @@ def maintain_table(reg: Registry, table: str, *, job_id: str) -> dict[str, Any]:
         ),
         retain_seconds=float(m.get("retain_hours", 168.0)) * 3600.0,
         keep_last=int(m.get("keep_last", 1)),
-        with_checks=suite is None,  # default suite inside maintain()
+        # the custom suite (named checks + YAML expectations) runs INSIDE
+        # maintain(), so its rollback-on-breach contract covers it: a
+        # violated expectation withdraws this run's maintenance snapshots
+        with_checks=suite is None,
+        checks=suite,
     )
-    if suite is not None:
-        out["checks"] = run_checks(cfg["root"], checks=suite)
-    return out
 
 
 def ingest_table(
