@@ -302,3 +302,139 @@ def join(
         return lg.merge(rg, how=how, on=left_on)
 
     return unioned.groupby(_JB).map_groups(per_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    by: str | list[str],
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    right_tiebreak: list[str] | None = None,
+    suffix: str = "_r",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """First-class as-of join (J4's bracketing lookup,
+    ``/root/reference/ofl/transform/gold/mart_di_curve_points.sql:47-115``,
+    generalized): for every left row, the nearest right row in the same
+    ``by`` group whose ``on`` value is at-or-before (``backward``),
+    at-or-after (``forward``) or closest (``nearest``) — optionally within
+    ``tolerance`` and optionally excluding exact ties
+    (``allow_exact_matches=False``).
+
+    Distributed shape: both sides hash-bucket on the ``by`` key only (the
+    ``on`` ordering column must NOT enter the bucket hash — a group's rows
+    co-locate as a unit), union under a null-filled superset schema, and
+    each bucket runs pandas' C ``merge_asof`` after an in-partition sort.
+    The partitioning assumption (documented per the custom-operator rule):
+    one ``by`` group must fit in a task partition — the same bound every
+    keyed ``map_groups`` in this engine carries.
+
+    Semantics: left rows always survive (LEFT as-of); right rows with a
+    NULL ``by`` or ``on`` key can never match; left rows with a NULL key
+    survive unmatched. Equal-``on`` right rows are an engine-dependent
+    pick unless ``right_tiebreak`` names columns — then the LAST row under
+    a stable ``[on] + right_tiebreak`` sort wins deterministically.
+    """
+    by = _as_list(by)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported direction={direction!r}")
+    nb = num_buckets or _default_num_buckets()
+    keys = by + [on]
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    if l_schema is None:  # empty left: as-of is left-shaped -> empty
+        return left
+    if r_schema is None:  # empty right: every left row unmatched
+        return left
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    ren = {
+        c: (c if c in keys else (c + suffix if c in l_cols else c))
+        for c in r_cols
+    }
+    r_out = [ren[c] for c in r_cols]
+
+    def _arrow_type(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    r_types = {ren[c]: _arrow_type(t) for c, t in zip(r_schema.names, r_schema.types)}
+    l_types = {c: _arrow_type(t) for c, t in zip(l_schema.names, l_schema.types)}
+    all_cols = l_cols + [c for c in r_out if c not in l_cols]
+    all_types = {**r_types, **l_types}
+    for k in keys:
+        all_types[k] = _promote_key_type(l_types[k], r_types.get(k, l_types[k]))
+
+    def widen(src: int):
+        def _w(t: pa.Table) -> pa.Table:
+            if src == 1:
+                t = t.rename_columns([ren[c] for c in t.column_names])
+            for k in keys:
+                i = t.column_names.index(k)
+                if not t.schema.field(i).type.equals(all_types[k]):
+                    t = t.set_column(i, k, t[i].cast(all_types[k]))
+            b = _key_buckets(t.select(by).to_pandas(), by, nb)
+            cols = {
+                c: (t[t.column_names.index(c)] if c in t.column_names
+                    else pa.nulls(t.num_rows, all_types[c]))
+                for c in all_cols
+            }
+            out = pa.table(cols).append_column(_JB, pa.array(b, pa.int64()))
+            return out.append_column(
+                _JSRC, pa.array(np.full(t.num_rows, src, dtype=np.int8))
+            )
+
+        return _w
+
+    unioned = left.map_batches(widen(0), batch_format="pyarrow").union(
+        right.map_batches(widen(1), batch_format="pyarrow")
+    )
+
+    r_val = [c for c in r_out if c not in keys]
+    l_only = [c for c in l_cols if c not in keys]
+    tiebreak = [ren.get(c, c) for c in (right_tiebreak or [])]
+
+    def _pd_casts(cols: list[str]) -> dict:
+        out = {}
+        for c in cols:
+            try:
+                out[c] = all_types[c].to_pandas_dtype()
+            except (NotImplementedError, TypeError):
+                pass
+        return out
+
+    l_cast = _pd_casts(keys + l_only)
+    r_cast = _pd_casts(keys + r_val)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g[_JSRC] == 0][l_cols].astype(l_cast, copy=False)
+        rg = g[g[_JSRC] == 1][keys + r_val].astype(r_cast, copy=False)
+        rg = rg.dropna(subset=keys)  # unmatchable by definition
+        lg_null = lg[lg[keys].isna().any(axis=1)] if len(lg) else lg
+        lg_ok = lg.drop(lg_null.index)
+        if len(lg_ok) and len(rg):
+            m = pd.merge_asof(
+                lg_ok.sort_values(on, kind="mergesort"),
+                rg.sort_values([on] + tiebreak, kind="mergesort"),
+                on=on,
+                by=by,
+                direction=direction,
+                tolerance=tolerance,
+                allow_exact_matches=allow_exact_matches,
+            )
+        else:
+            m = lg_ok
+        return pd.concat([m, lg_null], ignore_index=True).reindex(
+            columns=all_cols
+        )
+
+    return unioned.groupby(_JB).map_groups(per_bucket, batch_format="pandas")

@@ -2870,3 +2870,67 @@ ORACLES.update(
         "doc_term_scrub": Q_DOC_TERM_SCRUB_SQL,
     }
 )
+
+
+# ----------------------------------------------- first-class as-of operator
+
+
+def q_ev_asof_view_value(sf_dir: str) -> pa.Table:
+    """J4 through the FIRST-CLASS operator: every click joined to the same
+    user's latest strictly-earlier view (its ts AND value) via
+    :func:`..join.asof_join` — checked against DuckDB's native
+    ``ASOF LEFT JOIN``. The right side is deduped per (user_id, ts) keep
+    max event_id first, so the as-of pick is deterministic in both
+    engines."""
+    from open_finance_lakehouse_ray.pipelines.join import asof_join
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+
+    def dedup_views(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df = df.drop_duplicates(["user_id", "ts"], keep="last")
+        out = df[["user_id", "ts"]].copy()
+        out["view_ts"] = df["ts"]
+        out["view_value"] = df["value"]
+        return out
+
+    views = _keyed_partitions(
+        ev.filter(expr="event_type == 'view'").select_columns(
+            ["event_id", "user_id", "ts", "value"]
+        ),
+        ["user_id"],
+        dedup_views,
+    )
+    out = (
+        asof_join(
+            clicks, views, on="ts", by="user_id",
+            direction="backward", allow_exact_matches=False,
+        )
+        .select_columns(["event_id", "user_id", "view_ts", "view_value"])
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_EV_ASOF_VIEW_VALUE_SQL = """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT c.event_id, c.user_id, v.ts AS view_ts, v.value AS view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts > v.ts
+    ORDER BY c.event_id
+"""
+
+
+QUERIES.update({"ev_asof_view_value": q_ev_asof_view_value})
+ORACLES.update({"ev_asof_view_value": Q_EV_ASOF_VIEW_VALUE_SQL})

@@ -262,3 +262,93 @@ def test_null_keys_outer_unmatched_survive(ray_session):
     nulls = out[out["k"].isna()]
     assert len(nulls) == 2
     assert sorted(nulls["w"].fillna("~").tolist()) == ["rnull", "~"]
+
+
+# ------------------------------------------------------------ as-of join
+
+
+def _asof_frames():
+    left = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "t": [10, 25, 40, 15, 30, 5],
+            "lv": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "g": ["a", "a", "b", "b", "x"],
+            "t": [8, 25, 20, 35, 1],
+            "rv": [100, 200, 300, 400, 500],
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_matches_pandas(ray_session, direction):
+    """Distributed as-of equals single-frame pandas merge_asof across
+    every direction (bucketing must not change semantics)."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.join import asof_join
+
+    left, right = _asof_frames()
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on="t", by="g", direction=direction, num_buckets=4)
+        .to_pandas()
+        .sort_values(["g", "t"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"),
+        on="t", by="g", direction=direction,
+    ).sort_values(["g", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "t", "lv", "rv"]], want[["g", "t", "lv", "rv"]]
+    )
+
+
+def test_asof_join_strict_and_tolerance(ray_session):
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.join import asof_join
+
+    left, right = _asof_frames()
+    # strict: the a@25 click must NOT take the a@25 view, falls back to a@8
+    strict = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), on="t",
+                  by="g", allow_exact_matches=False, num_buckets=4)
+        .to_pandas().set_index(["g", "t"])
+    )
+    assert strict.loc[("a", 25), "rv"] == 100
+    # tolerance: a@40 is 15 past a@25 -> with tolerance 10 it matches nothing
+    tol = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), on="t",
+                  by="g", tolerance=10, num_buckets=4)
+        .to_pandas().set_index(["g", "t"])
+    )
+    assert pd.isna(tol.loc[("a", 40), "rv"])
+    assert tol.loc[("a", 25), "rv"] == 200
+
+
+def test_asof_join_null_keys_and_tiebreak(ray_session):
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.join import asof_join
+
+    left = pd.DataFrame({"g": ["a", None], "t": [10.0, 10.0], "lv": [1, 2]})
+    right = pd.DataFrame(
+        {"g": ["a", "a", None], "t": [5.0, 5.0, 5.0], "rv": [7, 9, 11]}
+    )
+    out = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), on="t",
+                  by="g", right_tiebreak=["rv"], num_buckets=4)
+        .to_pandas()
+    )
+    # null-by left row survives unmatched; null-by right row matches nothing
+    assert len(out) == 2
+    assert pd.isna(out.loc[out["g"].isna(), "rv"]).all()
+    # equal-t right rows: tiebreak picks the LAST under (t, rv) sort -> 9
+    assert out.loc[out["g"] == "a", "rv"].iloc[0] == 9
