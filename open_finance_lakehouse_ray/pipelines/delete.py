@@ -1,0 +1,294 @@
+"""DELETE WHERE — predicate delete as a pruned, file-granular rewrite.
+
+The reference's tables live on Delta, where ``DELETE FROM`` is a core
+maintenance verb (the Delta log rewrites only files containing matching
+rows). This engine owns that verb: the driver plans from MANIFEST STATS
+only, and every file falls into one of three classes — no data is read
+for two of them:
+
+- **untouched**: stats prove no row can match (the same overlap test as
+  scan pruning, ``pipelines/scan.py:prune_files``) — not read, not
+  rewritten, not even mentioned in the commit;
+- **dropped whole**: stats prove EVERY row matches (file range fully
+  inside the predicate ranges, and no residual predicate) — removed from
+  the manifest without reading a byte, Delta's file-level delete;
+- **rewritten**: the file may contain a mix — one Ray task reads it,
+  filters matching rows out vectorized, writes the survivor file.
+
+SQL NULL semantics: a row whose predicate evaluates NULL is NOT deleted
+(``DELETE WHERE p`` removes only ``p IS TRUE`` rows).
+
+Scale shape: O(files) driver metadata, rewrites fan out as a Dataset of
+plan rows with per-file lineage records (resume skips completed files;
+records are validated against the plan's inputs so a record from a
+crashed attempt at an older head is recomputed, never committed —
+``tests/test_resume_safety.py`` discipline). A delete can never create
+duplicate keys, so the ``keys_unique`` attestation propagates
+(``state/txlog.py:keys_unique``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from open_finance_lakehouse_ray.stages.writer import write_table_file
+from open_finance_lakehouse_ray.state.commit_actor import commit_via_actor_or_direct
+from open_finance_lakehouse_ray.state.txlog import (
+    FileEntry,
+    Snapshot,
+    TableLog,
+)
+
+Residual = Callable[[pa.Table], pa.BooleanArray]
+
+
+def _overlaps(e: FileEntry, col: str, rng: tuple | None) -> bool:
+    """Can this file contain a row inside ``rng``? Missing stats → maybe."""
+    if rng is None:
+        return True
+    st = e.stats.get(col)
+    if st is None or st[0] is None:
+        return True
+    return not (st[0] > rng[1] or st[1] < rng[0])
+
+
+def _contained(e: FileEntry, col: str, rng: tuple | None) -> bool:
+    """Do the stats PROVE every row lies inside ``rng``? Missing stats → no."""
+    if rng is None:
+        return True
+    st = e.stats.get(col)
+    if st is None or st[0] is None:
+        return False
+    return rng[0] <= st[0] and st[1] <= rng[1]
+
+
+def plan_delete(
+    entries: list[FileEntry],
+    *,
+    conv_id_range: tuple[str, str] | None,
+    ts_range: tuple[int, int] | None,
+    has_residual: bool,
+) -> tuple[list[FileEntry], list[FileEntry]]:
+    """(drop_whole, rewrite) — untouched files are simply absent. The
+    predicate is a conjunction, so non-overlap on ANY given range clears
+    the file, and whole-file drop needs containment on ALL of them plus
+    no residual term."""
+    drop, rewrite = [], []
+    for e in entries:
+        if not (
+            _overlaps(e, "conv_id", conv_id_range) and _overlaps(e, "ts", ts_range)
+        ):
+            continue
+        if (
+            not has_residual
+            and (conv_id_range is not None or ts_range is not None)
+            and _contained(e, "conv_id", conv_id_range)
+            and _contained(e, "ts", ts_range)
+        ):
+            drop.append(e)
+        else:
+            rewrite.append(e)
+    return drop, rewrite
+
+
+def _match_mask(
+    t: pa.Table,
+    conv_id_range: tuple[str, str] | None,
+    ts_range: tuple[int, int] | None,
+    match: Residual | None,
+) -> pa.ChunkedArray | pa.Array:
+    mask = None
+
+    def _and(a, b):
+        return b if a is None else pc.and_kleene(a, b)
+
+    if conv_id_range is not None:
+        c = t["conv_id"]
+        mask = _and(
+            mask,
+            pc.and_(
+                pc.greater_equal(c, conv_id_range[0]),
+                pc.less_equal(c, conv_id_range[1]),
+            ),
+        )
+    if ts_range is not None:
+        ts = t["ts"].cast(pa.int64())
+        mask = _and(
+            mask,
+            pc.and_(
+                pc.greater_equal(ts, ts_range[0]), pc.less_equal(ts, ts_range[1])
+            ),
+        )
+    if match is not None:
+        mask = _and(mask, match(t))
+    if mask is None:
+        raise ValueError("delete_where needs at least one predicate term")
+    # SQL DELETE: NULL predicate rows survive
+    return pc.fill_null(mask, False)
+
+
+def _make_rewrite_runner(
+    root: str,
+    job_id: str,
+    conv_id_range,
+    ts_range,
+    match: Residual | None,
+):
+    def _run(batch: pa.Table) -> pa.Table:
+        import dataclasses
+        import json as _json
+
+        log = TableLog(root)
+        out_rows = []
+        for row in batch.to_pylist():
+            path = row["path"]
+            part_id = row["part_id"]
+            done = log.get_partition(job_id, part_id)
+            if (
+                done is not None
+                and done.get("inputs") == [path]
+                and all(
+                    os.path.exists(os.path.join(root, o["path"]))
+                    for o in done.get("outputs", [])
+                )
+            ):
+                out_rows.append({"part_id": part_id, "record": _json.dumps(done)})
+                continue
+            t = pq.read_table(os.path.join(root, path))
+            mask = _match_mask(t, conv_id_range, ts_range, match)
+            kept = t.filter(pc.invert(mask))
+            deleted = t.num_rows - kept.num_rows
+            outputs = []
+            if kept.num_rows:
+                # filter preserves the file's row order, so the input's
+                # sort (and any z-clustering) survives; the recorded
+                # z_range stays a valid — merely non-shrunk — bound
+                entry = write_table_file(
+                    root, kept, sort_by=(), prefix="delete", presorted=True
+                )
+                src = FileEntry.from_json(row_entry_json(row))
+                entry = dataclasses.replace(
+                    entry, z_range=src.z_range, sorted_by=src.sorted_by
+                )
+                outputs.append(entry.to_json())
+            record = {
+                "inputs": [path],
+                "outputs": outputs,
+                "deleted": int(deleted),
+                "kept": int(kept.num_rows),
+            }
+            log.record_partition(job_id, part_id, record)
+            out_rows.append({"part_id": part_id, "record": _json.dumps(record)})
+        return pa.Table.from_pylist(out_rows)
+
+    return _run
+
+
+def row_entry_json(row: dict) -> dict:
+    import json as _json
+
+    return _json.loads(row["entry_json"])
+
+
+def delete_where(
+    root: str,
+    *,
+    job_id: str,
+    conv_id_range: tuple[str, str] | None = None,
+    ts_range: tuple[int, int] | None = None,
+    match: Residual | None = None,
+    max_retries_on_conflict: int = 3,
+) -> Snapshot | None:
+    """Delete every row where the conjunction of the given terms is TRUE.
+
+    ``match`` is a residual predicate (``pa.Table -> BooleanArray``) for
+    terms the manifest can't prune on; range terms both prune untouched
+    files and prove whole-file drops. Returns the new snapshot, or None
+    when the predicate provably touches nothing (no commit at all).
+    Idempotent on ``job_id``; on :class:`CommitConflict` the job replans
+    against the new head under an attempt-scoped job id (the rebase rule
+    compaction uses, ``pipelines/compact.py``).
+    """
+    from open_finance_lakehouse_ray.state.txlog import CommitConflict
+
+    if conv_id_range is None and ts_range is None and match is None:
+        raise ValueError("delete_where needs at least one predicate term")
+    log = TableLog(root)
+    for attempt in range(max_retries_on_conflict + 1):
+        attempt_job = job_id if attempt == 0 else f"{job_id}~replan{attempt}"
+        existing = log.find_commit(attempt_job)
+        if existing is not None:
+            log.clear_job(attempt_job)
+            return existing
+        base_version = log.current_version()
+        drop, rewrite = plan_delete(
+            log.files(base_version),
+            conv_id_range=conv_id_range,
+            ts_range=ts_range,
+            has_residual=match is not None,
+        )
+        if not drop and not rewrite:
+            return None
+
+        added: list[FileEntry] = []
+        deleted_rows = sum(e.rows for e in drop)
+        if rewrite:
+            import json as _json
+
+            plan_rows = [
+                {
+                    "part_id": f"{i:06d}",
+                    "path": e.path,
+                    "entry_json": _json.dumps(e.to_json()),
+                }
+                for i, e in enumerate(rewrite)
+            ]
+            (
+                rd.from_items(plan_rows, override_num_blocks=len(plan_rows))
+                .map_batches(
+                    _make_rewrite_runner(
+                        root, attempt_job, conv_id_range, ts_range, match
+                    ),
+                    batch_size=4,
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            parts = log.committed_partitions(attempt_job)
+            for row in plan_rows:
+                rec = parts.get(row["part_id"])
+                if rec is None or rec.get("inputs") != [row["path"]]:
+                    raise RuntimeError(
+                        f"delete part {row['part_id']}: missing or stale record"
+                    )
+                added.extend(FileEntry.from_json(o) for o in rec["outputs"])
+                deleted_rows += rec["deleted"]
+        removed = {e.path for e in drop} | {e.path for e in rewrite}
+        try:
+            snap = commit_via_actor_or_direct(
+                log,
+                operation="delete",
+                job_id=attempt_job,
+                added=added,
+                removed_paths=removed,
+                read_paths=removed,
+                base_version=base_version,
+                summary={
+                    "deleted_rows": int(deleted_rows),
+                    "files_dropped_whole": len(drop),
+                    "files_rewritten": len(rewrite),
+                },
+            )
+        except CommitConflict:
+            if attempt == max_retries_on_conflict:
+                raise
+            continue
+        log.clear_job(attempt_job)
+        return snap
+    raise AssertionError("unreachable")

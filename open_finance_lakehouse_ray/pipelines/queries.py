@@ -2934,3 +2934,54 @@ Q_EV_ASOF_VIEW_VALUE_SQL = """
 
 QUERIES.update({"ev_asof_view_value": q_ev_asof_view_value})
 ORACLES.update({"ev_asof_view_value": Q_EV_ASOF_VIEW_VALUE_SQL})
+
+
+# ------------------------------------------------------------- DELETE WHERE
+
+
+def q_tx_delete_where(sf_dir: str) -> pa.Table:
+    """Delta-DELETE analog end to end: ingest → a pure range delete (stats
+    pruning + whole-file drops where provable) → a residual delete
+    (assistant turns shipped in 1994) → scan. The oracle is the complement
+    WHERE clause over the same deduped construction."""
+    from datetime import date
+
+    from open_finance_lakehouse_ray.pipelines.delete import delete_where
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.merge import dedup_exact
+
+    root = _scratch_root("delete")
+    tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+    ingest_dataset(
+        tx.repartition(24), root, job_id="dl-ingest", summary={"keys_unique": True}
+    )
+    delete_where(
+        root,
+        job_id="dl-range",
+        conv_id_range=("conv-0000000001", "conv-0000000400"),
+    )
+    epoch = date(1970, 1, 1)
+    delete_where(
+        root,
+        job_id="dl-resid",
+        ts_range=(
+            (date(1994, 1, 1) - epoch).days,
+            (date(1994, 12, 31) - epoch).days,
+        ),
+        match=lambda t: pc.equal(t["role"], "assistant"),
+    )
+    return _scan_and_cleanup(root)
+
+
+Q_TX_DELETE_SQL = f"""
+    WITH base AS ({TX_DEDUP_SQL})
+    SELECT conv_id, turn_idx, role, text, tool, ts FROM base
+    WHERE NOT (conv_id BETWEEN 'conv-0000000001' AND 'conv-0000000400')
+      AND NOT (role = 'assistant'
+               AND ts BETWEEN DATE '1994-01-01' AND DATE '1994-12-31')
+    ORDER BY conv_id, turn_idx
+"""
+
+
+QUERIES.update({"tx_delete_where": q_tx_delete_where})
+ORACLES.update({"tx_delete_where": Q_TX_DELETE_SQL})

@@ -1,0 +1,143 @@
+"""DELETE WHERE: plan classes (untouched / dropped-whole / rewritten),
+SQL NULL semantics, idempotent replay, no-op commits, and the
+keys_unique attestation surviving a delete."""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+import pytest
+
+from open_finance_lakehouse_ray.pipelines.delete import delete_where, plan_delete
+from open_finance_lakehouse_ray.pipelines.scan import validation_scan
+from open_finance_lakehouse_ray.sources.transcripts import build_transcripts
+from open_finance_lakehouse_ray.stages.writer import write_table_file
+from open_finance_lakehouse_ray.state.txlog import TableLog
+
+
+def _seed_table(root: str, n_files: int = 3):
+    """Three files with DISJOINT conv_id ranges so the planner's three
+    classes are individually addressable."""
+    log = TableLog(root)
+    log.create()
+    tx = build_transcripts(n_convs=90).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    entries = []
+    for i in range(n_files):
+        # cut on conversation boundaries so file conv ranges are disjoint
+        lo, hi = f"conv-{i * 30:08d}", f"conv-{i * 30 + 29:08d}"
+        chunk = tx.filter(
+            pc.and_(
+                pc.greater_equal(tx["conv_id"], lo),
+                pc.less_equal(tx["conv_id"], hi),
+            )
+        )
+        entries.append(write_table_file(root, chunk, presorted=True))
+    log.commit(
+        operation="ingest", job_id="seed", added=entries,
+        summary={"keys_unique": True},
+    )
+    return log, tx, entries
+
+
+def test_plan_classes(table_root):
+    log, tx, entries = _seed_table(table_root)
+    # predicate covers ALL of file 1 and nothing else
+    f1 = entries[1].stats["conv_id"]
+    drop, rewrite = plan_delete(
+        log.files(), conv_id_range=(f1[0], f1[1]), ts_range=None,
+        has_residual=False,
+    )
+    assert [e.path for e in drop] == [entries[1].path]
+    assert rewrite == []  # files 0/2 pruned as untouched
+    # a residual term forbids whole-file drops
+    drop, rewrite = plan_delete(
+        log.files(), conv_id_range=(f1[0], f1[1]), ts_range=None,
+        has_residual=True,
+    )
+    assert drop == [] and [e.path for e in rewrite] == [entries[1].path]
+
+
+def test_delete_range_and_residual(ray_session, table_root):
+    log, tx, entries = _seed_table(table_root)
+    f1 = entries[1].stats["conv_id"]
+    snap = delete_where(
+        table_root, job_id="del-1", conv_id_range=(f1[0], f1[1])
+    )
+    assert snap.summary["files_dropped_whole"] == 1
+    assert snap.summary["files_rewritten"] == 0
+    # untouched files keep their original paths (no needless rewrite)
+    live = {e.path for e in log.files()}
+    assert entries[0].path in live and entries[2].path in live
+
+    # second delete: residual on role inside file 0's range only
+    f0 = entries[0].stats["conv_id"]
+    snap2 = delete_where(
+        table_root, job_id="del-2", conv_id_range=(f0[0], f0[1]),
+        match=lambda t: pc.equal(t["role"], "assistant"),
+    )
+    assert snap2.summary["files_dropped_whole"] == 0
+    assert snap2.summary["files_rewritten"] == 1
+
+    got = validation_scan(table_root)
+    mask = pc.and_(
+        pc.greater_equal(tx["conv_id"], f1[0]), pc.less_equal(tx["conv_id"], f1[1])
+    )
+    mask2 = pc.and_(
+        pc.and_(
+            pc.greater_equal(tx["conv_id"], f0[0]),
+            pc.less_equal(tx["conv_id"], f0[1]),
+        ),
+        pc.equal(tx["role"], "assistant"),
+    )
+    want = tx.filter(pc.invert(pc.or_(mask, mask2)))
+    assert got.num_rows == want.num_rows
+    assert snap.summary["deleted_rows"] == int(pc.sum(pc.cast(mask, "int64")).as_py())
+    assert got.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]).equals(
+        want.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+
+
+def test_null_predicate_rows_survive(ray_session, table_root):
+    """DELETE WHERE tool = X must keep rows whose tool IS NULL."""
+    log, tx, _ = _seed_table(table_root)
+    tool0 = next(t for t in tx["tool"].to_pylist() if t is not None)
+    delete_where(
+        table_root, job_id="del-null",
+        match=lambda t, v=tool0: pc.equal(t["tool"], v),
+    )
+    got = validation_scan(table_root)
+    n_null = tx.num_rows - pc.count(tx["tool"]).as_py()  # count() skips nulls
+    assert got.num_rows == tx.num_rows - pc.sum(
+        pc.cast(pc.fill_null(pc.equal(tx["tool"], tool0), False), "int64")
+    ).as_py()
+    got_nulls = got.num_rows - pc.count(got["tool"]).as_py()
+    assert got_nulls == n_null
+
+
+def test_idempotent_replay_and_noop(ray_session, table_root):
+    log, tx, entries = _seed_table(table_root)
+    f1 = entries[1].stats["conv_id"]
+    s1 = delete_where(table_root, job_id="del-x", conv_id_range=(f1[0], f1[1]))
+    s2 = delete_where(table_root, job_id="del-x", conv_id_range=(f1[0], f1[1]))
+    assert s1.version == s2.version  # replay no-ops on job_id
+    # a predicate provably touching nothing commits nothing
+    before = log.current_version()
+    assert delete_where(
+        table_root, job_id="del-none", conv_id_range=("zzz-0", "zzz-9")
+    ) is None
+    assert log.current_version() == before
+
+
+def test_keys_unique_survives_delete(ray_session, table_root):
+    log, tx, entries = _seed_table(table_root)
+    assert log.keys_unique()
+    f1 = entries[1].stats["conv_id"]
+    delete_where(table_root, job_id="del-ku", conv_id_range=(f1[0], f1[1]))
+    assert log.keys_unique()
+
+
+def test_delete_needs_a_predicate(ray_session, table_root):
+    _seed_table(table_root)
+    with pytest.raises(Exception):
+        delete_where(table_root, job_id="del-empty")
