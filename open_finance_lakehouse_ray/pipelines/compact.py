@@ -150,9 +150,16 @@ def _compact_bin(
         # reuse only if the recorded outputs still exist — a crashed job's
         # uncommitted files may have been orphan-swept after the grace window
         return done
-    table = pa.concat_tables(
-        [pq.read_table(os.path.join(root, p)) for p in paths]
-    ).combine_chunks()
+    tables = [pq.read_table(os.path.join(root, p)) for p in paths]
+    if log.schema_is_evolved():
+        # post-evolution bins mix pre/post-evolution files: conform each
+        # to the table schema (null-fill / cast up) before the concat
+        from open_finance_lakehouse_ray.stages.evolution import conform_table
+
+        sch = log.table_schema()
+        if sch is not None:
+            tables = [conform_table(t, sch) for t in tables]
+    table = pa.concat_tables(tables).combine_chunks()
 
     clustered = (
         z_ranges is not None

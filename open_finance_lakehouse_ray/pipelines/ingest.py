@@ -28,6 +28,7 @@ def ingest_dataset(
     validate: bool = True,
     sort_within_files: tuple[str, ...] = ("conv_id", "turn_idx"),
     summary: dict[str, Any] | None = None,
+    merge_schema: bool = False,
 ) -> Snapshot:
     """Write ``ds`` into the table at ``root`` and commit one snapshot.
 
@@ -36,6 +37,15 @@ def ingest_dataset(
     ``landing.py:38-41``). Streaming end to end: blocks flow from the
     source through validation into per-block file writes; only tiny
     metadata rows ever reach the driver.
+
+    ``merge_schema=True`` is Delta's ``mergeSchema``: the incoming file
+    schema unions-by-name into the table schema (widening casts only,
+    ``stages/evolution.py``); existing files are NOT rewritten — the
+    scan conforms old batches (null-fill / cast up) at read time. An
+    incompatible change raises ``SchemaEvolutionError`` BEFORE the
+    commit. ``mode="overwrite"`` resets the schema to the incoming one
+    (the ``overwriteSchema`` analog). Without ``merge_schema``, an
+    append that would change a recorded schema is rejected.
     """
     log = TableLog(root)
     log.create()
@@ -73,6 +83,39 @@ def ingest_dataset(
     base_version = log.current_version()
     if mode == "overwrite" and base_version is not None:
         removed = {e.path for e in log.files(base_version)}
+
+    schema_summary: dict[str, Any] = {}
+    if entries:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from open_finance_lakehouse_ray.stages.evolution import (
+            SchemaEvolutionError,
+            evolve_schema,
+            schema_to_b64,
+        )
+
+        # one footer read: every file of this ingest shares the source
+        # dataset's schema (the writer never reorders or drops columns)
+        incoming = pq.read_schema(os.path.join(root, entries[0].path))
+        current = log.table_schema(base_version)
+        if mode == "overwrite" or current is None:
+            schema_summary["schema_b64"] = schema_to_b64(incoming)
+            if mode == "overwrite":
+                # the live file set is homogeneous again — shadow any
+                # earlier evolved flag so scans regain column pushdown
+                schema_summary["schema_evolved"] = False
+        elif not current.equals(incoming):
+            if not merge_schema:
+                raise SchemaEvolutionError(
+                    f"append schema differs from table schema at {root} "
+                    "(pass merge_schema=True to evolve)"
+                )
+            unified = evolve_schema(current, incoming)
+            schema_summary["schema_b64"] = schema_to_b64(unified)
+            schema_summary["schema_evolved"] = True
+
     return commit_via_actor_or_direct(
         log,
         operation="ingest",
@@ -81,7 +124,7 @@ def ingest_dataset(
         removed_paths=removed,
         read_paths=set(),
         base_version=base_version,
-        summary={"mode": mode, **(summary or {})},
+        summary={"mode": mode, **schema_summary, **(summary or {})},
         # REPLACE semantics under concurrency: re-resolve the removed set
         # at commit time so an append landing between plan and commit is
         # serialized before the overwrite, not left alive beside it

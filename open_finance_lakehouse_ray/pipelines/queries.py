@@ -2985,3 +2985,69 @@ Q_TX_DELETE_SQL = f"""
 
 QUERIES.update({"tx_delete_where": q_tx_delete_where})
 ORACLES.update({"tx_delete_where": Q_TX_DELETE_SQL})
+
+
+# --------------------------------------------------------- schema evolution
+
+
+def q_tx_schema_evolution(sf_dir: str) -> pa.Table:
+    """Delta-mergeSchema analog end to end: ingest the transcript base
+    (schema recorded in the commit), append a second corpus carrying an
+    extra ``score`` column with ``merge_schema=True`` (no rewrite of old
+    files), compact across the evolution boundary (mixed-schema bins),
+    then scan — pre-evolution rows surface NULL scores at the evolved
+    schema. Oracle: UNION ALL with an explicit NULL column."""
+    from open_finance_lakehouse_ray.pipelines.compact import compact
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.merge import dedup_exact
+
+    root = _scratch_root("evolve")
+    base = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+    ingest_dataset(
+        base.repartition(16), root, job_id="sv-base", summary={"keys_unique": True}
+    )
+
+    def to_ext(t: pa.Table) -> pa.Table:
+        conv = pc.utf8_replace_slice(t["conv_id"], 0, 4, "convx")
+        score = pc.cast(
+            pc.list_element(pc.split_pattern(t["text"], ":"), 3), pa.float64()
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "text": t["text"],
+                "tool": t["tool"],
+                "ts": t["ts"],
+                "score": score,
+            }
+        )
+
+    ext = base.map_batches(to_ext, batch_format="pyarrow")
+    ingest_dataset(
+        ext.repartition(16), root, job_id="sv-ext", validate=False, merge_schema=True
+    )
+    compact(root, job_id="sv-compact", target_bytes=32 * 1024 * 1024)
+    return _scan_and_cleanup(root)
+
+
+Q_TX_SCHEMA_EVOLUTION_SQL = f"""
+    WITH base AS ({TX_DEDUP_SQL}),
+    ext AS (
+        SELECT 'convx' || substr(conv_id, 5) AS conv_id, turn_idx, role,
+               text, tool, ts,
+               CAST(split_part(text, ':', 4) AS DOUBLE) AS score
+        FROM base
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts,
+           CAST(NULL AS DOUBLE) AS score
+    FROM base
+    UNION ALL
+    SELECT * FROM ext
+    ORDER BY conv_id, turn_idx
+"""
+
+
+QUERIES.update({"tx_schema_evolution": q_tx_schema_evolution})
+ORACLES.update({"tx_schema_evolution": Q_TX_SCHEMA_EVOLUTION_SQL})

@@ -61,6 +61,11 @@ def scan(
     Residual predicates are applied vectorized post-read (pruning is
     necessary-not-sufficient)."""
     log = TableLog(root)
+    # evolved tables: files are heterogeneous (an appended column is
+    # absent from pre-evolution files), so column pushdown would fault on
+    # old files — read full, conform every batch to the snapshot schema,
+    # then project. Un-evolved tables keep the pushdown fast path.
+    evolved_schema = log.table_schema(version) if log.schema_is_evolved(version) else None
     entries = prune_files(
         log.files(version),
         conv_id=conv_id,
@@ -68,13 +73,26 @@ def scan(
         ts_range=ts_range,
     )
     if not entries:
-        from open_finance_lakehouse_ray.sources.transcripts import TRANSCRIPT_SCHEMA
+        if evolved_schema is None:
+            from open_finance_lakehouse_ray.sources.transcripts import TRANSCRIPT_SCHEMA
 
-        empty = TRANSCRIPT_SCHEMA.empty_table()
+            empty = TRANSCRIPT_SCHEMA.empty_table()
+        else:
+            empty = evolved_schema.empty_table()
         if columns:
             empty = empty.select(columns)
         return rd.from_arrow(empty)
-    ds = rd.read_parquet([os.path.join(root, e.path) for e in entries], columns=columns)
+    paths = [os.path.join(root, e.path) for e in entries]
+    if evolved_schema is not None:
+        from open_finance_lakehouse_ray.stages.evolution import make_conformer
+
+        ds = rd.read_parquet(paths).map_batches(
+            make_conformer(evolved_schema), batch_format="pyarrow"
+        )
+        if columns:
+            ds = ds.select_columns(columns)
+    else:
+        ds = rd.read_parquet(paths, columns=columns)
     if conv_id is not None:
         ds = ds.map_batches(
             lambda t, c=conv_id: t.filter(pc.equal(t["conv_id"], c)),

@@ -279,6 +279,48 @@ class TableLog:
             except StaleTableError:
                 return False
 
+    def table_schema(self, version: int | None = None):
+        """The table's canonical Arrow schema at a snapshot, or None for
+        tables whose commits never recorded one (pre-evolution logs).
+        The schema travels in commit summaries (``schema_b64``); the
+        latest commit that recorded one wins — maintenance ops don't
+        re-record it, so this walks the parent chain."""
+        from open_finance_lakehouse_ray.stages.evolution import schema_from_b64
+
+        try:
+            snap = self.snapshot(version)
+        except (StaleTableError, FileNotFoundError):
+            return None
+        while True:
+            b64 = snap.summary.get("schema_b64")
+            if b64 is not None:
+                return schema_from_b64(b64)
+            if snap.parent is None:
+                return None
+            try:
+                snap = self.snapshot(snap.parent)
+            except StaleTableError:
+                return None
+
+    def schema_is_evolved(self, version: int | None = None) -> bool:
+        """True iff any commit in the chain actually CHANGED the schema
+        (``schema_evolved`` summary flag) — the scan only pays the
+        conform stage (and loses column pushdown) on such tables."""
+        try:
+            snap = self.snapshot(version)
+        except (StaleTableError, FileNotFoundError):
+            return False
+        while True:
+            ev = snap.summary.get("schema_evolved")
+            if ev is not None:
+                return bool(ev)
+            if snap.parent is None:
+                return False
+            try:
+                snap = self.snapshot(snap.parent)
+            except StaleTableError:
+                return False
+
     def _txn_marker_path(self, job_id: str) -> str:
         return os.path.join(self.txdir, "txns", f"{job_id}.json")
 

@@ -1,0 +1,114 @@
+"""Schema evolution: widening promotions, mergeSchema appends with
+null-filled reads, rejection of un-flagged drift, compaction across the
+evolution boundary, time travel to the pre-evolution schema, and
+overwrite resetting the schema."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from open_finance_lakehouse_ray.pipelines.compact import compact
+from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+from open_finance_lakehouse_ray.pipelines.scan import scan, validation_scan
+from open_finance_lakehouse_ray.sources.transcripts import build_transcripts
+from open_finance_lakehouse_ray.stages.evolution import (
+    SchemaEvolutionError,
+    evolve_schema,
+    promote_types,
+    schema_from_b64,
+    schema_to_b64,
+)
+from open_finance_lakehouse_ray.state.txlog import TableLog
+
+
+def test_promotions():
+    assert promote_types(pa.int32(), pa.int64()) == pa.int64()
+    assert promote_types(pa.int64(), pa.int8()) == pa.int64()
+    assert promote_types(pa.float32(), pa.float64()) == pa.float64()
+    assert promote_types(pa.int64(), pa.float32()) == pa.float64()
+    assert promote_types(pa.null(), pa.string()) == pa.string()
+    assert promote_types(pa.string(), pa.large_string()) == pa.large_string()
+    with pytest.raises(SchemaEvolutionError):
+        promote_types(pa.string(), pa.int64())
+    with pytest.raises(SchemaEvolutionError):
+        promote_types(pa.date32(), pa.timestamp("us"))
+
+
+def test_evolve_schema_order_and_b64_roundtrip():
+    cur = pa.schema([("a", pa.int32()), ("b", pa.string())])
+    inc = pa.schema([("c", pa.float64()), ("a", pa.int64())])
+    out = evolve_schema(cur, inc)
+    # current order kept, widened; new columns appended
+    assert out.names == ["a", "b", "c"]
+    assert out.field("a").type == pa.int64()
+    assert schema_from_b64(schema_to_b64(out)).equals(out)
+
+
+def _with_score(t: pa.Table) -> pa.Table:
+    return t.append_column(
+        "score", pc.cast(pc.utf8_length(t["text"]), pa.float64())
+    )
+
+
+def test_merge_schema_lifecycle(ray_session, table_root):
+    tx = build_transcripts(n_convs=40)
+    n1 = tx.num_rows
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="ev-base")
+    log = TableLog(table_root)
+    v_pre = log.current_version()
+    assert log.table_schema() is not None and not log.schema_is_evolved()
+
+    # un-flagged drift is rejected before any commit
+    extra = _with_score(build_transcripts(seed=7, n_convs=10))
+    with pytest.raises(SchemaEvolutionError):
+        ingest_dataset(
+            rd.from_arrow(extra), table_root, job_id="ev-bad", validate=False
+        )
+    assert log.current_version() == v_pre
+
+    ingest_dataset(
+        rd.from_arrow(extra), table_root, job_id="ev-ok",
+        validate=False, merge_schema=True,
+    )
+    assert log.schema_is_evolved()
+    assert log.table_schema().names[-1] == "score"
+
+    got = validation_scan(table_root)
+    assert got.num_rows == n1 + extra.num_rows
+    # pre-evolution rows read null-filled; appended rows keep their values
+    assert got.num_rows - pc.count(got["score"]).as_py() == n1
+    assert pc.sum(got["score"]).as_py() == pc.sum(extra["score"]).as_py()
+
+    # column projection still works on the evolved table
+    proj = scan(table_root, columns=["conv_id", "score"]).to_pandas()
+    assert list(proj.columns) == ["conv_id", "score"]
+
+    # time travel: the pre-evolution snapshot scans at the OLD schema
+    old = scan(table_root, version=v_pre).take(1)[0]
+    assert "score" not in old
+
+    # compaction crosses the evolution boundary (mixed-schema bins)
+    snap = compact(table_root, job_id="ev-compact", target_bytes=64 * 1024 * 1024)
+    assert snap is not None
+    after = validation_scan(table_root)
+    assert after.num_rows == got.num_rows
+    assert pc.sum(after["score"]).as_py() == pc.sum(extra["score"]).as_py()
+
+
+def test_overwrite_resets_schema(ray_session, table_root):
+    tx = build_transcripts(n_convs=20)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="ow-base")
+    ingest_dataset(
+        rd.from_arrow(_with_score(tx)), table_root, job_id="ow-ev",
+        validate=False, merge_schema=True,
+    )
+    log = TableLog(table_root)
+    assert log.schema_is_evolved()
+    ingest_dataset(
+        rd.from_arrow(tx), table_root, job_id="ow-reset", mode="overwrite"
+    )
+    assert not log.schema_is_evolved()
+    assert "score" not in log.table_schema().names
