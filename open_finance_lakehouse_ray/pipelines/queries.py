@@ -3051,3 +3051,91 @@ Q_TX_SCHEMA_EVOLUTION_SQL = f"""
 
 QUERIES.update({"tx_schema_evolution": q_tx_schema_evolution})
 ORACLES.update({"tx_schema_evolution": Q_TX_SCHEMA_EVOLUTION_SQL})
+
+
+# --------------------------------------------------------- change data feed
+
+
+def q_tx_change_feed(sf_dir: str) -> pa.Table:
+    """Delta CDF analog: ingest → MERGE (updates/inserts/stale) → DELETE a
+    conv range → ``change_feed`` between the post-ingest snapshot and the
+    head. Only files removed/added between the versions are read; rows
+    merely moved by rewrites cancel. Oracle: FULL OUTER JOIN of the two
+    reconstructed states keyed on (conv_id, turn_idx)."""
+    import shutil
+
+    from open_finance_lakehouse_ray.pipelines.cdf import change_feed
+    from open_finance_lakehouse_ray.pipelines.delete import delete_where
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.merge import dedup_exact, merge_into
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    root = _scratch_root("cdf")
+    try:
+        tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+        ingest_dataset(
+            tx.repartition(24), root, job_id="cf-ingest",
+            summary={"keys_unique": True},
+        )
+        v0 = TableLog(root).current_version()
+        updates = _merge_updates(
+            dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+        )
+        merge_into(root, updates, job_id="cf-merge", num_buckets=16)
+        delete_where(
+            root, job_id="cf-del",
+            conv_id_range=("conv-0000000001", "conv-0000000500"),
+        )
+        out = (
+            change_feed(root, from_version=v0)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx", "_change_type"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q_TX_CHANGE_FEED_SQL = f"""
+    WITH oldt AS ({TX_DEDUP_SQL}),
+    newt AS (
+        SELECT * FROM ({Q_TX_MERGE_SQL})
+        WHERE NOT (conv_id BETWEEN 'conv-0000000001' AND 'conv-0000000500')
+    ),
+    j AS (
+        SELECT o.conv_id AS o_conv, o.turn_idx AS o_turn, o.role AS o_role,
+               o.text AS o_text, o.tool AS o_tool, o.ts AS o_ts,
+               n.conv_id AS n_conv, n.turn_idx AS n_turn, n.role AS n_role,
+               n.text AS n_text, n.tool AS n_tool, n.ts AS n_ts
+        FROM oldt o FULL OUTER JOIN newt n
+          ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx
+    ),
+    changed AS (
+        SELECT * FROM j
+        WHERE o_conv IS NOT NULL AND n_conv IS NOT NULL
+          AND (o_text IS DISTINCT FROM n_text OR o_ts IS DISTINCT FROM n_ts
+               OR o_role IS DISTINCT FROM n_role
+               OR o_tool IS DISTINCT FROM n_tool)
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, _change_type FROM (
+        SELECT n_conv AS conv_id, n_turn AS turn_idx, n_role AS role,
+               n_text AS text, n_tool AS tool, n_ts AS ts,
+               'insert' AS _change_type
+        FROM j WHERE o_conv IS NULL
+        UNION ALL
+        SELECT o_conv, o_turn, o_role, o_text, o_tool, o_ts, 'delete'
+        FROM j WHERE n_conv IS NULL
+        UNION ALL
+        SELECT o_conv, o_turn, o_role, o_text, o_tool, o_ts, 'update_preimage'
+        FROM changed
+        UNION ALL
+        SELECT n_conv, n_turn, n_role, n_text, n_tool, n_ts, 'update_postimage'
+        FROM changed
+    )
+    ORDER BY conv_id, turn_idx, _change_type
+"""
+
+
+QUERIES.update({"tx_change_feed": q_tx_change_feed})
+ORACLES.update({"tx_change_feed": Q_TX_CHANGE_FEED_SQL})

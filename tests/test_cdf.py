@@ -1,0 +1,93 @@
+"""Change data feed: rewrite cancellation, append/delete classification,
+update pre/post pairing, and duplicate-key surplus handling."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from open_finance_lakehouse_ray.pipelines.cdf import change_feed
+from open_finance_lakehouse_ray.pipelines.compact import compact
+from open_finance_lakehouse_ray.pipelines.delete import delete_where
+from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+from open_finance_lakehouse_ray.sources.transcripts import build_transcripts
+from open_finance_lakehouse_ray.stages.writer import write_table_file
+from open_finance_lakehouse_ray.state.txlog import TableLog
+
+
+def test_rewrite_noise_cancels(ray_session, table_root):
+    """Compaction moves every row to new files; the feed must be empty."""
+    tx = build_transcripts(n_convs=30)
+    ingest_dataset(rd.from_arrow(tx).repartition(8), table_root, job_id="c-base")
+    log = TableLog(table_root)
+    v0 = log.current_version()
+    assert compact(table_root, job_id="c-compact", target_bytes=64 * 1024 * 1024)
+    feed = change_feed(table_root, from_version=v0).to_pandas()
+    assert len(feed) == 0
+
+
+def test_append_and_delete_classify(ray_session, table_root):
+    tx = build_transcripts(n_convs=30)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="a-base")
+    log = TableLog(table_root)
+    v0 = log.current_version()
+    import pyarrow.compute as pc
+
+    extra = build_transcripts(seed=5, n_convs=6)
+    # disjoint key space ("convE-…" sorts above every "conv-…") so the
+    # delete below provably touches only base files
+    extra = extra.set_column(
+        0, "conv_id", pc.utf8_replace_slice(extra["conv_id"], 0, 4, "convE")
+    )
+    n_extra = extra.num_rows
+    ingest_dataset(rd.from_arrow(extra), table_root, job_id="a-extra", validate=False)
+
+    f0 = log.files()[0]
+    c = f0.stats["conv_id"]
+    snap = delete_where(table_root, job_id="a-del", conv_id_range=(c[0], c[1]))
+    n_del = snap.summary["deleted_rows"]
+
+    feed = change_feed(table_root, from_version=v0).to_pandas()
+    counts = feed["_change_type"].value_counts().to_dict()
+    assert counts == {"insert": n_extra, "delete": n_del}
+
+
+def test_update_pairing_and_dup_surplus(ray_session, table_root):
+    log = TableLog(table_root)
+    log.create()
+
+    def row(text):
+        return pa.table(
+            {
+                "conv_id": ["conv-1"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": ["user"],
+                "text": [text],
+                "tool": pa.array([None], pa.string()),
+                "ts": pa.array([1000], pa.timestamp("us")),
+            }
+        )
+
+    e0 = write_table_file(table_root, row("a"), presorted=True)
+    log.commit(operation="ingest", job_id="v0", added=[e0])
+    v0 = log.current_version()
+    e1 = write_table_file(
+        table_root, pa.concat_tables([row("b"), row("c")]), presorted=True
+    )
+    log.commit(
+        operation="merge", job_id="v1", added=[e1], removed_paths={e0.path},
+        read_paths={e0.path},
+    )
+
+    feed = (
+        change_feed(table_root, from_version=v0)
+        .to_pandas()
+        .sort_values(["_change_type", "text"])
+    )
+    counts = feed["_change_type"].value_counts().to_dict()
+    # one old copy pairs with the FIRST new copy (sorted) as an update;
+    # the surplus new copy is an insert
+    assert counts == {"insert": 1, "update_preimage": 1, "update_postimage": 1}
+    assert feed.loc[feed["_change_type"] == "update_preimage", "text"].iloc[0] == "a"
+    assert feed.loc[feed["_change_type"] == "update_postimage", "text"].iloc[0] == "b"
+    assert feed.loc[feed["_change_type"] == "insert", "text"].iloc[0] == "c"
