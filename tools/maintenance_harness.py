@@ -20,6 +20,9 @@ Scenarios (FIXTURES.md F5):
   merge-kill-resume — a shuffle MERGE is SIGKILLed mid-bucket-apply;
                  the resume reuses committed bucket records (files
                  verified by mtime) and matches an uninterrupted run.
+  delete-kill-resume — a predicate DELETE is SIGKILLed mid-rewrite;
+                 the resume skips completed per-file records and matches
+                 an uninterrupted run.
   concurrent   — a compaction and a MERGE race from the same base
                  snapshot; overlapping file sets must conflict-and-replan,
                  and the final scan must equal the serial execution.
@@ -111,6 +114,24 @@ elif cmd == "zorder-ranged":
     from open_finance_lakehouse_ray.pipelines.zorder import zorder_ranged
     snap = zorder_ranged(root, job_id=sys.argv[3], n_ranges=8)
     print(json.dumps({"version": None if snap is None else snap.version}))
+elif cmd == "delete":
+    import pyarrow.compute as pc
+    from open_finance_lakehouse_ray.pipelines.delete import delete_where
+    slow = os.environ.get("HARNESS_SLOW_DELETE_S")
+    if slow:  # slow each rewrite batch so a SIGKILL lands mid-delete
+        import open_finance_lakehouse_ray.pipelines.delete as dl
+        orig_make = dl._make_rewrite_runner
+        def slow_make(*a, **k):
+            inner = orig_make(*a, **k)
+            def slowed(b):
+                time.sleep(float(slow))
+                return inner(b)
+            return slowed
+        dl._make_rewrite_runner = slow_make
+    snap = delete_where(root, job_id=sys.argv[3],
+                        match=lambda t: pc.equal(t["role"], "tool"))
+    print(json.dumps({"version": None if snap is None else snap.version,
+                      "deleted": 0 if snap is None else snap.summary["deleted_rows"]}))
 elif cmd == "merge":
     from open_finance_lakehouse_ray.sources.transcripts import build_transcripts, late_turns
     from open_finance_lakehouse_ray.pipelines.merge import merge_into
@@ -368,6 +389,51 @@ def scenario_merge_kill_resume(scratch: str) -> dict:
     }
 
 
+def scenario_delete_kill_resume(scratch: str) -> dict:
+    """A predicate DELETE is SIGKILLed mid-rewrite; the resumed process
+    must converge to the uninterrupted reference (per-file lineage
+    records skip completed rewrites, stale debris is never committed)."""
+    root = os.path.join(scratch, "del")
+    ref_root = os.path.join(scratch, "del-ref")
+    run_worker(["ingest", root, "40"])
+    shutil.copytree(root, ref_root)
+
+    run_worker(["delete", ref_root, "del-K"])
+    ref_state = independent_state(ref_root)
+
+    p = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "delete", root, "del-K"],
+        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_SLOW_DELETE_S": "1.5"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    deadline = time.time() + 120
+    while time.time() < deadline and p.poll() is None:
+        if len(TableLog(root).committed_partitions("del-K")) >= 1:
+            break
+        time.sleep(0.25)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+
+    partial = len(TableLog(root).committed_partitions("del-K"))
+    mid_run = partial > 0 and TableLog(root).find_commit("del-K") is None
+
+    run_worker(["delete", root, "del-K"])
+    got_state = independent_state(root)
+
+    comparable = {k: ref_state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    got_comp = {k: got_state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    return {
+        "ok": comparable == got_comp and mid_run,
+        "killed_mid_run": mid_run,
+        "parts_committed_before_kill": partial,
+        "reference": ref_state,
+        "resumed": got_state,
+    }
+
+
 def scenario_concurrent(scratch: str) -> dict:
     root = os.path.join(scratch, "concurrent")
     run_worker(["ingest", root, "40"])
@@ -451,6 +517,7 @@ def main() -> int:
     ap.add_argument("--scenario", default="all",
                     choices=["all", "double-run", "kill-resume",
                              "zorder-kill-resume", "merge-kill-resume",
+                             "delete-kill-resume",
                              "concurrent", "overwrite-race"])
     args = ap.parse_args()
     scratch = tempfile.mkdtemp(prefix="ofl-harness-")
@@ -459,6 +526,7 @@ def main() -> int:
         "kill-resume": scenario_kill_resume,
         "zorder-kill-resume": scenario_zorder_kill_resume,
         "merge-kill-resume": scenario_merge_kill_resume,
+        "delete-kill-resume": scenario_delete_kill_resume,
         "concurrent": scenario_concurrent,
         "overwrite-race": scenario_overwrite_race,
     }
