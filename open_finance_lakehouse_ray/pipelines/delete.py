@@ -292,3 +292,170 @@ def delete_where(
         log.clear_job(attempt_job)
         return snap
     raise AssertionError("unreachable")
+
+
+def _make_update_runner(
+    root: str,
+    job_id: str,
+    conv_id_range,
+    ts_range,
+    match: Residual | None,
+    assign: dict,
+):
+    def _run(batch: pa.Table) -> pa.Table:
+        import dataclasses
+        import json as _json
+
+        log = TableLog(root)
+        out_rows = []
+        for row in batch.to_pylist():
+            path = row["path"]
+            part_id = row["part_id"]
+            done = log.get_partition(job_id, part_id)
+            if (
+                done is not None
+                and done.get("inputs") == [path]
+                and all(
+                    os.path.exists(os.path.join(root, o["path"]))
+                    for o in done.get("outputs", [])
+                )
+            ):
+                out_rows.append({"part_id": part_id, "record": _json.dumps(done)})
+                continue
+            t = pq.read_table(os.path.join(root, path))
+            mask = _match_mask(t, conv_id_range, ts_range, match)
+            out = t
+            for col, new in assign.items():
+                vals = new(t) if callable(new) else pa.nulls(0)
+                if not callable(new):
+                    vals = pa.array([new] * t.num_rows, type=t[col].type)
+                old = out[col]
+                if hasattr(vals, "cast") and not vals.type.equals(old.type):
+                    vals = vals.cast(old.type)
+                i = out.column_names.index(col)
+                out = out.set_column(i, col, pc.if_else(mask, vals, old))
+            n_upd = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+            # assignments never touch the sort/cluster keys (enforced by
+            # update_where), so order, z_range and sorted_by survive
+            entry = write_table_file(
+                root, out, sort_by=(), prefix="update", presorted=True
+            )
+            src = FileEntry.from_json(row_entry_json(row))
+            entry = dataclasses.replace(
+                entry, z_range=src.z_range, sorted_by=src.sorted_by
+            )
+            record = {
+                "inputs": [path],
+                "outputs": [entry.to_json()],
+                "updated": n_upd,
+            }
+            log.record_partition(job_id, part_id, record)
+            out_rows.append({"part_id": part_id, "record": _json.dumps(record)})
+        return pa.Table.from_pylist(out_rows)
+
+    return _run
+
+
+def update_where(
+    root: str,
+    *,
+    job_id: str,
+    assign: dict,
+    conv_id_range: tuple[str, str] | None = None,
+    ts_range: tuple[int, int] | None = None,
+    match: Residual | None = None,
+    max_retries_on_conflict: int = 3,
+) -> Snapshot | None:
+    """UPDATE ... SET — rewrite only files that can contain matching rows,
+    applying ``assign`` (column -> vectorized callable ``pa.Table ->
+    Array``, or a scalar constant) to rows where the predicate is TRUE
+    (SQL NULL semantics: NULL-predicate rows keep their values).
+
+    The planner is DELETE's: stats-pruned untouched files are never read.
+    Sort/cluster keys may not be assigned — an UPDATE that moved a row's
+    key would silently break file ordering and z-clustering; MERGE is the
+    verb for that. Idempotent on ``job_id``; replans on conflict.
+    """
+    from open_finance_lakehouse_ray.state.txlog import CommitConflict
+
+    if not assign:
+        raise ValueError("update_where needs at least one assignment")
+    forbidden = {"conv_id", "turn_idx"} & set(assign)
+    if forbidden:
+        raise ValueError(
+            f"cannot assign sort/cluster keys {sorted(forbidden)}; use MERGE"
+        )
+    if conv_id_range is None and ts_range is None and match is None:
+        raise ValueError("update_where needs at least one predicate term")
+    log = TableLog(root)
+    for attempt in range(max_retries_on_conflict + 1):
+        attempt_job = job_id if attempt == 0 else f"{job_id}~replan{attempt}"
+        existing = log.find_commit(attempt_job)
+        if existing is not None:
+            log.clear_job(attempt_job)
+            return existing
+        base_version = log.current_version()
+        # every overlapping file rewrites (no whole-drop class for UPDATE)
+        maybe, rewrite = plan_delete(
+            log.files(base_version),
+            conv_id_range=conv_id_range,
+            ts_range=ts_range,
+            has_residual=True,
+        )
+        rewrite = maybe + rewrite
+        if not rewrite:
+            return None
+        import json as _json
+
+        plan_rows = [
+            {
+                "part_id": f"{i:06d}",
+                "path": e.path,
+                "entry_json": _json.dumps(e.to_json()),
+            }
+            for i, e in enumerate(rewrite)
+        ]
+        (
+            rd.from_items(plan_rows, override_num_blocks=len(plan_rows))
+            .map_batches(
+                _make_update_runner(
+                    root, attempt_job, conv_id_range, ts_range, match, assign
+                ),
+                batch_size=4,
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        parts = log.committed_partitions(attempt_job)
+        added: list[FileEntry] = []
+        updated_rows = 0
+        for row in plan_rows:
+            rec = parts.get(row["part_id"])
+            if rec is None or rec.get("inputs") != [row["path"]]:
+                raise RuntimeError(
+                    f"update part {row['part_id']}: missing or stale record"
+                )
+            added.extend(FileEntry.from_json(o) for o in rec["outputs"])
+            updated_rows += rec["updated"]
+        removed = {e.path for e in rewrite}
+        try:
+            snap = commit_via_actor_or_direct(
+                log,
+                operation="update",
+                job_id=attempt_job,
+                added=added,
+                removed_paths=removed,
+                read_paths=removed,
+                base_version=base_version,
+                summary={
+                    "updated_rows": int(updated_rows),
+                    "files_rewritten": len(rewrite),
+                },
+            )
+        except CommitConflict:
+            if attempt == max_retries_on_conflict:
+                raise
+            continue
+        log.clear_job(attempt_job)
+        return snap
+    raise AssertionError("unreachable")

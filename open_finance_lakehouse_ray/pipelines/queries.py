@@ -3139,3 +3139,51 @@ Q_TX_CHANGE_FEED_SQL = f"""
 
 QUERIES.update({"tx_change_feed": q_tx_change_feed})
 ORACLES.update({"tx_change_feed": Q_TX_CHANGE_FEED_SQL})
+
+
+# ------------------------------------------------------------- UPDATE WHERE
+
+
+def q_tx_update_where(sf_dir: str) -> pa.Table:
+    """Delta-UPDATE analog: ingest → UPDATE a conv range's user turns
+    (prefix the text, re-tag the tool) through the stats-pruned rewrite →
+    scan. Oracle: the same assignments as CASE expressions."""
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.merge import dedup_exact
+
+    root = _scratch_root("update")
+    tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+    ingest_dataset(
+        tx.repartition(24), root, job_id="up-ingest", summary={"keys_unique": True}
+    )
+    update_where(
+        root,
+        job_id="up-range",
+        conv_id_range=("conv-0000000001", "conv-0000003000"),
+        match=lambda t: pc.equal(t["role"], "user"),
+        assign={
+            "text": lambda t: pc.binary_join_element_wise("EDIT:", t["text"], ""),
+            "tool": "editor",
+        },
+    )
+    return _scan_and_cleanup(root)
+
+
+Q_TX_UPDATE_SQL = f"""
+    WITH base AS ({TX_DEDUP_SQL})
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN conv_id BETWEEN 'conv-0000000001' AND 'conv-0000003000'
+                     AND role = 'user'
+                THEN 'EDIT:' || text ELSE text END AS text,
+           CASE WHEN conv_id BETWEEN 'conv-0000000001' AND 'conv-0000003000'
+                     AND role = 'user'
+                THEN 'editor' ELSE tool END AS tool,
+           ts
+    FROM base
+    ORDER BY conv_id, turn_idx
+"""
+
+
+QUERIES.update({"tx_update_where": q_tx_update_where})
+ORACLES.update({"tx_update_where": Q_TX_UPDATE_SQL})

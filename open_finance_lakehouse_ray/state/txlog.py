@@ -263,7 +263,7 @@ class TableLog:
         correct on unique-key tables.
         """
         preserving = {"compact", "zorder", "merge", "rewrite-manifests",
-                      "restore", "expire", "delete"}
+                      "restore", "expire", "delete", "update"}
         try:
             snap = self.snapshot(version)
         except StaleTableError:

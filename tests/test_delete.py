@@ -141,3 +141,80 @@ def test_delete_needs_a_predicate(ray_session, table_root):
     _seed_table(table_root)
     with pytest.raises(Exception):
         delete_where(table_root, job_id="del-empty")
+
+
+# ----------------------------------------------------------- UPDATE WHERE
+
+
+def test_update_where_case_semantics(ray_session, table_root):
+    import pyarrow as pa
+
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+    log, tx, entries = _seed_table(table_root)
+    f0 = entries[0].stats["conv_id"]
+    snap = update_where(
+        table_root,
+        job_id="up-1",
+        conv_id_range=(f0[0], f0[1]),
+        match=lambda t: pc.equal(t["role"], "user"),
+        assign={"text": lambda t: pc.binary_join_element_wise("U:", t["text"], "")},
+    )
+    # only the overlapping file rewrites; the others keep their paths
+    assert snap.summary["files_rewritten"] == 1
+    live = {e.path for e in log.files()}
+    assert entries[1].path in live and entries[2].path in live
+
+    got = validation_scan(table_root)
+    mask = pc.and_(
+        pc.and_(
+            pc.greater_equal(tx["conv_id"], f0[0]),
+            pc.less_equal(tx["conv_id"], f0[1]),
+        ),
+        pc.equal(tx["role"], "user"),
+    )
+    want_text = pc.if_else(
+        mask, pc.binary_join_element_wise("U:", tx["text"], ""), tx["text"]
+    )
+    want = tx.set_column(tx.column_names.index("text"), "text", want_text)
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert got.sort_by(key).equals(want.sort_by(key))
+    assert snap.summary["updated_rows"] == pc.sum(pc.cast(mask, pa.int64())).as_py()
+    # row count unchanged, uniqueness attested through the update
+    assert got.num_rows == tx.num_rows
+
+
+def test_update_where_guards(ray_session, table_root):
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+    _seed_table(table_root)
+    with pytest.raises(ValueError):
+        update_where(table_root, job_id="up-k", match=lambda t: None,
+                     assign={"conv_id": "x"})
+    with pytest.raises(ValueError):
+        update_where(table_root, job_id="up-p", assign={"text": "x"})
+
+
+def test_update_where_scalar_and_replay(ray_session, table_root):
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+    log, tx, _ = _seed_table(table_root)
+    s1 = update_where(
+        table_root, job_id="up-s",
+        match=lambda t: pc.equal(t["role"], "tool"),
+        assign={"tool": "redacted"},
+    )
+    s2 = update_where(
+        table_root, job_id="up-s",
+        match=lambda t: pc.equal(t["role"], "tool"),
+        assign={"tool": "redacted"},
+    )
+    assert s1.version == s2.version
+    got = validation_scan(table_root)
+    n_tool = pc.sum(
+        pc.cast(pc.fill_null(pc.equal(tx["role"], "tool"), False), "int64")
+    ).as_py()
+    n_red = pc.sum(
+        pc.cast(pc.fill_null(pc.equal(got["tool"], "redacted"), False), "int64")
+    ).as_py()
+    assert n_red == n_tool and s1.summary["updated_rows"] == n_tool
