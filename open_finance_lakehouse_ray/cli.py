@@ -11,6 +11,9 @@ per-table config from a JSON file or flags.
     python -m open_finance_lakehouse_ray.cli zorder  --root T [--curve hilbert]
     python -m open_finance_lakehouse_ray.cli merge   --root T --updates U
     python -m open_finance_lakehouse_ray.cli rewrite-manifests --root T
+    python -m open_finance_lakehouse_ray.cli delete  --root T --conv-range LO HI
+    python -m open_finance_lakehouse_ray.cli update  --root T --conv-range LO HI --set tool=redacted
+    python -m open_finance_lakehouse_ray.cli changes --root T --from-version N [--dest D]
     python -m open_finance_lakehouse_ray.cli expire  --root T [--force]
     python -m open_finance_lakehouse_ray.cli report  --root T
     python -m open_finance_lakehouse_ray.cli check   --root T
@@ -65,6 +68,21 @@ def main(argv: list[str] | None = None) -> int:
                     "--strategy": {"default": "auto",
                                    "choices": ["auto", "broadcast", "shuffle"]}})
     add("rewrite-manifests")
+    add("delete", **{"--conv-range": {"nargs": 2, "default": None,
+                                      "metavar": ("LO", "HI")},
+                     "--ts-range": {"nargs": 2, "type": int, "default": None,
+                                    "metavar": ("LO", "HI")}})
+    add("update", **{"--conv-range": {"nargs": 2, "default": None,
+                                      "metavar": ("LO", "HI")},
+                     "--ts-range": {"nargs": 2, "type": int, "default": None,
+                                    "metavar": ("LO", "HI")},
+                     "--set": {"action": "append", "required": True,
+                               "metavar": "COL=VALUE",
+                               "help": "scalar assignment, repeatable"}})
+    add("changes", **{"--from-version": {"type": int, "required": True},
+                      "--to-version": {"type": int, "default": None},
+                      "--dest": {"default": None,
+                                 "help": "write the feed as parquet here"}})
     add("maintain", **{"--target-bytes": {"type": int, "default": 96 * 1024 * 1024},
                        "--curve": {"default": "morton", "choices": ["morton", "hilbert"]},
                        "--retain-hours": {"type": float, "default": 168.0},
@@ -95,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
 
     needs_ray = args.cmd in (
         "ingest", "compact", "zorder", "merge", "rewrite-manifests", "check",
-        "maintain", "registry",
+        "maintain", "registry", "delete", "update", "changes",
     )
     if needs_ray:
         _ray_session(args.num_cpus)
@@ -130,6 +148,44 @@ def main(argv: list[str] | None = None) -> int:
             strategy=args.strategy,
         )
         out["snapshot"] = snap.version
+    elif args.cmd == "delete":
+        from open_finance_lakehouse_ray.pipelines.delete import delete_where
+
+        snap = delete_where(
+            args.root, job_id=job_id,
+            conv_id_range=tuple(args.conv_range) if args.conv_range else None,
+            ts_range=tuple(args.ts_range) if args.ts_range else None,
+        )
+        out["snapshot"] = None if snap is None else snap.version
+        if snap is not None:
+            out["summary"] = snap.summary
+    elif args.cmd == "update":
+        from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+        assign = {}
+        for kv in args.set:
+            col, _, val = kv.partition("=")
+            assign[col] = val
+        snap = update_where(
+            args.root, job_id=job_id, assign=assign,
+            conv_id_range=tuple(args.conv_range) if args.conv_range else None,
+            ts_range=tuple(args.ts_range) if args.ts_range else None,
+        )
+        out["snapshot"] = None if snap is None else snap.version
+        if snap is not None:
+            out["summary"] = snap.summary
+    elif args.cmd == "changes":
+        from open_finance_lakehouse_ray.pipelines.cdf import change_feed
+
+        feed = change_feed(
+            args.root, from_version=args.from_version,
+            to_version=args.to_version,
+        )
+        if args.dest:
+            feed.write_parquet(args.dest)
+            out["dest"] = args.dest
+        else:
+            out["changes"] = feed.count()
     elif args.cmd == "maintain":
         from open_finance_lakehouse_ray.pipelines.maintain import maintain
 
