@@ -93,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
                      "--dry-run": {"action": "store_true"}})
     add("report")
     add("check")
+    add("clone", **{"--dest": {"required": True},
+                    "--version": {"type": int, "default": None}})
     add("export", **{"--dest": {"required": True},
                      "--version": {"type": int, "default": None},
                      "--copy": {"action": "store_true",
@@ -217,6 +219,12 @@ def main(argv: list[str] | None = None) -> int:
                 dry_run=args.dry_run,
             )
         )
+    elif args.cmd == "clone":
+        from open_finance_lakehouse_ray.pipelines.clone import clone_table
+
+        snap = clone_table(args.root, args.dest, version=args.version, job_id=job_id)
+        out["snapshot"] = snap.version
+        out["summary"] = snap.summary
     elif args.cmd == "export":
         from open_finance_lakehouse_ray.pipelines.export import export_table
 
