@@ -95,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
     add("check")
     add("clone", **{"--dest": {"required": True},
                     "--version": {"type": int, "default": None}})
+    add("alter", **{"--add-json": {"default": None,
+                                   "help": 'e.g. {"c1": {"bounds": {"ts": [0, null]}}}'},
+                    "--drop": {"action": "append", "default": None}})
     add("export", **{"--dest": {"required": True},
                      "--version": {"type": int, "default": None},
                      "--copy": {"action": "store_true",
@@ -115,7 +118,7 @@ def main(argv: list[str] | None = None) -> int:
 
     needs_ray = args.cmd in (
         "ingest", "compact", "zorder", "merge", "rewrite-manifests", "check",
-        "maintain", "registry", "delete", "update", "changes",
+        "maintain", "registry", "delete", "update", "changes", "alter",
     )
     if needs_ray:
         _ray_session(args.num_cpus)
@@ -219,6 +222,16 @@ def main(argv: list[str] | None = None) -> int:
                 dry_run=args.dry_run,
             )
         )
+    elif args.cmd == "alter":
+        from open_finance_lakehouse_ray.pipelines.alter import alter_constraints
+
+        snap = alter_constraints(
+            args.root, job_id=job_id,
+            add=json.loads(args.add_json) if args.add_json else None,
+            drop=args.drop,
+        )
+        out["snapshot"] = snap.version
+        out["constraints"] = sorted(snap.summary.get("constraints", {}))
     elif args.cmd == "clone":
         from open_finance_lakehouse_ray.pipelines.clone import clone_table
 

@@ -55,6 +55,19 @@ def ingest_dataset(
 
     if validate:
         ds = ds.map_batches(validate_batch, batch_format="pyarrow")
+    # log-carried constraints bind EVERY writer, validate flag or not —
+    # the table's own invariants, not the orchestration layer's
+    constraints = log.table_constraints()
+    if constraints:
+        from open_finance_lakehouse_ray.stages.contracts import (
+            make_invariant_validator,
+        )
+
+        for cname in sorted(constraints):
+            ds = ds.map_batches(
+                make_invariant_validator(cname, constraints[cname]),
+                batch_format="pyarrow",
+            )
     meta = ds.map_batches(
         make_stats_writer(root, sort_by=sort_within_files, prefix="ingest"),
         batch_size=None,

@@ -118,3 +118,52 @@ def make_contract_validator(contract: TableContract):
         return batch
 
     return _validate
+
+
+def make_invariant_validator(name: str, spec: dict[str, Any]):
+    """Compile a schema-less invariant set (the txlog-carried constraint
+    form, ``pipelines/alter.py``) into a ``map_batches`` stage. Spec keys:
+    ``required_non_null`` (list), ``allowed_values`` ({col: [..]}),
+    ``bounds`` ({col: [lo, hi]}). Raises :class:`ContractViolation` with
+    the constraint's name so the breach is attributable."""
+    non_null = tuple(spec.get("required_non_null", ()))
+    allowed = {c: pa.array(v) for c, v in (spec.get("allowed_values") or {}).items()}
+    bounds = {c: (v[0], v[1]) for c, v in (spec.get("bounds") or {}).items()}
+
+    def _validate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        for c in non_null:
+            if c not in batch.column_names:
+                raise ContractViolation(f"{name}: missing_column:{c}")
+            nulls = pc.sum(pc.is_null(batch[c]).cast(pa.int64())).as_py() or 0
+            if nulls:
+                raise ContractViolation(f"{name}: null_key:{c}:{nulls}_rows")
+        for c, vals in allowed.items():
+            if c not in batch.column_names:
+                continue
+            col = pc.drop_null(batch[c])
+            if len(col) == 0:
+                continue
+            bad = pc.sum(
+                pc.invert(pc.is_in(col, value_set=vals)).cast(pa.int64())
+            ).as_py()
+            if bad:
+                raise ContractViolation(f"{name}: disallowed_value:{c}:{bad}_rows")
+        for c, (lo, hi) in bounds.items():
+            if c not in batch.column_names:
+                continue
+            col = batch[c]
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.int64())
+            mm = pc.min_max(col)
+            cmin, cmax = mm["min"].as_py(), mm["max"].as_py()
+            if cmin is None:
+                continue
+            if lo is not None and cmin < lo:
+                raise ContractViolation(f"{name}: below_bound:{c}:{cmin}<{lo}")
+            if hi is not None and cmax > hi:
+                raise ContractViolation(f"{name}: above_bound:{c}:{cmax}>{hi}")
+        return batch
+
+    return _validate

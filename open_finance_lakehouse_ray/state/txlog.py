@@ -263,7 +263,7 @@ class TableLog:
         correct on unique-key tables.
         """
         preserving = {"compact", "zorder", "merge", "rewrite-manifests",
-                      "restore", "expire", "delete", "update"}
+                      "restore", "expire", "delete", "update", "alter"}
         try:
             snap = self.snapshot(version)
         except StaleTableError:
@@ -320,6 +320,26 @@ class TableLog:
                 snap = self.snapshot(snap.parent)
             except StaleTableError:
                 return False
+
+    def table_constraints(self, version: int | None = None) -> dict:
+        """The ACTIVE constraint set at a snapshot ({name: spec}, see
+        ``pipelines/alter.py``) — the latest commit carrying a
+        ``constraints`` summary wins; tables that never ALTERed have
+        none."""
+        try:
+            snap = self.snapshot(version)
+        except (StaleTableError, FileNotFoundError):
+            return {}
+        while True:
+            cons = snap.summary.get("constraints")
+            if cons is not None:
+                return dict(cons)
+            if snap.parent is None:
+                return {}
+            try:
+                snap = self.snapshot(snap.parent)
+            except StaleTableError:
+                return {}
 
     def _txn_marker_path(self, job_id: str) -> str:
         return os.path.join(self.txdir, "txns", f"{job_id}.json")
