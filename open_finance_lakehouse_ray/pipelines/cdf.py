@@ -146,3 +146,57 @@ def change_feed(
     return tagged.groupby("_pk").map_groups(
         _diff_partition(list(key_cols)), batch_format="pandas"
     )
+
+
+class ChangeStream:
+    """Incremental change-feed consumer — the table-as-a-CDC-stream.
+
+    The streaming lane's table-as-stream source (``pipelines/streaming.py``)
+    replays APPENDED files; this replays row-level CHANGES, so a
+    downstream consumer (an incremental mart, a search index, a replica)
+    can apply deletes and updates too. Checkpoint protocol mirrors the
+    stream checkpoints: ``poll()`` returns the feed from the last
+    committed version to the current head (or None when caught up);
+    ``commit(to_version)`` durably advances the cursor only after the
+    consumer has applied the batch — crash between poll and commit →
+    the same feed is re-served (at-least-once; the feed is deterministic,
+    so idempotent apply gives exactly-once).
+    """
+
+    def __init__(self, root: str, checkpoint_path: str, *, start_version: int | None = None):
+        import json as _json
+
+        self.root = root
+        self.path = checkpoint_path
+        self._json = _json
+        if not os.path.exists(checkpoint_path):
+            if start_version is None:
+                start_version = TableLog(root).current_version()
+                if start_version is None:
+                    raise ValueError(f"no table at {root} and no start_version")
+            self._save(start_version)
+
+    def _save(self, version: int) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self._json.dumps({"last_version": version}))
+        os.replace(tmp, self.path)
+
+    @property
+    def last_version(self) -> int:
+        with open(self.path) as f:
+            return int(self._json.load(f)["last_version"])
+
+    def poll(self):
+        """(feed Dataset, to_version) when the table moved, else None."""
+        head = TableLog(self.root).current_version()
+        last = self.last_version
+        if head is None or head <= last:
+            return None
+        return change_feed(self.root, from_version=last, to_version=head), head
+
+    def commit(self, to_version: int) -> None:
+        if to_version < self.last_version:
+            raise ValueError("checkpoint cannot move backwards")
+        self._save(to_version)

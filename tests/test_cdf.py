@@ -91,3 +91,37 @@ def test_update_pairing_and_dup_surplus(ray_session, table_root):
     assert feed.loc[feed["_change_type"] == "update_preimage", "text"].iloc[0] == "a"
     assert feed.loc[feed["_change_type"] == "update_postimage", "text"].iloc[0] == "b"
     assert feed.loc[feed["_change_type"] == "insert", "text"].iloc[0] == "c"
+
+
+def test_change_stream_incremental(ray_session, table_root, tmp_path):
+    from open_finance_lakehouse_ray.pipelines.cdf import ChangeStream
+
+    tx = build_transcripts(n_convs=20)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="cs-base")
+    ckpt = str(tmp_path / "cdc.json")
+    cs = ChangeStream(table_root, ckpt)
+    assert cs.poll() is None  # caught up at creation
+
+    extra = build_transcripts(seed=8, n_convs=4)
+    ingest_dataset(rd.from_arrow(extra), table_root, job_id="cs-a", validate=False)
+    feed, to_v = cs.poll()
+    df = feed.to_pandas()
+    assert set(df["_change_type"]) == {"insert"} and len(df) == extra.num_rows
+    # crash before commit: the same feed is re-served
+    cs2 = ChangeStream(table_root, ckpt)
+    feed2, to_v2 = cs2.poll()
+    assert to_v2 == to_v and feed2.count() == len(df)
+    cs2.commit(to_v2)
+    assert cs2.poll() is None
+
+    log = TableLog(table_root)
+    f0 = log.files()[0]
+    delete_where(
+        table_root, job_id="cs-del",
+        conv_id_range=tuple(f0.stats["conv_id"]),
+    )
+    feed3, to_v3 = cs2.poll()
+    df3 = feed3.to_pandas()
+    assert set(df3["_change_type"]) <= {"delete"} and len(df3) > 0
+    cs2.commit(to_v3)
+    assert cs2.poll() is None
