@@ -165,12 +165,38 @@ def main(argv: list[str] | None = None) -> int:
         if snap is not None:
             out["summary"] = snap.summary
     elif args.cmd == "update":
-        from open_finance_lakehouse_ray.pipelines.delete import update_where
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
+        from open_finance_lakehouse_ray.pipelines.delete import update_where
+        from open_finance_lakehouse_ray.state.txlog import TableLog
+
+        # coerce CLI strings to the column's type (schema from the log,
+        # else a live file footer) — pa.array([str], type=float64) raises
+        log = TableLog(args.root)
+        sch = log.table_schema()
+        if sch is None:
+            files = log.files()
+            if files:
+                import os as _os
+
+                sch = pq.read_schema(_os.path.join(args.root, files[0].path))
         assign = {}
         for kv in args.set:
             col, _, val = kv.partition("=")
-            assign[col] = val
+            v: object = val
+            if sch is not None and col in sch.names:
+                t = sch.field(col).type
+                try:
+                    if pa.types.is_integer(t):
+                        v = int(val)
+                    elif pa.types.is_floating(t):
+                        v = float(val)
+                    elif pa.types.is_boolean(t):
+                        v = val.lower() in ("1", "true", "t", "yes")
+                except ValueError:
+                    raise SystemExit(f"--set {col}: {val!r} is not a {t}")
+            assign[col] = v
         snap = update_where(
             args.root, job_id=job_id, assign=assign,
             conv_id_range=tuple(args.conv_range) if args.conv_range else None,

@@ -49,17 +49,31 @@ def alter_constraints(
     new = dict(add or {})
     current.update(new)
 
+    validated_version: int | None = None
     if validate_existing and new and log.current_version() is not None:
         from open_finance_lakehouse_ray.pipelines.scan import scan
 
-        ds = scan(root)
-        for name in sorted(new):
-            ds = ds.map_batches(
-                make_invariant_validator(name, new[name]), batch_format="pyarrow"
-            )
-        # drain the stream; a breach raises out of the executor and the
-        # ALTER below never commits
-        ds.count()
+        # validate-until-quiescent: a concurrent ingest that lands
+        # between our scan and our commit was gated by the OLD
+        # constraint set, so its rows were never checked — re-validate
+        # any snapshot that appears before we publish. The residual
+        # window (head moves during the commit call itself) is the
+        # same WriteSerializable caveat Delta carries; a breach there
+        # is caught by the next `run_checks`/ALTER, not silently lost.
+        for _ in range(10):
+            head = log.current_version()
+            if head == validated_version:
+                break
+            ds = scan(root, version=head)
+            for name in sorted(new):
+                ds = ds.map_batches(
+                    make_invariant_validator(name, new[name]),
+                    batch_format="pyarrow",
+                )
+            # drain the stream; a breach raises out of the executor and
+            # the ALTER below never commits
+            ds.count()
+            validated_version = head
 
     return log.commit(
         operation="alter",

@@ -86,7 +86,17 @@ def _diff_partition(key_cols: list[str]):
             )
             d[CHANGE_COL] = "delete"
             frames.append(d[data_cols + [CHANGE_COL]])
-        return pd.concat(frames, ignore_index=True)
+        out = pd.concat(frames, ignore_index=True)
+        # the outer merge NaN-upcasts complementary columns (int64 ->
+        # float64); the emitted rows themselves are complete, so restore
+        # the input dtypes — a CDC consumer must see the table's schema
+        for c, dt in df[data_cols].dtypes.items():
+            if out[c].dtype != dt:
+                try:
+                    out[c] = out[c].astype(dt)
+                except (TypeError, ValueError):
+                    pass
+        return out
 
     return diff
 
@@ -104,9 +114,15 @@ def change_feed(
     update_preimage / update_postimage)."""
     from open_finance_lakehouse_ray.pipelines.dedup import _pk_tagger
 
+    # resolve against the DRIVER's cwd: read tasks run with their own
+    # cwd, so a relative root must be absolutized before it enters the
+    # plan (and manifest paths are table-relative — join exactly once)
+    root = os.path.abspath(root)
     log = TableLog(root)
-    old_paths = set(log.file_paths(from_version))
-    new_paths = set(log.file_paths(to_version))
+    # table-RELATIVE paths (file_paths() would pre-join root; joining
+    # again below would double-prefix under a relative root)
+    old_paths = {e.path for e in log.files(from_version)}
+    new_paths = {e.path for e in log.files(to_version)}
     old_only = sorted(old_paths - new_paths)
     new_only = sorted(new_paths - old_paths)
 

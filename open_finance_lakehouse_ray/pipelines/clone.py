@@ -65,6 +65,11 @@ def clone_table(
         "cloned_version": snap.version,
         "keys_unique": src.keys_unique(snap.version),
     }
+    cons = src.table_constraints(snap.version)
+    if cons:
+        # table metadata travels with the clone: the source's active
+        # constraints bind the clone's ingests too
+        summary["constraints"] = cons
     b64 = None
     sch = src.table_schema(snap.version)
     if sch is not None:

@@ -164,6 +164,16 @@ def _make_rewrite_runner(
             mask = _match_mask(t, conv_id_range, ts_range, match)
             kept = t.filter(pc.invert(mask))
             deleted = t.num_rows - kept.num_rows
+            if deleted == 0:
+                # stats overlap was necessary-not-sufficient: nothing
+                # matches, so leave the original file in place — no
+                # rewrite I/O and no needless conflict surface against
+                # concurrent compaction/merge
+                record = {"inputs": [path], "noop": True, "outputs": [],
+                          "deleted": 0, "kept": int(t.num_rows)}
+                log.record_partition(job_id, part_id, record)
+                out_rows.append({"part_id": part_id, "record": _json.dumps(record)})
+                continue
             outputs = []
             if kept.num_rows:
                 # filter preserves the file's row order, so the input's
@@ -237,6 +247,7 @@ def delete_where(
             return None
 
         added: list[FileEntry] = []
+        untouched: set[str] = set()
         deleted_rows = sum(e.rows for e in drop)
         if rewrite:
             import json as _json
@@ -267,9 +278,15 @@ def delete_where(
                     raise RuntimeError(
                         f"delete part {row['part_id']}: missing or stale record"
                     )
-                added.extend(FileEntry.from_json(o) for o in rec["outputs"])
-                deleted_rows += rec["deleted"]
-        removed = {e.path for e in drop} | {e.path for e in rewrite}
+                if rec.get("noop"):
+                    untouched.add(row["path"])
+                else:
+                    added.extend(FileEntry.from_json(o) for o in rec["outputs"])
+                    deleted_rows += rec["deleted"]
+        removed = ({e.path for e in drop} | {e.path for e in rewrite}) - untouched
+        if not removed and not added:
+            log.clear_job(attempt_job)
+            return None  # predicate matched nothing anywhere
         try:
             snap = commit_via_actor_or_direct(
                 log,
@@ -282,7 +299,7 @@ def delete_where(
                 summary={
                     "deleted_rows": int(deleted_rows),
                     "files_dropped_whole": len(drop),
-                    "files_rewritten": len(rewrite),
+                    "files_rewritten": len(rewrite) - len(untouched),
                 },
             )
         except CommitConflict:
@@ -301,6 +318,7 @@ def _make_update_runner(
     ts_range,
     match: Residual | None,
     assign: dict,
+    constraints: dict | None = None,
 ):
     def _run(batch: pa.Table) -> pa.Table:
         import dataclasses
@@ -324,6 +342,14 @@ def _make_update_runner(
                 continue
             t = pq.read_table(os.path.join(root, path))
             mask = _match_mask(t, conv_id_range, ts_range, match)
+            n_upd = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+            if n_upd == 0:
+                # overlap was necessary-not-sufficient: leave the file
+                record = {"inputs": [path], "noop": True, "outputs": [],
+                          "updated": 0}
+                log.record_partition(job_id, part_id, record)
+                out_rows.append({"part_id": part_id, "record": _json.dumps(record)})
+                continue
             out = t
             for col, new in assign.items():
                 vals = new(t) if callable(new) else pa.nulls(0)
@@ -334,16 +360,29 @@ def _make_update_runner(
                     vals = vals.cast(old.type)
                 i = out.column_names.index(col)
                 out = out.set_column(i, col, pc.if_else(mask, vals, old))
-            n_upd = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
-            # assignments never touch the sort/cluster keys (enforced by
-            # update_where), so order, z_range and sorted_by survive
+            if constraints:
+                # the table's own invariants bind every writer — an
+                # UPDATE must not smuggle in values an ingest would reject
+                from open_finance_lakehouse_ray.stages.contracts import (
+                    make_invariant_validator,
+                )
+
+                for cname in sorted(constraints):
+                    make_invariant_validator(cname, constraints[cname])(out)
             entry = write_table_file(
                 root, out, sort_by=(), prefix="update", presorted=True
             )
             src = FileEntry.from_json(row_entry_json(row))
-            entry = dataclasses.replace(
-                entry, z_range=src.z_range, sorted_by=src.sorted_by
-            )
+            if "ts" in assign:
+                # ts feeds the Z-key: the source's clustering metadata is
+                # no longer true of these rows — record nothing rather
+                # than a fabricated range (the file stays physically
+                # ordered, just no longer attested as z-clustered)
+                entry = dataclasses.replace(entry, z_range=None, sorted_by=[])
+            else:
+                entry = dataclasses.replace(
+                    entry, z_range=src.z_range, sorted_by=src.sorted_by
+                )
             record = {
                 "inputs": [path],
                 "outputs": [entry.to_json()],
@@ -371,10 +410,16 @@ def update_where(
     Array``, or a scalar constant) to rows where the predicate is TRUE
     (SQL NULL semantics: NULL-predicate rows keep their values).
 
-    The planner is DELETE's: stats-pruned untouched files are never read.
-    Sort/cluster keys may not be assigned — an UPDATE that moved a row's
-    key would silently break file ordering and z-clustering; MERGE is the
-    verb for that. Idempotent on ``job_id``; replans on conflict.
+    The planner is DELETE's: stats-pruned untouched files are never read,
+    and an overlapping file with zero matching rows is left in place (a
+    noop record — no rewrite, no conflict surface). Sort keys may not be
+    assigned — an UPDATE that moved a row's key would silently break
+    file ordering; MERGE is the verb for that. Assigning ``ts`` is
+    allowed but clears the file's z-clustering attestation (ts feeds the
+    Z-key, so the recorded range would be fabricated). Log-carried
+    constraints (``pipelines/alter.py``) are validated on every rewritten
+    file — an UPDATE cannot smuggle in values an ingest would reject.
+    Idempotent on ``job_id``; replans on conflict.
     """
     from open_finance_lakehouse_ray.state.txlog import CommitConflict
 
@@ -419,7 +464,8 @@ def update_where(
             rd.from_items(plan_rows, override_num_blocks=len(plan_rows))
             .map_batches(
                 _make_update_runner(
-                    root, attempt_job, conv_id_range, ts_range, match, assign
+                    root, attempt_job, conv_id_range, ts_range, match, assign,
+                    constraints=log.table_constraints(base_version),
                 ),
                 batch_size=4,
                 batch_format="pyarrow",
@@ -428,6 +474,7 @@ def update_where(
         )
         parts = log.committed_partitions(attempt_job)
         added: list[FileEntry] = []
+        untouched: set[str] = set()
         updated_rows = 0
         for row in plan_rows:
             rec = parts.get(row["part_id"])
@@ -435,9 +482,15 @@ def update_where(
                 raise RuntimeError(
                     f"update part {row['part_id']}: missing or stale record"
                 )
-            added.extend(FileEntry.from_json(o) for o in rec["outputs"])
-            updated_rows += rec["updated"]
-        removed = {e.path for e in rewrite}
+            if rec.get("noop"):
+                untouched.add(row["path"])
+            else:
+                added.extend(FileEntry.from_json(o) for o in rec["outputs"])
+                updated_rows += rec["updated"]
+        removed = {e.path for e in rewrite} - untouched
+        if not removed and not added:
+            log.clear_job(attempt_job)
+            return None  # predicate matched nothing anywhere
         try:
             snap = commit_via_actor_or_direct(
                 log,
@@ -449,7 +502,7 @@ def update_where(
                 base_version=base_version,
                 summary={
                     "updated_rows": int(updated_rows),
-                    "files_rewritten": len(rewrite),
+                    "files_rewritten": len(rewrite) - len(untouched),
                 },
             )
         except CommitConflict:

@@ -2942,7 +2942,7 @@ ORACLES.update({"ev_asof_view_value": Q_EV_ASOF_VIEW_VALUE_SQL})
 def q_tx_delete_where(sf_dir: str) -> pa.Table:
     """Delta-DELETE analog end to end: ingest → a pure range delete (stats
     pruning + whole-file drops where provable) → a residual delete
-    (assistant turns shipped in 1994) → scan. The oracle is the complement
+    (assistant turns shipped in 1996) → scan. The oracle is the complement
     WHERE clause over the same deduped construction."""
     from datetime import date
 
@@ -2961,12 +2961,13 @@ def q_tx_delete_where(sf_dir: str) -> pa.Table:
         conv_id_range=("conv-0000000001", "conv-0000000400"),
     )
     epoch = date(1970, 1, 1)
+    day_us = 86_400_000_000  # ts is timestamp[us]; stats/mask compare epoch-µs
     delete_where(
         root,
         job_id="dl-resid",
         ts_range=(
-            (date(1994, 1, 1) - epoch).days,
-            (date(1994, 12, 31) - epoch).days,
+            (date(1996, 1, 1) - epoch).days * day_us,
+            (date(1996, 12, 31) - epoch).days * day_us,
         ),
         match=lambda t: pc.equal(t["role"], "assistant"),
     )
@@ -2978,7 +2979,8 @@ Q_TX_DELETE_SQL = f"""
     SELECT conv_id, turn_idx, role, text, tool, ts FROM base
     WHERE NOT (conv_id BETWEEN 'conv-0000000001' AND 'conv-0000000400')
       AND NOT (role = 'assistant'
-               AND ts BETWEEN DATE '1994-01-01' AND DATE '1994-12-31')
+               AND ts BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 00:00:00')
     ORDER BY conv_id, turn_idx
 """
 

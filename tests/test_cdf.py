@@ -125,3 +125,35 @@ def test_change_stream_incremental(ray_session, table_root, tmp_path):
     assert set(df3["_change_type"]) <= {"delete"} and len(df3) > 0
     cs2.commit(to_v3)
     assert cs2.poll() is None
+
+
+def test_feed_preserves_dtypes_and_relative_root(ray_session, tmp_path):
+    """The outer-merge pairing must not upcast int columns to float, and
+    a relative table root must not double-prefix paths."""
+    import os
+
+    from open_finance_lakehouse_ray.pipelines.cdf import change_feed
+
+    # build with an absolute root (Ray WRITE tasks can't resolve a
+    # relative root against the driver cwd), then READ the feed through
+    # the relative root — the double-prefix bug lived in the read plan
+    abs_root = str(tmp_path / "rel-table")
+    tx = build_transcripts(n_convs=10)
+    ingest_dataset(rd.from_arrow(tx), abs_root, job_id="rr-base")
+    log = TableLog(abs_root)
+    v0 = log.current_version()
+    f0 = log.files()[0]
+    delete_where(abs_root, job_id="rr-del", conv_id_range=tuple(f0.stats["conv_id"]))
+    extra = build_transcripts(seed=11, n_convs=2)
+    ingest_dataset(rd.from_arrow(extra), abs_root, job_id="rr-add", validate=False)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        feed = change_feed("rel-table", from_version=v0).to_pandas()
+        assert len(feed) > 0
+        assert str(feed["turn_idx"].dtype) == "int32"  # no float upcast
+        # re-inserted convs pair with deleted ones as updates — all four
+        # classes are legal here; inserts and deletes must both be present
+        assert {"insert", "delete"} <= set(feed["_change_type"])
+    finally:
+        os.chdir(cwd)

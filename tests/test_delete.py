@@ -218,3 +218,71 @@ def test_update_where_scalar_and_replay(ray_session, table_root):
         pc.cast(pc.fill_null(pc.equal(got["tool"], "redacted"), False), "int64")
     ).as_py()
     assert n_red == n_tool and s1.summary["updated_rows"] == n_tool
+
+
+def test_nomatch_overlapping_files_left_untouched(ray_session, table_root):
+    """Stats overlap is necessary-not-sufficient: a residual predicate
+    matching rows only in file 0 must leave files 1/2 physically in
+    place (noop records, no remove+add conflict surface)."""
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+    log, tx, entries = _seed_table(table_root)
+    f0_hi = entries[0].stats["conv_id"][1]
+    snap = delete_where(
+        table_root, job_id="noop-del",
+        match=lambda t, hi=f0_hi: pc.less_equal(t["conv_id"], hi),
+    )
+    # file 0 is processed (all rows match -> zero survivors = pure
+    # remove); files 1/2 are noop and not counted
+    assert snap.summary["files_rewritten"] == 1
+    live = {e.path for e in log.files()}
+    assert entries[1].path in live and entries[2].path in live
+    assert entries[0].path not in live
+
+    # UPDATE: matching rows only in file 1 -> files 0',2 stay by path
+    f1 = entries[1].stats["conv_id"]
+    live_before = {e.path for e in log.files()}
+    snap2 = update_where(
+        table_root, job_id="noop-upd",
+        match=lambda t, lo=f1[0], hi=f1[1]: pc.and_(
+            pc.greater_equal(t["conv_id"], lo), pc.less_equal(t["conv_id"], hi)
+        ),
+        assign={"tool": "x"},
+    )
+    assert snap2.summary["files_rewritten"] == 1
+    assert entries[2].path in {e.path for e in log.files()}
+
+
+def test_update_ts_clears_clustering_metadata(ray_session, table_root):
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+    log, tx, entries = _seed_table(table_root)
+    assert entries[0].sorted_by  # seeded files claim a sort
+    update_where(
+        table_root, job_id="ts-upd",
+        match=lambda t: pc.equal(t["role"], "user"),
+        assign={"ts": lambda t: t["ts"]},
+    )
+    for e in log.files():
+        assert e.z_range is None and e.sorted_by == []
+
+
+def test_update_cannot_violate_log_constraint(ray_session, table_root):
+    from open_finance_lakehouse_ray.pipelines.alter import alter_constraints
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+    log, tx, entries = _seed_table(table_root)
+    alter_constraints(
+        table_root, job_id="c-add",
+        add={"role_domain": {
+            "allowed_values": {"role": ["user", "assistant", "tool"]}}},
+    )
+    v = log.current_version()
+    with pytest.raises(Exception) as ei:
+        update_where(
+            table_root, job_id="c-upd",
+            match=lambda t: pc.equal(t["role"], "user"),
+            assign={"role": "intruder"},
+        )
+    assert "ContractViolation" in str(ei.value) or "disallowed" in str(ei.value)
+    assert log.current_version() == v  # breach withheld the commit
