@@ -3189,3 +3189,62 @@ Q_TX_UPDATE_SQL = f"""
 
 QUERIES.update({"tx_update_where": q_tx_update_where})
 ORACLES.update({"tx_update_where": Q_TX_UPDATE_SQL})
+
+
+def q_ev_asof_next_purchase(sf_dir: str) -> pa.Table:
+    """Forward as-of through the first-class operator: every click joined
+    to the same user's earliest at-or-after purchase — checked against
+    DuckDB's native forward ASOF (``l.ts <= r.ts``). Right side deduped
+    per (user_id, ts) keep max event_id for a deterministic pick."""
+    from open_finance_lakehouse_ray.pipelines.join import asof_join
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+
+    def dedup_purchases(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df = df.drop_duplicates(["user_id", "ts"], keep="last")
+        out = df[["user_id", "ts"]].copy()
+        out["purchase_ts"] = df["ts"]
+        out["purchase_value"] = df["value"]
+        return out
+
+    purchases = _keyed_partitions(
+        ev.filter(expr="event_type == 'purchase'").select_columns(
+            ["event_id", "user_id", "ts", "value"]
+        ),
+        ["user_id"],
+        dedup_purchases,
+    )
+    out = (
+        asof_join(
+            clicks, purchases, on="ts", by="user_id", direction="forward",
+        )
+        .select_columns(["event_id", "user_id", "purchase_ts", "purchase_value"])
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_EV_ASOF_NEXT_PURCHASE_SQL = """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT c.event_id, c.user_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+"""
+
+
+QUERIES.update({"ev_asof_next_purchase": q_ev_asof_next_purchase})
+ORACLES.update({"ev_asof_next_purchase": Q_EV_ASOF_NEXT_PURCHASE_SQL})
