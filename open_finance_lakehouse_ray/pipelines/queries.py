@@ -3248,3 +3248,61 @@ Q_EV_ASOF_NEXT_PURCHASE_SQL = """
 
 QUERIES.update({"ev_asof_next_purchase": q_ev_asof_next_purchase})
 ORACLES.update({"ev_asof_next_purchase": Q_EV_ASOF_NEXT_PURCHASE_SQL})
+
+
+def q_tx_clone_divergence(sf_dir: str) -> pa.Table:
+    """Shallow clone end to end: ingest → zero-copy clone → DELETE on the
+    clone only → scan BOTH tables tagged by side. The oracle rebuilds the
+    source once and derives the clone as its complement — proving the
+    clone diverged AND the source stayed byte-identical."""
+    import shutil
+
+    from open_finance_lakehouse_ray.pipelines.clone import clone_table
+    from open_finance_lakehouse_ray.pipelines.delete import delete_where
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.merge import dedup_exact
+
+    root = _scratch_root("clonesrc")
+    dst = root + "-clone"
+    try:
+        tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+        ingest_dataset(
+            tx.repartition(16), root, job_id="cl-ingest",
+            summary={"keys_unique": True},
+        )
+        clone_table(root, dst, job_id="cl-clone")
+        delete_where(
+            dst, job_id="cl-del",
+            conv_id_range=("conv-0000000001", "conv-0000000500"),
+        )
+        frames = []
+        for side, r in (("source", root), ("clone", dst)):
+            t = _scan_sorted(r)
+            frames.append(
+                t.add_column(0, "side", pa.array([side] * t.num_rows, pa.string()))
+            )
+        out = pa.concat_tables(frames)
+        return out.sort_by(
+            [("side", "descending"), ("conv_id", "ascending"),
+             ("turn_idx", "ascending")]
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+Q_TX_CLONE_DIVERGENCE_SQL = f"""
+    WITH base AS ({TX_DEDUP_SQL})
+    SELECT * FROM (
+        SELECT 'source' AS side, conv_id, turn_idx, role, text, tool, ts
+        FROM base
+        UNION ALL
+        SELECT 'clone', conv_id, turn_idx, role, text, tool, ts FROM base
+        WHERE NOT (conv_id BETWEEN 'conv-0000000001' AND 'conv-0000000500')
+    )
+    ORDER BY side DESC, conv_id, turn_idx
+"""
+
+
+QUERIES.update({"tx_clone_divergence": q_tx_clone_divergence})
+ORACLES.update({"tx_clone_divergence": Q_TX_CLONE_DIVERGENCE_SQL})
