@@ -1,8 +1,9 @@
-"""Change data feed: rewrite cancellation, append/delete classification,
+"""Change data feed tests: rewrite cancellation, append/delete classification,
 update pre/post pairing, and duplicate-key surplus handling."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -157,3 +158,42 @@ def test_feed_preserves_dtypes_and_relative_root(ray_session, tmp_path):
         assert {"insert", "delete"} <= set(feed["_change_type"])
     finally:
         os.chdir(cwd)
+
+
+def test_hash_payload_parity(ray_session, table_root):
+    """The hash-reduced two-phase diff must emit exactly the full-payload
+    feed (unique-key table, deletes + updates)."""
+    import pyarrow.compute as pc
+
+    from open_finance_lakehouse_ray.pipelines.cdf import change_feed
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+    tx = build_transcripts(n_convs=40)
+    ingest_dataset(
+        rd.from_arrow(tx).repartition(8), table_root, job_id="hp-base",
+        summary={"keys_unique": True},
+    )
+    log = TableLog(table_root)
+    v0 = log.current_version()
+    f0 = log.files()[0]
+    delete_where(
+        table_root, job_id="hp-del", conv_id_range=tuple(f0.stats["conv_id"])
+    )
+    update_where(
+        table_root, job_id="hp-upd",
+        match=lambda t: pc.equal(t["role"], "tool"),
+        assign={"tool": "scrubbed"},
+    )
+    assert log.keys_unique()
+
+    def fetch(payload):
+        return (
+            change_feed(table_root, from_version=v0, payload=payload)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx", "_change_type"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    full, hashed = fetch("full"), fetch("hash")
+    assert len(full) > 0
+    pd.testing.assert_frame_equal(full, hashed[full.columns])
