@@ -155,12 +155,49 @@ def check_text_equality(root: str, oracle_fn, sample: int = 256, seed: int = 3) 
     )
 
 
+def check_log_constraints(root: str) -> pa.Table:
+    """Validate the live snapshot against the table's ACTIVE log-carried
+    constraints (``pipelines/alter.py``). Normally writers enforce these
+    on the way in; this closes the alter/ingest race's residual window
+    (rows committed concurrently with the ALTER that added the rule) and
+    catches any out-of-band writer. Returns one row per breached
+    constraint (name + reason) — empty when clean or unconstrained."""
+    log = TableLog(root)
+    constraints = log.table_constraints()
+    empty = pa.table({"constraint": pa.array([], pa.string()),
+                      "reason": pa.array([], pa.string())})
+    if not constraints or log.current_version() is None:
+        return empty
+    from open_finance_lakehouse_ray.stages.contracts import (
+        make_invariant_validator,
+    )
+    from open_finance_lakehouse_ray.stages.validate import ContractViolation
+
+    bad = []
+    for name in sorted(constraints):
+        ds = scan(root).map_batches(
+            make_invariant_validator(name, constraints[name]),
+            batch_format="pyarrow",
+        )
+        try:
+            ds.count()
+        except ContractViolation as e:
+            bad.append({"constraint": name, "reason": str(e)})
+        except Exception as e:  # Ray wraps user exceptions
+            if "ContractViolation" in str(e):
+                bad.append({"constraint": name, "reason": str(e).splitlines()[0]})
+            else:
+                raise
+    return pa.Table.from_pylist(bad) if bad else empty
+
+
 def run_checks(root: str, checks: dict[str, object] | None = None) -> dict[str, int]:
     """Run the standard check suite; raise CheckError on the FIRST breach
     (publication is withheld before any snapshot swap)."""
     suite = checks or {
         "unique_keys": check_unique_keys,
         "manifest_stats": check_manifest_stats,
+        "log_constraints": check_log_constraints,
     }
     report = {}
     for name, fn in suite.items():

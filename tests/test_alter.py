@@ -80,3 +80,26 @@ def test_drop_and_replay(ray_session, table_root):
     assert s1.version == s2.version
     alter_constraints(table_root, job_id="al3-drop", drop=["ts_floor"])
     assert TableLog(table_root).table_constraints() == {}
+
+
+def test_run_checks_catches_constraint_breach(ray_session, table_root):
+    """A table whose data violates its ACTIVE constraints (e.g. rows that
+    slipped through the alter/ingest race window) fails run_checks."""
+    from open_finance_lakehouse_ray.pipelines.checks import (
+        CheckError,
+        check_log_constraints,
+        run_checks,
+    )
+
+    tx = build_transcripts(n_convs=8)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="rc-base",
+                   summary={"keys_unique": True})
+    # plant the constraint WITHOUT validating, simulating the race
+    alter_constraints(
+        table_root, job_id="rc-add", validate_existing=False,
+        add={"no_tool_rows": {"allowed_values": {"role": ["user", "assistant"]}}},
+    )
+    v = check_log_constraints(table_root)
+    assert v.num_rows == 1 and v["constraint"][0].as_py() == "no_tool_rows"
+    with pytest.raises(CheckError):
+        run_checks(table_root)
