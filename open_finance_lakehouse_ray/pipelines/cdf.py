@@ -202,6 +202,78 @@ def _diff_partition(key_cols: list[str]):
 HASH_PAYLOAD_MIN_BYTES = 256 * 1024 * 1024
 
 
+def commit_changes(root: str, version: int) -> rd.Dataset | None:
+    """The WRITE-TIME CDC image of one commit (Delta's ``_change_data``
+    analog), or None when the commit carries no CDC marker (e.g. MERGE,
+    RESTORE — use the computed diff for those ranges).
+
+    Sources, zero recompute: typed ``cdc-*.parquet`` artifacts recorded
+    by DELETE/UPDATE; an ingest's own added/removed file sets (inserts /
+    whole-file deletes — those files stay readable until their snapshot
+    expires); maintenance commits carry an EMPTY marker (logical
+    no-change). Rows gain ``_commit_version``.
+    """
+    root = os.path.abspath(root)
+    log = TableLog(root)
+    snap = log.snapshot(version)
+    cdc = snap.summary.get("cdc")
+    if cdc is None:
+        return None
+
+    typed_paths = [f["path"] for f in cdc.get("files", []) if f]
+    if cdc.get("derive") == "commit-paths":
+        insert_paths = list(snap.added_paths)
+        delete_paths = list(snap.removed_paths)
+    else:
+        insert_paths = []
+        delete_paths = list(cdc.get("delete_whole", []))
+
+    sch = (
+        log.table_schema(version) if log.schema_is_evolved(version) else None
+    )
+
+    def reader(paths: list[str], fixed_type: str | None) -> rd.Dataset | None:
+        if not paths:
+            return None
+        ds = rd.read_parquet([os.path.join(root, p) for p in paths])
+
+        def tag(t: pa.Table) -> pa.Table:
+            if fixed_type is None:
+                types = t[CHANGE_COL]
+                t = t.drop_columns([CHANGE_COL])
+            else:
+                types = pa.array([fixed_type] * t.num_rows, pa.string())
+            if sch is not None:
+                from open_finance_lakehouse_ray.stages.evolution import conform_table
+
+                t = conform_table(t, sch)
+            t = t.append_column(CHANGE_COL, types)
+            return t.append_column(
+                "_commit_version", pa.array([version] * t.num_rows, pa.int64())
+            )
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
+    parts = [
+        d
+        for d in (
+            reader(typed_paths, None),
+            reader(insert_paths, "insert"),
+            reader(delete_paths, "delete"),
+        )
+        if d is not None
+    ]
+    if not parts:
+        empty = (sch or log.table_schema(version) or pa.schema([])).empty_table()
+        empty = empty.append_column(CHANGE_COL, pa.array([], pa.string()))
+        empty = empty.append_column("_commit_version", pa.array([], pa.int64()))
+        return rd.from_arrow(empty)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.union(d)
+    return out
+
+
 def change_feed(
     root: str,
     *,
@@ -210,6 +282,7 @@ def change_feed(
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     num_partitions: int = 64,
     payload: str = "auto",
+    granularity: str = "net",
 ) -> rd.Dataset:
     """Dataset of row-level changes between two snapshots, one row per
     change with a Delta-CDF ``_change_type`` column (insert / delete /
@@ -233,6 +306,32 @@ def change_feed(
     # plan (and manifest paths are table-relative — join exactly once)
     root = os.path.abspath(root)
     log = TableLog(root)
+
+    if granularity not in ("net", "commits", "auto"):
+        raise ValueError(f"unknown granularity={granularity!r}")
+    if granularity in ("commits", "auto"):
+        head = log.current_version() if to_version is None else to_version
+        span = [v for v in log.versions() if from_version < v <= head]
+        feeds = [commit_changes(root, v) for v in span]
+        if all(f is not None for f in feeds):
+            if not feeds:
+                empty = (log.table_schema(head) or pa.schema([])).empty_table()
+                empty = empty.append_column(CHANGE_COL, pa.array([], pa.string()))
+                empty = empty.append_column(
+                    "_commit_version", pa.array([], pa.int64())
+                )
+                return rd.from_arrow(empty)
+            out = feeds[0]
+            for f in feeds[1:]:
+                out = out.union(f)
+            return out
+        if granularity == "commits":
+            missing = [v for v, f in zip(span, feeds) if f is None]
+            raise ValueError(
+                f"commits granularity unavailable: versions {missing} carry "
+                "no CDC marker (use granularity='net')"
+            )
+        # auto: fall through to the computed net diff
     # table-RELATIVE paths (file_paths() would pre-join root; joining
     # again below would double-prefix under a relative root)
     old_paths = {e.path for e in log.files(from_version)}
@@ -481,13 +580,20 @@ class ChangeStream:
         with open(self.path) as f:
             return int(self._json.load(f)["last_version"])
 
-    def poll(self):
-        """(feed Dataset, to_version) when the table moved, else None."""
+    def poll(self, granularity: str = "auto"):
+        """(feed Dataset, to_version) when the table moved, else None.
+        Default ``auto`` serves the recorded per-commit CDC (with a
+        ``_commit_version`` column) when every commit in the span wrote
+        one — zero recompute — else the computed net diff."""
         head = TableLog(self.root).current_version()
         last = self.last_version
         if head is None or head <= last:
             return None
-        return change_feed(self.root, from_version=last, to_version=head), head
+        feed = change_feed(
+            self.root, from_version=last, to_version=head,
+            granularity=granularity,
+        )
+        return feed, head
 
     def commit(self, to_version: int) -> None:
         if to_version < self.last_version:

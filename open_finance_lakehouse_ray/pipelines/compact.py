@@ -266,6 +266,7 @@ def compact(
                 read_paths=removed,
                 base_version=base_version,
                 summary={
+                    "cdc": {},  # logical no-change: empty CDC marker
                     "bins": len(bins),
                     "files_in": len(removed),
                     "files_out": len(added),

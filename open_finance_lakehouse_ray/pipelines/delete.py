@@ -133,6 +133,33 @@ def _match_mask(
     return pc.fill_null(mask, False)
 
 
+def _write_cdc_file(root: str, parts: list[tuple[pa.Table, str]]) -> dict | None:
+    """Write one write-time CDC artifact (rows + ``_change_type``) under
+    ``data/cdc-*.parquet``. Not in any manifest — scans never see it; its
+    lifecycle is tied to its commit's snapshot (``txlog.sweep_orphans`` /
+    ``expire_snapshots`` read the ``cdc`` summary)."""
+    import uuid
+
+    tagged = [
+        t.append_column("_change_type", pa.array([ct] * t.num_rows, pa.string()))
+        for t, ct in parts
+        if t.num_rows
+    ]
+    if not tagged:
+        return None
+    out = pa.concat_tables(tagged)
+    rel = os.path.join("data", f"cdc-{uuid.uuid4().hex}.parquet")
+    pq.write_table(
+        out, os.path.join(root, rel), compression="zstd", compression_level=3
+    )
+    return {"path": rel, "rows": out.num_rows}
+
+
+def _cdc_record_ok(root: str, rec: dict) -> bool:
+    c = rec.get("cdc")
+    return c is None or os.path.exists(os.path.join(root, c["path"]))
+
+
 def _make_rewrite_runner(
     root: str,
     job_id: str,
@@ -157,6 +184,7 @@ def _make_rewrite_runner(
                     os.path.exists(os.path.join(root, o["path"]))
                     for o in done.get("outputs", [])
                 )
+                and _cdc_record_ok(root, done)
             ):
                 out_rows.append({"part_id": part_id, "record": _json.dumps(done)})
                 continue
@@ -192,6 +220,7 @@ def _make_rewrite_runner(
                 "outputs": outputs,
                 "deleted": int(deleted),
                 "kept": int(kept.num_rows),
+                "cdc": _write_cdc_file(root, [(t.filter(mask), "delete")]),
             }
             log.record_partition(job_id, part_id, record)
             out_rows.append({"part_id": part_id, "record": _json.dumps(record)})
@@ -248,6 +277,7 @@ def delete_where(
 
         added: list[FileEntry] = []
         untouched: set[str] = set()
+        cdc_files: list[dict] = []
         deleted_rows = sum(e.rows for e in drop)
         if rewrite:
             import json as _json
@@ -283,6 +313,8 @@ def delete_where(
                 else:
                     added.extend(FileEntry.from_json(o) for o in rec["outputs"])
                     deleted_rows += rec["deleted"]
+                    if rec.get("cdc"):
+                        cdc_files.append(rec["cdc"])
         removed = ({e.path for e in drop} | {e.path for e in rewrite}) - untouched
         if not removed and not added:
             log.clear_job(attempt_job)
@@ -300,6 +332,13 @@ def delete_where(
                     "deleted_rows": int(deleted_rows),
                     "files_dropped_whole": len(drop),
                     "files_rewritten": len(rewrite) - len(untouched),
+                    # write-time CDC: rewritten files' deleted rows are
+                    # recorded; whole-dropped files ARE their own delete
+                    # image (readable until their snapshot expires)
+                    "cdc": {
+                        "files": cdc_files,
+                        "delete_whole": [e.path for e in drop],
+                    },
                 },
             )
         except CommitConflict:
@@ -337,6 +376,7 @@ def _make_update_runner(
                     os.path.exists(os.path.join(root, o["path"]))
                     for o in done.get("outputs", [])
                 )
+                and _cdc_record_ok(root, done)
             ):
                 out_rows.append({"part_id": part_id, "record": _json.dumps(done)})
                 continue
@@ -387,6 +427,13 @@ def _make_update_runner(
                 "inputs": [path],
                 "outputs": [entry.to_json()],
                 "updated": n_upd,
+                "cdc": _write_cdc_file(
+                    root,
+                    [
+                        (t.filter(mask), "update_preimage"),
+                        (out.filter(mask), "update_postimage"),
+                    ],
+                ),
             }
             log.record_partition(job_id, part_id, record)
             out_rows.append({"part_id": part_id, "record": _json.dumps(record)})
@@ -475,6 +522,7 @@ def update_where(
         parts = log.committed_partitions(attempt_job)
         added: list[FileEntry] = []
         untouched: set[str] = set()
+        cdc_files: list[dict] = []
         updated_rows = 0
         for row in plan_rows:
             rec = parts.get(row["part_id"])
@@ -487,6 +535,8 @@ def update_where(
             else:
                 added.extend(FileEntry.from_json(o) for o in rec["outputs"])
                 updated_rows += rec["updated"]
+                if rec.get("cdc"):
+                    cdc_files.append(rec["cdc"])
         removed = {e.path for e in rewrite} - untouched
         if not removed and not added:
             log.clear_job(attempt_job)
@@ -503,6 +553,7 @@ def update_where(
                 summary={
                     "updated_rows": int(updated_rows),
                     "files_rewritten": len(rewrite) - len(untouched),
+                    "cdc": {"files": cdc_files},
                 },
             )
         except CommitConflict:

@@ -137,7 +137,17 @@ def ingest_dataset(
         removed_paths=removed,
         read_paths=set(),
         base_version=base_version,
-        summary={"mode": mode, **schema_summary, **(summary or {})},
+        summary={
+            "mode": mode,
+            # write-time CDC: an ingest's change image IS its commit file
+            # sets — added files are inserts, files removed by an
+            # overwrite are whole-file deletes. The reader derives both
+            # from the snapshot's added/removed paths (exact even when
+            # overwrite_live re-resolves the removed set at commit time).
+            "cdc": {"derive": "commit-paths"},
+            **schema_summary,
+            **(summary or {}),
+        },
         # REPLACE semantics under concurrency: re-resolve the removed set
         # at commit time so an append landing between plan and commit is
         # serialized before the overwrite, not left alive beside it

@@ -120,6 +120,7 @@ def rewrite_manifests(
         removed_paths=[],
         added_paths=[],
         summary={
+            "cdc": {},  # logical no-change: empty CDC marker
             "files": len(new_entries),
             "rows": sum(e.rows for e in new_entries),
             "bytes": sum(e.bytes for e in new_entries),

@@ -218,6 +218,7 @@ def zorder(
             read_paths=removed,
             base_version=base_version,
             summary={
+                "cdc": {},  # logical no-change: empty CDC marker
                 "curve": curve,
                 "files_in": len(entries),
                 "files_out": len(added),
@@ -543,6 +544,7 @@ def zorder_ranged(
             read_paths=removed,
             base_version=base_version,
             summary={
+                "cdc": {},  # logical no-change: empty CDC marker
                 "curve": curve,
                 "strategy": "ranged",
                 "files_in": len(removed),

@@ -606,6 +606,29 @@ class TableLog:
         for m in live_manifests:
             live_files.update(e.path for e in self.read_manifest(m))
 
+        def _cdc_paths(s: "Snapshot") -> set[str]:
+            cdc = s.summary.get("cdc") or {}
+            return {
+                f["path"] for f in cdc.get("files", [])
+                if isinstance(f, dict) and f.get("path")
+            }
+
+        def _cdc_deps(s: "Snapshot") -> set[str]:
+            """Removed data files a retained commit's CDC image still
+            reads (whole-file deletes / ingest commit-paths) — they must
+            outlive the snapshots that carried them in a manifest."""
+            cdc = s.summary.get("cdc") or {}
+            deps = set(cdc.get("delete_whole", []))
+            if cdc.get("derive") == "commit-paths":
+                deps.update(s.removed_paths)
+            return deps
+
+        live_cdc: set[str] = set()
+        for v in retained:
+            s = self.snapshot(v)
+            live_cdc.update(_cdc_paths(s))
+            live_files.update(_cdc_deps(s))
+
         dead_manifests: set[str] = set()
         dead_files: set[str] = set()
         for v in expired:
@@ -613,6 +636,12 @@ class TableLog:
             for m in s.manifests:
                 if m not in live_manifests:
                     dead_manifests.add(m)
+            # a snapshot's CDC artifacts die with it (they are per-commit,
+            # but guard against aliasing with any retained reference), and
+            # so do its CDC dep files — kept alive past their own
+            # manifests' expiry solely for this commit's change image
+            dead_files.update(_cdc_paths(s) - live_cdc - live_files)
+            dead_files.update(_cdc_deps(s) - live_files)
         for m in dead_manifests:
             for e in self.read_manifest(m):
                 if e.path not in live_files:
@@ -646,8 +675,19 @@ class TableLog:
         partitions). The grace window protects in-flight writers."""
         referenced: set[str] = set()
         for v in self.versions():
-            for m in self.snapshot(v).manifests:
+            snap = self.snapshot(v)
+            for m in snap.manifests:
                 referenced.update(e.path for e in self.read_manifest(m))
+            # write-time CDC artifacts live in the commit summary, not a
+            # manifest — they (and the removed files a commit's CDC image
+            # derives from) are referenced for as long as their snapshot is
+            cdc = snap.summary.get("cdc") or {}
+            referenced.update(
+                f.get("path") for f in cdc.get("files", []) if isinstance(f, dict)
+            )
+            referenced.update(cdc.get("delete_whole", []))
+            if cdc.get("derive") == "commit-paths":
+                referenced.update(snap.removed_paths)
         # outputs recorded by LIVE job lineage (jobs/<id>/*.json) belong to
         # a crashed-but-resumable run: the resume will commit them, so they
         # are not orphans no matter how old they are. A finished job clears

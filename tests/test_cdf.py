@@ -197,3 +197,115 @@ def test_hash_payload_parity(ray_session, table_root):
     full, hashed = fetch("full"), fetch("hash")
     assert len(full) > 0
     pd.testing.assert_frame_equal(full, hashed[full.columns])
+
+
+# ------------------------------------------------------- write-time CDC
+
+
+def test_commit_granularity_matches_net(ray_session, table_root):
+    """commits-granularity (recorded CDC, zero recompute) concatenated
+    over a delete+update+compact span equals the computed net diff when
+    keys are touched once — and spans maintenance via empty markers."""
+    import pyarrow.compute as pc
+
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+    tx = build_transcripts(n_convs=40)
+    ingest_dataset(
+        rd.from_arrow(tx).repartition(6), table_root, job_id="wc-base",
+        summary={"keys_unique": True},
+    )
+    log = TableLog(table_root)
+    v0 = log.current_version()
+    f0 = log.files()[0]
+    delete_where(table_root, job_id="wc-del", conv_id_range=tuple(f0.stats["conv_id"]))
+    update_where(
+        table_root, job_id="wc-upd",
+        match=lambda t: pc.equal(t["role"], "tool"),
+        assign={"tool": "scrubbed"},
+    )
+    assert compact(table_root, job_id="wc-compact", target_bytes=64 * 1024 * 1024)
+
+    def norm(df):
+        return (
+            df.drop(columns=[c for c in ("_commit_version",) if c in df])
+            .sort_values(["conv_id", "turn_idx", "_change_type", "tool"],
+                         kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    net = norm(change_feed(table_root, from_version=v0, granularity="net").to_pandas())
+    rec = norm(
+        change_feed(table_root, from_version=v0, granularity="commits").to_pandas()
+    )
+    assert len(net) > 0
+    pd.testing.assert_frame_equal(net, rec[net.columns])
+
+
+def test_commits_granularity_covers_ingest_and_falls_back(ray_session, table_root):
+    tx = build_transcripts(n_convs=10)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="wf-base")
+    log = TableLog(table_root)
+    v0 = log.current_version()
+    extra = build_transcripts(seed=13, n_convs=3)
+    ingest_dataset(rd.from_arrow(extra), table_root, job_id="wf-a", validate=False)
+    rec = change_feed(
+        table_root, from_version=v0, granularity="commits"
+    ).to_pandas()
+    assert set(rec["_change_type"]) == {"insert"} and len(rec) == extra.num_rows
+    assert set(rec["_commit_version"]) == {log.current_version()}
+
+    # a commit with no marker (raw log.commit) blocks commits-granularity
+    import pytest as _pytest
+
+    from open_finance_lakehouse_ray.stages.writer import write_table_file
+
+    e = write_table_file(table_root, build_transcripts(seed=14, n_convs=1))
+    log.commit(operation="merge", job_id="wf-raw", added=[e])
+    with _pytest.raises(ValueError):
+        change_feed(table_root, from_version=v0, granularity="commits")
+    auto = change_feed(table_root, from_version=v0, granularity="auto").to_pandas()
+    assert len(auto) > 0  # falls back to the computed net diff
+
+
+def test_cdc_artifact_and_dependency_lifecycle(ray_session, table_root):
+    """CDC artifacts survive the orphan sweep; whole-file-delete deps
+    outlive the snapshot that carried them in a manifest; both die when
+    the CDC commit itself expires."""
+    import os
+
+    tx = build_transcripts(n_convs=30)
+    ingest_dataset(
+        rd.from_arrow(tx).repartition(3), table_root, job_id="lc-base",
+        summary={"keys_unique": True},
+    )
+    log = TableLog(table_root)
+    f1 = log.files()[1]
+    snap_del = delete_where(
+        table_root, job_id="lc-del", conv_id_range=tuple(f1.stats["conv_id"])
+    )
+    assert snap_del.summary["cdc"]["delete_whole"] == [f1.path]
+    extra = build_transcripts(seed=15, n_convs=2)
+    ingest_dataset(rd.from_arrow(extra), table_root, job_id="lc-a", validate=False)
+
+    # sweep spares the delete_whole dependency (it is manifest-referenced
+    # by v1 AND cdc-referenced by the delete commit)
+    swept = log.sweep_orphans(grace_seconds=0.0, dry_run=True)
+    assert f1.path not in swept
+
+    # expire v1: the dep file must SURVIVE (the retained delete commit's
+    # CDC still reads it) and its commit image stays readable
+    r = log.expire_snapshots(keep_last=2, retain_seconds=0.0)
+    assert log.versions()[0] == snap_del.version
+    assert os.path.exists(os.path.join(table_root, f1.path))
+    from open_finance_lakehouse_ray.pipelines.cdf import commit_changes
+
+    img = commit_changes(table_root, snap_del.version).to_pandas()
+    # image = whole-dropped f1 rows + the rewritten neighbors' recorded
+    # deletions (file conv ranges overlap under a random repartition)
+    assert set(img["_change_type"]) == {"delete"}
+    assert len(img) == snap_del.summary["deleted_rows"]
+
+    # expire the delete commit itself: dep + artifacts die
+    log.expire_snapshots(keep_last=1, retain_seconds=0.0)
+    assert not os.path.exists(os.path.join(table_root, f1.path))
