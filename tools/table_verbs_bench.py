@@ -118,6 +118,12 @@ def main() -> int:
         n = change_feed(root, from_version=v0).count()
         out["cdf_sec"] = round(time.perf_counter() - t0, 3)
         out["cdf_rows"] = int(n)
+
+        # write-time CDC replay: recorded artifacts, zero recompute
+        t0 = time.perf_counter()
+        n2 = change_feed(root, from_version=v0, granularity="commits").count()
+        out["cdc_recorded_sec"] = round(time.perf_counter() - t0, 3)
+        out["cdc_recorded_rows"] = int(n2)
         print(json.dumps(out))
         return 0
     finally:
