@@ -80,5 +80,6 @@ def alter_constraints(
         job_id=job_id,
         added=[],
         base_version=log.current_version(),
-        summary={"constraints": current},
+        summary={"constraints": current,
+                 "cdc": {}},  # metadata-only: CDC spans ALTERs freely
     )

@@ -32,6 +32,7 @@ import os
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data as rd
 
 from open_finance_lakehouse_ray.state.txlog import TableLog
@@ -310,8 +311,19 @@ def change_feed(
     if granularity not in ("net", "commits", "auto"):
         raise ValueError(f"unknown granularity={granularity!r}")
     if granularity in ("commits", "auto"):
+        from open_finance_lakehouse_ray.state.txlog import StaleTableError
+
         head = log.current_version() if to_version is None else to_version
         span = [v for v in log.versions() if from_version < v <= head]
+        # versions are dense integers; a gap means an EXPIRED commit whose
+        # changes are unrecoverable — an incomplete feed must never be
+        # returned silently (the net path raises the same way via
+        # log.files(from_version))
+        if head is not None and span != list(range(from_version + 1, head + 1)):
+            raise StaleTableError(
+                f"change span ({from_version}, {head}] has expired commits: "
+                f"have {span}"
+            )
         feeds = [commit_changes(root, v) for v in span]
         if all(f is not None for f in feeds):
             if not feeds:
@@ -333,9 +345,13 @@ def change_feed(
             )
         # auto: fall through to the computed net diff
     # table-RELATIVE paths (file_paths() would pre-join root; joining
-    # again below would double-prefix under a relative root)
-    old_paths = {e.path for e in log.files(from_version)}
-    new_paths = {e.path for e in log.files(to_version)}
+    # again below would double-prefix under a relative root). Manifests
+    # parsed ONCE per side — path sets, the byte gate and the hashed
+    # path's entry lookup all derive from these two lists.
+    old_entries = log.files(from_version)
+    new_entries = log.files(to_version)
+    old_paths = {e.path for e in old_entries}
+    new_paths = {e.path for e in new_entries}
     old_only = sorted(old_paths - new_paths)
     new_only = sorted(new_paths - old_paths)
 
@@ -371,18 +387,24 @@ def change_feed(
     payload = os.environ.get("OFLR_CDF_PAYLOAD", payload)
     if payload not in ("auto", "full", "hash"):
         raise ValueError(f"unknown payload={payload!r}")
+    if payload == "hash" and not log.keys_unique(to_version):
+        # an EXPLICIT hash request on an ineligible table must be loud —
+        # a silent downgrade would make a forced parity run compare the
+        # full path against itself
+        raise ValueError(
+            "payload='hash' requires an attested-unique-key table "
+            "(keys_unique); this table is not attested"
+        )
     if payload == "auto":
-        by_path = {e.path: e.bytes for e in log.files(from_version)}
-        by_path.update({e.path: e.bytes for e in log.files(to_version)})
+        by_path = {e.path: e.bytes for e in (*old_entries, *new_entries)}
         diff_bytes = sum(by_path.get(p, 0) for p in (*old_only, *new_only))
         payload = (
             "hash"
             if diff_bytes > HASH_PAYLOAD_MIN_BYTES and log.keys_unique(to_version)
             else "full"
         )
-    if payload == "hash" and log.keys_unique(to_version):
-        ent = {e.path: e for e in log.files(from_version)}
-        ent.update({e.path: e for e in log.files(to_version)})
+    if payload == "hash":
+        ent = {e.path: e for e in (*old_entries, *new_entries)}
         return _change_feed_hashed(
             root,
             [ent[p] for p in old_only],
@@ -533,7 +555,14 @@ def _change_feed_hashed(
     if len(outs) == 2:
         return outs[0].union(outs[1])
     if not outs:
-        empty = (sch or pa.schema([(c, pa.string()) for c in key_cols])).empty_table()
+        # real table schema for the empty feed (a fabricated one would
+        # schema-mismatch consumers that union feeds across polls): the
+        # snapshot schema when recorded, else any diff file's footer
+        schema = sch
+        if schema is None:
+            src = (old_entries or new_entries)[0]
+            schema = pq.read_schema(os.path.join(root, src.path))
+        empty = schema.empty_table()
         return rd.from_arrow(
             empty.append_column(CHANGE_COL, pa.array([], pa.string()))
         )

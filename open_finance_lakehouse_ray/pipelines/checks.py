@@ -173,22 +173,36 @@ def check_log_constraints(root: str) -> pa.Table:
     )
     from open_finance_lakehouse_ray.stages.validate import ContractViolation
 
-    bad = []
+    # ONE scan with every validator chained — each raises with its own
+    # constraint's name, so attribution survives the fused pipeline
+    # (O(constraints) scans would multiply the maintenance gate's cost)
+    ds = scan(root)
     for name in sorted(constraints):
-        ds = scan(root).map_batches(
+        ds = ds.map_batches(
             make_invariant_validator(name, constraints[name]),
             batch_format="pyarrow",
         )
-        try:
-            ds.count()
-        except ContractViolation as e:
-            bad.append({"constraint": name, "reason": str(e)})
-        except Exception as e:  # Ray wraps user exceptions
-            if "ContractViolation" in str(e):
-                bad.append({"constraint": name, "reason": str(e).splitlines()[0]})
-            else:
-                raise
-    return pa.Table.from_pylist(bad) if bad else empty
+    try:
+        ds.count()
+    except ContractViolation as e:
+        msg = str(e)
+        return pa.Table.from_pylist(
+            [{"constraint": msg.split(":", 1)[0].strip(), "reason": msg}]
+        )
+    except Exception as e:  # Ray wraps user exceptions
+        msg = str(e)
+        if "ContractViolation" not in msg:
+            raise
+        # take the RENDERED exception line ("...ContractViolation: <name>:
+        # <detail>"), not the raise statement the traceback also quotes
+        lines = [ln for ln in msg.splitlines() if "ContractViolation: " in ln]
+        reason = (lines[-1] if lines else msg).split(
+            "ContractViolation: ", 1
+        )[-1].strip()
+        return pa.Table.from_pylist(
+            [{"constraint": reason.split(":", 1)[0].strip(), "reason": reason}]
+        )
+    return empty
 
 
 def run_checks(root: str, checks: dict[str, object] | None = None) -> dict[str, int]:

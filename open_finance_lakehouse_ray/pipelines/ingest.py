@@ -139,12 +139,13 @@ def ingest_dataset(
         base_version=base_version,
         summary={
             "mode": mode,
-            # write-time CDC: an ingest's change image IS its commit file
-            # sets — added files are inserts, files removed by an
-            # overwrite are whole-file deletes. The reader derives both
-            # from the snapshot's added/removed paths (exact even when
-            # overwrite_live re-resolves the removed set at commit time).
-            "cdc": {"derive": "commit-paths"},
+            # write-time CDC: an APPEND's change image is its own added
+            # files (derived from the snapshot's added paths — no extra
+            # IO, nothing extra retained). An OVERWRITE is deliberately
+            # unmarked: recording it would pin every replaced file for
+            # the commit's whole retention; the computed net diff covers
+            # it exactly while the old snapshot lives.
+            **({"cdc": {"derive": "commit-paths"}} if mode == "append" else {}),
             **schema_summary,
             **(summary or {}),
         },

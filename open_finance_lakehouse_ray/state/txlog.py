@@ -707,6 +707,9 @@ class TableLog:
                             o.get("path") for o in rec.get("outputs", [])
                             if isinstance(o, dict)
                         )
+                        cdc_rec = rec.get("cdc")
+                        if isinstance(cdc_rec, dict) and cdc_rec.get("path"):
+                            referenced.add(cdc_rec["path"])
         cutoff = time.time() - grace_seconds
         orphans: list[str] = []
         if os.path.isdir(self.datadir):

@@ -309,3 +309,30 @@ def test_cdc_artifact_and_dependency_lifecycle(ray_session, table_root):
     # expire the delete commit itself: dep + artifacts die
     log.expire_snapshots(keep_last=1, retain_seconds=0.0)
     assert not os.path.exists(os.path.join(table_root, f1.path))
+
+
+def test_expired_span_raises_not_silently_truncates(ray_session, table_root, tmp_path):
+    """A consumer whose cursor predates expired commits must get
+    StaleTableError from commits/auto granularity — never a feed missing
+    the expired commits' changes."""
+    import pytest as _pytest
+
+    from open_finance_lakehouse_ray.pipelines.cdf import ChangeStream
+    from open_finance_lakehouse_ray.state.txlog import StaleTableError
+
+    tx = build_transcripts(n_convs=12)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="ex-base",
+                   summary={"keys_unique": True})
+    log = TableLog(table_root)
+    cs = ChangeStream(table_root, str(tmp_path / "c.json"))  # cursor = v1
+    f0 = log.files()[0]
+    delete_where(table_root, job_id="ex-del", conv_id_range=tuple(f0.stats["conv_id"]))
+    ingest_dataset(
+        rd.from_arrow(build_transcripts(seed=21, n_convs=2)), table_root,
+        job_id="ex-a", validate=False,
+    )
+    log.expire_snapshots(keep_last=1, retain_seconds=0.0)
+    with _pytest.raises(StaleTableError):
+        cs.poll(granularity="commits")
+    with _pytest.raises(StaleTableError):
+        cs.poll(granularity="auto")
