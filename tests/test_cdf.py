@@ -336,3 +336,56 @@ def test_expired_span_raises_not_silently_truncates(ray_session, table_root, tmp
         cs.poll(granularity="commits")
     with _pytest.raises(StaleTableError):
         cs.poll(granularity="auto")
+
+
+def test_cdc_replica_replay_converges(ray_session, table_root, tmp_path):
+    """The consumer contract end to end: applying each poll's per-commit
+    feed to a replica (delete by key, upsert postimages/inserts)
+    reproduces the table exactly — across appends, deletes and updates."""
+    import pyarrow.compute as pc
+
+    from open_finance_lakehouse_ray.pipelines.cdf import ChangeStream
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+    from open_finance_lakehouse_ray.pipelines.scan import validation_scan
+
+    tx = build_transcripts(n_convs=25)
+    ingest_dataset(
+        rd.from_arrow(tx).repartition(4), table_root, job_id="rp-base",
+        summary={"keys_unique": True},
+    )
+    log = TableLog(table_root)
+    replica = tx.to_pandas().set_index(["conv_id", "turn_idx"])  # snapshot at cursor
+    cs = ChangeStream(table_root, str(tmp_path / "rp.json"))
+
+    f0 = log.files()[0]
+    delete_where(table_root, job_id="rp-del", conv_id_range=tuple(f0.stats["conv_id"]))
+    update_where(
+        table_root, job_id="rp-upd",
+        match=lambda t: pc.equal(t["role"], "tool"), assign={"tool": "x"},
+    )
+    ingest_dataset(
+        rd.from_arrow(build_transcripts(seed=23, n_convs=3)), table_root,
+        job_id="rp-a", validate=False,
+    )
+
+    while (polled := cs.poll(granularity="commits")) is not None:
+        feed, to_v = polled
+        df = feed.to_pandas().sort_values("_commit_version", kind="mergesort")
+        for _, grp in df.groupby("_commit_version", sort=True):
+            gone = grp[grp["_change_type"].isin(["delete", "update_preimage"])]
+            replica = replica.drop(
+                index=[t for t in zip(gone["conv_id"], gone["turn_idx"])
+                       if t in replica.index]
+            )
+            put = grp[grp["_change_type"].isin(["insert", "update_postimage"])]
+            if len(put):
+                put = put.drop(columns=["_change_type", "_commit_version"])
+                replica = pd.concat(
+                    [replica, put.set_index(["conv_id", "turn_idx"])]
+                )
+        cs.commit(to_v)
+
+    want = validation_scan(table_root).to_pandas().set_index(["conv_id", "turn_idx"])
+    replica = replica.sort_index()
+    want = want.sort_index()
+    pd.testing.assert_frame_equal(replica, want[replica.columns])
