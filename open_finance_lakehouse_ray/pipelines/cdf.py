@@ -226,7 +226,9 @@ def commit_changes(root: str, version: int) -> rd.Dataset | None:
         insert_paths = list(snap.added_paths)
         delete_paths = list(snap.removed_paths)
     else:
-        insert_paths = []
+        # e.g. MERGE's insert-pass outputs: data files whose rows are
+        # ALL inserts, doubling as the change image
+        insert_paths = list(cdc.get("insert_files", []))
         delete_paths = list(cdc.get("delete_whole", []))
 
     sch = (

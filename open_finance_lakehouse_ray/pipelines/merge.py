@@ -69,6 +69,53 @@ def prune_affected(
     return affected, untouched
 
 
+
+def _merge_change_parts(
+    old_df: pd.DataFrame, new_df: pd.DataFrame
+) -> list[tuple[pa.Table, str]]:
+    """Write-time CDC for a merge unit: diff the unit's pre-merge rows
+    against its post-merge rows keyed on MERGE_KEY. Emits only REAL
+    changes — a stale update that lost latest-wins produces no event.
+    Returns (table, change_type) parts for ``delete._write_cdc_file``."""
+    from open_finance_lakehouse_ray.pipelines.cdf import _eq_nansafe, _protect_ints
+    from open_finance_lakehouse_ray.stages.validate import conform_batch
+
+    key = list(MERGE_KEY)
+    cols = [c for c in new_df.columns]
+    other = [c for c in cols if c not in key]
+    old_df = _protect_ints(old_df[cols].copy())
+    new_df = _protect_ints(new_df[cols].copy())
+    m = old_df.merge(
+        new_df, on=key, how="outer", suffixes=("__o", ""), indicator=True
+    )
+    parts: list[tuple[pa.Table, str]] = []
+    ins = m[m["_merge"] == "right_only"]
+    if len(ins):
+        parts.append(
+            (conform_batch(pa.Table.from_pandas(ins[cols], preserve_index=False)),
+             "insert")
+        )
+    both = m[m["_merge"] == "both"]
+    if len(both):
+        eq = pd.Series(True, index=both.index)
+        for c in other:
+            eq &= _eq_nansafe(both[c], both[c + "__o"])
+        chg = both[~eq]
+        if len(chg):
+            pre = chg[key + [c + "__o" for c in other]].rename(
+                columns={c + "__o": c for c in other}
+            )[cols]
+            parts.append(
+                (conform_batch(pa.Table.from_pandas(pre, preserve_index=False)),
+                 "update_preimage")
+            )
+            parts.append(
+                (conform_batch(pa.Table.from_pandas(chg[cols], preserve_index=False)),
+                 "update_postimage")
+            )
+    return parts
+
+
 def _make_bucket_apply(
     root: str, job_id: str, plan_base: int | None, num_buckets: int
 ):
@@ -96,9 +143,13 @@ def _make_bucket_apply(
                 os.path.exists(os.path.join(root, o["path"]))
                 for o in done.get("outputs", [])
             )
+            and (done.get("cdc") is None
+                 or os.path.exists(os.path.join(root, done["cdc"]["path"])))
         ):
             done = None  # stale/incompatible/swept record: recompute
         if done is None:
+            from open_finance_lakehouse_ray.pipelines.delete import _write_cdc_file
+
             g = group.sort_values(
                 ["conv_id", "turn_idx", "ts", "_src", "text"], kind="mergesort"
             )
@@ -106,6 +157,7 @@ def _make_bucket_apply(
             g = g.drop(columns=["_bucket", "_src"])
             table = conform_batch(pa.Table.from_pandas(g, preserve_index=False))
             entry = write_table_file(root, table, prefix="merge")
+            old = group.loc[group["_src"] == 0].drop(columns=["_bucket", "_src"])
             done = {
                 "kind": "bucket",
                 "bucket": bucket,
@@ -114,6 +166,7 @@ def _make_bucket_apply(
                 "rows": entry.rows,
                 "z_range": entry.z_range,
                 "plan_base": plan_base,
+                "cdc": _write_cdc_file(root, _merge_change_parts(old, g)),
             }
             log.record_partition(job_id, part_id, done)
         return pd.DataFrame({"bucket": [bucket], "rows": [done["rows"]]})
@@ -268,14 +321,17 @@ def _merge_attempt(
 
     # assemble from THIS plan's records only (a crashed prior attempt may
     # have left records for other plans; their files fall to orphan sweep)
-    added = [
-        FileEntry.from_json(o)
+    bucket_records = [
+        r
         for r in log.committed_partitions(job_id).values()
         if r.get("plan_base") == base_version
         and r.get("kind") == "bucket"
         and r.get("num_buckets") == num_buckets
-        for o in r["outputs"]
     ]
+    added = [
+        FileEntry.from_json(o) for r in bucket_records for o in r["outputs"]
+    ]
+    cdc_files = [r["cdc"] for r in bucket_records if r.get("cdc")]
     snap = commit_via_actor_or_direct(
         log,
         operation="merge",
@@ -290,6 +346,7 @@ def _merge_attempt(
             "files_affected": len(affected),
             "files_untouched": len(entries) - len(affected),
             "keys_unique": log.keys_unique(base_version),
+            "cdc": {"files": cdc_files},
         },
     )
     log.clear_job(job_id)  # snapshot is the durable record now
@@ -358,6 +415,8 @@ def _merge_broadcast(
                     os.path.exists(os.path.join(root, o["path"]))
                     for o in done.get("outputs", [])
                 )
+                and (done.get("cdc") is None
+                     or os.path.exists(os.path.join(root, done["cdc"]["path"])))
             ):
                 done = None  # stale/incompatible/swept record: recompute
             if done is None:
@@ -380,14 +439,26 @@ def _merge_broadcast(
                     g = pd.concat([target, matched], ignore_index=True).sort_values(
                         ["conv_id", "turn_idx", "ts", "_src", "text"], kind="mergesort"
                     ).drop_duplicates(list(MERGE_KEY), keep="last").drop(columns=["_src"])
+                    from open_finance_lakehouse_ray.pipelines.delete import (
+                        _write_cdc_file,
+                    )
                     from open_finance_lakehouse_ray.stages.validate import conform_batch
 
                     entry = write_table_file(
                         root, conform_batch(pa.Table.from_pandas(g, preserve_index=False)),
                         prefix="merge",
                     )
+                    # CDC over the matched keys only (everything else in
+                    # the file is rewrite noise by construction)
+                    mk = pd.MultiIndex.from_frame(matched[list(MERGE_KEY)])
+                    old_m = target[tkeys.isin(mk)].drop(columns=["_src"])
+                    new_m = g[pd.MultiIndex.from_frame(g[list(MERGE_KEY)]).isin(mk)]
+                    cdc_rec = _write_cdc_file(
+                        root, _merge_change_parts(old_m, new_m)
+                    )
                     done = {
                         "kind": "file",
+                        "cdc": cdc_rec,
                         "matched_keys": [
                             [str(c), int(t)]
                             for c, t in zip(matched["conv_id"], matched["turn_idx"])
@@ -413,6 +484,8 @@ def _merge_broadcast(
 
     records = log.committed_partitions(job_id)
     added, removed = [], set()
+    cdc_files: list[dict] = []
+    insert_files: list[str] = []
     for r in records.values():
         if r.get("plan_base") != base_version:
             continue  # stale record from a crashed prior plan
@@ -422,7 +495,13 @@ def _merge_broadcast(
             continue
         for o in r.get("outputs", []):
             added.append(FileEntry.from_json(o))
+            if r.get("kind") == "inserts":
+                # the insert pass's outputs contain EXACTLY the inserted
+                # rows — they double as the commit's insert change image
+                insert_files.append(o["path"])
         removed.update(p for p in r.get("inputs", []))
+        if r.get("cdc"):
+            cdc_files.append(r["cdc"])
 
     snap = commit_via_actor_or_direct(
         log,
@@ -438,6 +517,7 @@ def _merge_broadcast(
             "files_affected": len(affected),
             "files_rewritten": len(removed),
             "keys_unique": log.keys_unique(base_version),
+            "cdc": {"files": cdc_files, "insert_files": insert_files},
         },
     )
     log.clear_job(job_id)  # snapshot is the durable record now

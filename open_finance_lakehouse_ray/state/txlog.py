@@ -619,8 +619,10 @@ class TableLog:
             outlive the snapshots that carried them in a manifest."""
             cdc = s.summary.get("cdc") or {}
             deps = set(cdc.get("delete_whole", []))
+            deps.update(cdc.get("insert_files", []))
             if cdc.get("derive") == "commit-paths":
                 deps.update(s.removed_paths)
+                deps.update(s.added_paths)
             return deps
 
         live_cdc: set[str] = set()
@@ -686,8 +688,10 @@ class TableLog:
                 f.get("path") for f in cdc.get("files", []) if isinstance(f, dict)
             )
             referenced.update(cdc.get("delete_whole", []))
+            referenced.update(cdc.get("insert_files", []))
             if cdc.get("derive") == "commit-paths":
                 referenced.update(snap.removed_paths)
+                referenced.update(snap.added_paths)
         # outputs recorded by LIVE job lineage (jobs/<id>/*.json) belong to
         # a crashed-but-resumable run: the resume will commit them, so they
         # are not orphans no matter how old they are. A finished job clears

@@ -389,3 +389,47 @@ def test_cdc_replica_replay_converges(ray_session, table_root, tmp_path):
     replica = replica.sort_index()
     want = want.sort_index()
     pd.testing.assert_frame_equal(replica, want[replica.columns])
+
+
+def test_merge_records_cdc_both_strategies(ray_session, table_root, tmp_path):
+    """MERGE commits now carry write-time CDC on both strategies; the
+    recorded per-commit feed equals the computed net diff, and stale
+    losers emit nothing."""
+    from open_finance_lakehouse_ray.pipelines.merge import merge_into
+    from open_finance_lakehouse_ray.sources.transcripts import late_turns
+
+    for strategy in ("broadcast", "shuffle"):
+        root = str(tmp_path / f"m-{strategy}")
+        tx = build_transcripts(n_convs=25)
+        ingest_dataset(
+            rd.from_arrow(tx).repartition(4), root, job_id="mb-base",
+            summary={"keys_unique": True},
+        )
+        log = TableLog(root)
+        v0 = log.current_version()
+        late = late_turns(tx, n_updates=20, n_inserts=10, n_stale=8)
+        merge_into(root, late, job_id="mb-merge", num_buckets=8,
+                   strategy=strategy)
+
+        def norm(df):
+            cols = [c for c in df.columns if c != "_commit_version"]
+            return (
+                df[cols]
+                .sort_values(["conv_id", "turn_idx", "_change_type"],
+                             kind="mergesort")
+                .reset_index(drop=True)
+            )
+
+        net = norm(
+            change_feed(root, from_version=v0, granularity="net").to_pandas()
+        )
+        rec = norm(
+            change_feed(root, from_version=v0, granularity="commits").to_pandas()
+        )
+        counts = rec["_change_type"].value_counts().to_dict()
+        assert counts.get("insert") == 10, (strategy, counts)
+        assert counts.get("update_postimage") == counts.get("update_preimage")
+        assert "STALE-MUST-NOT-APPEAR" not in set(
+            rec["text"]
+        )  # stale losers emit nothing
+        pd.testing.assert_frame_equal(net, rec[net.columns], check_dtype=False)
