@@ -453,7 +453,11 @@ class StreamProcessor:
         entries = meta_rows_to_entries(meta.take_all())
         if not entries:  # nothing to land (e.g. no dead rows): no commit
             return 0
-        log.commit(operation="stream-append", job_id=job_id, added=entries)
+        log.commit(
+            operation="stream-append", job_id=job_id, added=entries,
+            # append-only: the added files ARE the commit's insert image
+            summary={"cdc": {"derive": "commit-paths"}},
+        )
         return sum(e.rows for e in entries)
 
     def _append(
@@ -470,4 +474,7 @@ class StreamProcessor:
         entry = write_table_file(
             log.root, table, stats_cols=(), sort_by=sort_by, prefix="stream"
         )
-        log.commit(operation="stream-append", job_id=job_id, added=[entry])
+        log.commit(
+            operation="stream-append", job_id=job_id, added=[entry],
+            summary={"cdc": {"derive": "commit-paths"}},
+        )
