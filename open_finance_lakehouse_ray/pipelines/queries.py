@@ -3306,3 +3306,85 @@ Q_TX_CLONE_DIVERGENCE_SQL = f"""
 
 QUERIES.update({"tx_clone_divergence": q_tx_clone_divergence})
 ORACLES.update({"tx_clone_divergence": Q_TX_CLONE_DIVERGENCE_SQL})
+
+
+# ---------------------------------------------------------- write-time CDC
+
+
+def q_tx_cdc_commits(sf_dir: str) -> pa.Table:
+    """Write-time CDC end to end: ingest (v1) → DELETE a conv range (v2)
+    → UPDATE user turns in a later range (v3) → replay the RECORDED
+    per-commit feed (zero recompute, ``granularity="commits"``). The
+    oracle reconstructs each commit's image independently, including the
+    exact ``_commit_version`` stamps."""
+    import shutil
+
+    from open_finance_lakehouse_ray.pipelines.cdf import change_feed
+    from open_finance_lakehouse_ray.pipelines.delete import delete_where, update_where
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.merge import dedup_exact
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    root = _scratch_root("cdc")
+    try:
+        tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+        ingest_dataset(
+            tx.repartition(24), root, job_id="cc-ingest",
+            summary={"keys_unique": True},
+        )
+        v0 = TableLog(root).current_version()
+        delete_where(
+            root, job_id="cc-del",
+            conv_id_range=("conv-0000000001", "conv-0000020000"),
+        )
+        update_where(
+            root, job_id="cc-upd",
+            conv_id_range=("conv-0000050000", "conv-0000090000"),
+            match=lambda t: pc.equal(t["role"], "user"),
+            assign={"tool": "editor"},
+        )
+        out = (
+            change_feed(root, from_version=v0, granularity="commits")
+            .to_pandas()
+            .sort_values(
+                ["conv_id", "turn_idx", "_change_type"], kind="mergesort"
+            )
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q_TX_CDC_COMMITS_SQL = f"""
+    WITH base AS ({TX_DEDUP_SQL}),
+    deleted AS (
+        SELECT * FROM base
+        WHERE conv_id BETWEEN 'conv-0000000001' AND 'conv-0000020000'
+    ),
+    updated AS (
+        SELECT * FROM base
+        WHERE conv_id BETWEEN 'conv-0000050000' AND 'conv-0000090000'
+          AND role = 'user'
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, _change_type,
+           _commit_version
+    FROM (
+        SELECT conv_id, turn_idx, role, text, tool, ts,
+               'delete' AS _change_type, {{v_del}} AS _commit_version
+        FROM deleted
+        UNION ALL
+        SELECT conv_id, turn_idx, role, text, tool, ts,
+               'update_preimage', {{v_upd}}
+        FROM updated
+        UNION ALL
+        SELECT conv_id, turn_idx, role, text, 'editor', ts,
+               'update_postimage', {{v_upd}}
+        FROM updated
+    )
+    ORDER BY conv_id, turn_idx, _change_type
+""".format(v_del=2, v_upd=3)
+
+
+QUERIES.update({"tx_cdc_commits": q_tx_cdc_commits})
+ORACLES.update({"tx_cdc_commits": Q_TX_CDC_COMMITS_SQL})
