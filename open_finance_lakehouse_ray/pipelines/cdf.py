@@ -331,13 +331,19 @@ def change_feed(
             if not feeds:
                 empty = (log.table_schema(head) or pa.schema([])).empty_table()
                 empty = empty.append_column(CHANGE_COL, pa.array([], pa.string()))
-                empty = empty.append_column(
-                    "_commit_version", pa.array([], pa.int64())
-                )
+                if granularity == "commits":
+                    empty = empty.append_column(
+                        "_commit_version", pa.array([], pa.int64())
+                    )
                 return rd.from_arrow(empty)
             out = feeds[0]
             for f in feeds[1:]:
                 out = out.union(f)
+            if granularity == "auto":
+                # schema stability: auto may serve EITHER source across a
+                # consumer's polls, so it always emits the net-diff shape
+                # (per-commit event semantics, no version column)
+                out = out.drop_columns(["_commit_version"])
             return out
         if granularity == "commits":
             missing = [v for v, f in zip(span, feeds) if f is None]

@@ -156,7 +156,9 @@ def _write_cdc_file(root: str, parts: list[tuple[pa.Table, str]]) -> dict | None
 
 
 def _cdc_record_ok(root: str, rec: dict) -> bool:
-    c = rec.get("cdc")
+    if "cdc" not in rec:
+        return False  # pre-CDC record: resuming it would lose the image
+    c = rec["cdc"]
     return c is None or os.path.exists(os.path.join(root, c["path"]))
 
 
@@ -198,7 +200,7 @@ def _make_rewrite_runner(
                 # rewrite I/O and no needless conflict surface against
                 # concurrent compaction/merge
                 record = {"inputs": [path], "noop": True, "outputs": [],
-                          "deleted": 0, "kept": int(t.num_rows)}
+                          "deleted": 0, "kept": int(t.num_rows), "cdc": None}
                 log.record_partition(job_id, part_id, record)
                 out_rows.append({"part_id": part_id, "record": _json.dumps(record)})
                 continue
@@ -386,7 +388,7 @@ def _make_update_runner(
             if n_upd == 0:
                 # overlap was necessary-not-sufficient: leave the file
                 record = {"inputs": [path], "noop": True, "outputs": [],
-                          "updated": 0}
+                          "updated": 0, "cdc": None}
                 log.record_partition(job_id, part_id, record)
                 out_rows.append({"part_id": part_id, "record": _json.dumps(record)})
                 continue

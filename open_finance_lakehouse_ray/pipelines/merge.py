@@ -76,7 +76,12 @@ def _merge_change_parts(
     """Write-time CDC for a merge unit: diff the unit's pre-merge rows
     against its post-merge rows keyed on MERGE_KEY. Emits only REAL
     changes — a stale update that lost latest-wins produces no event.
-    Returns (table, change_type) parts for ``delete._write_cdc_file``."""
+    Returns (table, change_type) parts for ``delete._write_cdc_file``.
+
+    Sibling logic: ``cdf._diff_partition``'s unique-key fast path does
+    the same keyed outer merge + ``_eq_nansafe`` fold over pandas frames
+    (interleaved with its multiset fallback, which is why it is not
+    extracted); equality/dtype fixes must land in BOTH."""
     from open_finance_lakehouse_ray.pipelines.cdf import _eq_nansafe, _protect_ints
     from open_finance_lakehouse_ray.stages.validate import conform_batch
 
@@ -117,7 +122,8 @@ def _merge_change_parts(
 
 
 def _make_bucket_apply(
-    root: str, job_id: str, plan_base: int | None, num_buckets: int
+    root: str, job_id: str, plan_base: int | None, num_buckets: int,
+    record_cdc: bool = False,
 ):
     """Per-bucket upsert: dedup latest-wins, write one file + lineage
     record. Idempotent on resume via the record file — but ONLY records
@@ -143,8 +149,15 @@ def _make_bucket_apply(
                 os.path.exists(os.path.join(root, o["path"]))
                 for o in done.get("outputs", [])
             )
-            and (done.get("cdc") is None
-                 or os.path.exists(os.path.join(root, done["cdc"]["path"])))
+            # when recording CDC, the record must itself CARRY the key (a
+            # record from a pre-CDC crashed run would silently omit its
+            # unit's changes from the commit image) and its artifact must
+            # still exist
+            and (not record_cdc or (
+                "cdc" in done
+                and (done["cdc"] is None
+                     or os.path.exists(os.path.join(root, done["cdc"]["path"])))
+            ))
         ):
             done = None  # stale/incompatible/swept record: recompute
         if done is None:
@@ -157,7 +170,6 @@ def _make_bucket_apply(
             g = g.drop(columns=["_bucket", "_src"])
             table = conform_batch(pa.Table.from_pandas(g, preserve_index=False))
             entry = write_table_file(root, table, prefix="merge")
-            old = group.loc[group["_src"] == 0].drop(columns=["_bucket", "_src"])
             done = {
                 "kind": "bucket",
                 "bucket": bucket,
@@ -166,8 +178,22 @@ def _make_bucket_apply(
                 "rows": entry.rows,
                 "z_range": entry.z_range,
                 "plan_base": plan_base,
-                "cdc": _write_cdc_file(root, _merge_change_parts(old, g)),
             }
+            if record_cdc:
+                # diff ONLY keys present on the update side — on the
+                # attested-unique tables CDC records for, every other
+                # bucket row is rewrite noise by construction
+                ukeys = pd.MultiIndex.from_frame(
+                    group.loc[group["_src"] == 1, list(MERGE_KEY)]
+                )
+                old = group.loc[group["_src"] == 0].drop(
+                    columns=["_bucket", "_src"]
+                )
+                old = old[pd.MultiIndex.from_frame(old[list(MERGE_KEY)]).isin(ukeys)]
+                new = g[pd.MultiIndex.from_frame(g[list(MERGE_KEY)]).isin(ukeys)]
+                done["cdc"] = _write_cdc_file(
+                    root, _merge_change_parts(old, new)
+                )
             log.record_partition(job_id, part_id, done)
         return pd.DataFrame({"bucket": [bucket], "rows": [done["rows"]]})
 
@@ -314,8 +340,13 @@ def _merge_attempt(
         sides.append(target.map_batches(tag(0), batch_format="pyarrow"))
     unioned = sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0]
 
+    # recorded CDC is only well-defined when each key has ONE old row
+    # (the attested-unique invariant); duplicate-key tables stay
+    # unmarked and the computed net diff covers them exactly
+    record_cdc = log.keys_unique(base_version)
     unioned.groupby("_bucket").map_groups(
-        _make_bucket_apply(root, job_id, base_version, num_buckets),
+        _make_bucket_apply(root, job_id, base_version, num_buckets,
+                           record_cdc=record_cdc),
         batch_format="pandas",
     ).take_all()
 
@@ -346,7 +377,7 @@ def _merge_attempt(
             "files_affected": len(affected),
             "files_untouched": len(entries) - len(affected),
             "keys_unique": log.keys_unique(base_version),
-            "cdc": {"files": cdc_files},
+            **({"cdc": {"files": cdc_files}} if record_cdc else {}),
         },
     )
     log.clear_job(job_id)  # snapshot is the durable record now
@@ -415,7 +446,8 @@ def _merge_broadcast(
                     os.path.exists(os.path.join(root, o["path"]))
                     for o in done.get("outputs", [])
                 )
-                and (done.get("cdc") is None
+                and "cdc" in done  # pre-CDC record: image would be lost
+                and (done["cdc"] is None
                      or os.path.exists(os.path.join(root, done["cdc"]["path"])))
             ):
                 done = None  # stale/incompatible/swept record: recompute
@@ -429,7 +461,7 @@ def _merge_broadcast(
                 matched = upd[hit]
                 if len(matched) == 0:
                     done = {"kind": "file", "matched_keys": [], "outputs": [],
-                            "rows": len(target),
+                            "rows": len(target), "cdc": None,
                             "unchanged": True, "inputs": [row["path"]],
                             "plan_base": base_version}
                 else:
