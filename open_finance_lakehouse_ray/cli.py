@@ -105,7 +105,7 @@ def main(argv: list[str] | None = None) -> int:
     rp = sub.add_parser("registry")
     rp.add_argument("--registry", required=True, help="path to registry.yml")
     rp.add_argument("--action", default="maintain",
-                    choices=["maintain", "marts", "report"])
+                    choices=["maintain", "marts", "report", "scrubs"])
     rp.add_argument("--table", default=None, help="one table (default: all)")
     rp.add_argument("--mart", default=None, help="one mart (default: all)")
     rp.add_argument("--sf-dir", default=None, help="source dir for mart queries")
@@ -283,6 +283,14 @@ def main(argv: list[str] | None = None) -> int:
             targets = [args.table] if args.table else list(reg.tables)
             out["maintained"] = {
                 t: maintain_table(reg, t, job_id=f"{job_id}/{t}") for t in targets
+            }
+        elif args.action == "scrubs":
+            from open_finance_lakehouse_ray.registry import run_scrubs
+
+            targets = [args.table] if args.table else list(reg.tables)
+            out["scrubs"] = {
+                t: run_scrubs(reg, t, job_prefix=f"{job_id}/{t}")
+                for t in targets
             }
         elif args.action == "marts":
             if not args.sf_dir:

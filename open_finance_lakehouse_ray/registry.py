@@ -203,3 +203,51 @@ def build_registry_marts(
         )
         out[name] = snap.version
     return out
+
+
+def run_scrubs(
+    reg: Registry, table: str, *, job_prefix: str, only: list[str] | None = None
+) -> dict[str, Any]:
+    """Run a table's declared ``scrubs:`` — retention deletes and
+    redaction updates as CONFIG, not code (the §2.10 extension surface
+    applied to the table verbs). Each scrub is idempotent on its derived
+    job id, so a re-run (same prefix) no-ops at the log level.
+
+    Spec per scrub: ``action: delete|update``, optional ``conv_id_range``
+    / ``ts_range`` (two-element lists; ts in epoch units of the column),
+    and for updates ``set: {column: scalar}``.
+    """
+    from open_finance_lakehouse_ray.pipelines.delete import (
+        delete_where,
+        update_where,
+    )
+
+    cfg = reg.tables[table]
+    scrubs = cfg.get("scrubs") or {}
+    report: dict[str, Any] = {}
+    for name, spec in scrubs.items():
+        if only and name not in only:
+            continue
+        action = spec.get("action")
+        kw: dict[str, Any] = {"job_id": f"{job_prefix}/{name}"}
+        if spec.get("conv_id_range"):
+            kw["conv_id_range"] = tuple(spec["conv_id_range"])
+        if spec.get("ts_range"):
+            kw["ts_range"] = tuple(int(x) for x in spec["ts_range"])
+        if action == "delete":
+            snap = delete_where(cfg["root"], **kw)
+        elif action == "update":
+            assign = dict(spec.get("set") or {})
+            if not assign:
+                raise ValueError(f"scrub {name!r}: update needs a 'set' map")
+            snap = update_where(cfg["root"], assign=assign, **kw)
+        else:
+            raise ValueError(f"scrub {name!r}: unknown action {action!r}")
+        report[name] = (
+            None if snap is None else {"version": snap.version, **{
+                k: v for k, v in snap.summary.items()
+                if k in ("deleted_rows", "updated_rows", "files_rewritten",
+                         "files_dropped_whole")
+            }}
+        )
+    return report

@@ -302,3 +302,58 @@ def test_non_transcript_table_without_sort_by(ray_session, tmp_path):
     assert snap.summary["rows"] == 3
     log = TableLog(os.path.join(str(tmp_path), "metrics"))
     assert log.current_version() == snap.version
+
+
+def test_registry_scrubs_are_declarative_and_idempotent(ray_session, tmp_path):
+    """Adding a retention delete / redaction update is a YAML-only change;
+    re-running the same job prefix no-ops at the log level."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    import yaml
+
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.scan import validation_scan
+    from open_finance_lakehouse_ray.registry import load_registry, run_scrubs
+    from open_finance_lakehouse_ray.sources.transcripts import build_transcripts
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    root = str(tmp_path / "t")
+    tx = build_transcripts(n_convs=20)
+    # several conv-contiguous files so the purge range leaves rows behind
+    ingest_dataset(rd.from_arrow(tx).repartition(4), root, job_id="sc-base",
+                   summary={"keys_unique": True})
+    log = TableLog(root)
+    f0 = log.files()[0].stats["conv_id"]
+    reg_path = str(tmp_path / "reg.yml")
+    with open(reg_path, "w") as f:
+        yaml.safe_dump(
+            {
+                "tables": {
+                    "t": {
+                        "root": root,
+                        "scrubs": {
+                            "purge": {"action": "delete",
+                                      "conv_id_range": list(f0)},
+                            "redact": {"action": "update",
+                                       "conv_id_range": ["conv-0", "conv-~"],
+                                       "set": {"tool": "x"}},
+                        },
+                    }
+                }
+            },
+            f,
+        )
+    reg = load_registry(reg_path)
+    r1 = run_scrubs(reg, "t", job_prefix="scrub-run")
+    assert r1["purge"]["deleted_rows"] > 0
+    assert r1["redact"]["updated_rows"] > 0
+    v = log.current_version()
+    got = validation_scan(root)
+    assert got.num_rows == tx.num_rows - r1["purge"]["deleted_rows"]
+    n_tools = pc.sum(pc.cast(pc.fill_null(
+        pc.equal(got["tool"], "x"), False), "int64")).as_py()
+    assert n_tools == r1["redact"]["updated_rows"]
+    # replay: both scrubs no-op on their job ids
+    r2 = run_scrubs(reg, "t", job_prefix="scrub-run")
+    assert log.current_version() == v
+    assert r2["purge"]["version"] == r1["purge"]["version"]
