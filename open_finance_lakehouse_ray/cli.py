@@ -81,6 +81,8 @@ def main(argv: list[str] | None = None) -> int:
                                "help": "scalar assignment, repeatable"}})
     add("changes", **{"--from-version": {"type": int, "required": True},
                       "--to-version": {"type": int, "default": None},
+                      "--granularity": {"default": "net",
+                                        "choices": ["net", "commits", "auto"]},
                       "--dest": {"default": None,
                                  "help": "write the feed as parquet here"}})
     add("maintain", **{"--target-bytes": {"type": int, "default": 96 * 1024 * 1024},
@@ -210,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
 
         feed = change_feed(
             args.root, from_version=args.from_version,
-            to_version=args.to_version,
+            to_version=args.to_version, granularity=args.granularity,
         )
         if args.dest:
             feed.write_parquet(args.dest)
