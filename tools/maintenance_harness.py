@@ -23,6 +23,8 @@ Scenarios (FIXTURES.md F5):
   delete-kill-resume — a predicate DELETE is SIGKILLed mid-rewrite;
                  the resume skips completed per-file records and matches
                  an uninterrupted run.
+  update-kill-resume — same discipline for UPDATE WHERE (records must
+                 be CDC-complete to be reused).
   concurrent   — a compaction and a MERGE race from the same base
                  snapshot; overlapping file sets must conflict-and-replan,
                  and the final scan must equal the serial execution.
@@ -132,6 +134,25 @@ elif cmd == "delete":
                         match=lambda t: pc.equal(t["role"], "tool"))
     print(json.dumps({"version": None if snap is None else snap.version,
                       "deleted": 0 if snap is None else snap.summary["deleted_rows"]}))
+elif cmd == "update":
+    import pyarrow.compute as pc
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+    slow = os.environ.get("HARNESS_SLOW_UPDATE_S")
+    if slow:
+        import open_finance_lakehouse_ray.pipelines.delete as dl
+        orig_make = dl._make_update_runner
+        def slow_make(*a, **k):
+            inner = orig_make(*a, **k)
+            def slowed(b):
+                time.sleep(float(slow))
+                return inner(b)
+            return slowed
+        dl._make_update_runner = slow_make
+    snap = update_where(root, job_id=sys.argv[3],
+                        match=lambda t: pc.equal(t["role"], "user"),
+                        assign={"tool": "scrubbed"})
+    print(json.dumps({"version": None if snap is None else snap.version,
+                      "updated": 0 if snap is None else snap.summary["updated_rows"]}))
 elif cmd == "merge":
     from open_finance_lakehouse_ray.sources.transcripts import build_transcripts, late_turns
     from open_finance_lakehouse_ray.pipelines.merge import merge_into
@@ -434,6 +455,51 @@ def scenario_delete_kill_resume(scratch: str) -> dict:
     }
 
 
+def scenario_update_kill_resume(scratch: str) -> dict:
+    """An UPDATE is SIGKILLed mid-rewrite; the resume must reuse only
+    CDC-complete per-file records and converge to the uninterrupted
+    reference state (verified by an independent DuckDB read)."""
+    root = os.path.join(scratch, "upd")
+    ref_root = os.path.join(scratch, "upd-ref")
+    run_worker(["ingest", root, "40"])
+    shutil.copytree(root, ref_root)
+
+    run_worker(["update", ref_root, "upd-K"])
+    ref_state = independent_state(ref_root)
+
+    p = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "update", root, "upd-K"],
+        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_SLOW_UPDATE_S": "1.5"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    deadline = time.time() + 120
+    while time.time() < deadline and p.poll() is None:
+        if len(TableLog(root).committed_partitions("upd-K")) >= 1:
+            break
+        time.sleep(0.25)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+
+    partial = len(TableLog(root).committed_partitions("upd-K"))
+    mid_run = partial > 0 and TableLog(root).find_commit("upd-K") is None
+
+    run_worker(["update", root, "upd-K"])
+    got_state = independent_state(root)
+
+    comparable = {k: ref_state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    got_comp = {k: got_state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    return {
+        "ok": comparable == got_comp and mid_run,
+        "killed_mid_run": mid_run,
+        "parts_committed_before_kill": partial,
+        "reference": ref_state,
+        "resumed": got_state,
+    }
+
+
 def scenario_concurrent(scratch: str) -> dict:
     root = os.path.join(scratch, "concurrent")
     run_worker(["ingest", root, "40"])
@@ -517,7 +583,7 @@ def main() -> int:
     ap.add_argument("--scenario", default="all",
                     choices=["all", "double-run", "kill-resume",
                              "zorder-kill-resume", "merge-kill-resume",
-                             "delete-kill-resume",
+                             "delete-kill-resume", "update-kill-resume",
                              "concurrent", "overwrite-race"])
     args = ap.parse_args()
     scratch = tempfile.mkdtemp(prefix="ofl-harness-")
@@ -527,6 +593,7 @@ def main() -> int:
         "zorder-kill-resume": scenario_zorder_kill_resume,
         "merge-kill-resume": scenario_merge_kill_resume,
         "delete-kill-resume": scenario_delete_kill_resume,
+        "update-kill-resume": scenario_update_kill_resume,
         "concurrent": scenario_concurrent,
         "overwrite-race": scenario_overwrite_race,
     }
