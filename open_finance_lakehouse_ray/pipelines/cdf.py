@@ -200,6 +200,55 @@ def _diff_partition(key_cols: list[str]):
     return diff
 
 
+def _net_reduce_events(
+    events: rd.Dataset,
+    table_schema,
+    key_cols: list[str],
+    num_partitions: int,
+) -> rd.Dataset:
+    """Collapse a span of recorded per-commit CDC events into the true net
+    diff between the span's endpoints.
+
+    Old-side rows (state at from_version) are the ``delete`` /
+    ``update_preimage`` events; new-side rows (state at to_version) are
+    ``insert`` / ``update_postimage``. Intermediate states appear on BOTH
+    sides (a v2-inserted, v3-updated row contributes insert(A), pre(A),
+    post(B) — A cancels) so the multiset pairing of
+    :func:`_diff_partition` yields exactly what the computed net path
+    would: per key the first preimage / last postimage, no-op update
+    round-trips cancelled, duplicate-key tables handled by the same
+    surplus pairing.
+    """
+    from open_finance_lakehouse_ray.pipelines.dedup import _pk_tagger
+
+    def to_sides(t: pa.Table) -> pa.Table:
+        ct = t[CHANGE_COL]
+        import pyarrow.compute as pc
+
+        side = pc.cast(
+            pc.is_in(ct, value_set=pa.array(["insert", "update_postimage"])),
+            pa.int64(),
+        )
+        drop = [c for c in (CHANGE_COL, "_commit_version") if c in t.column_names]
+        return t.drop_columns(drop).append_column("_side", side)
+
+    tagged = events.map_batches(to_sides, batch_format="pyarrow").map_batches(
+        _pk_tagger(tuple(key_cols), num_partitions), batch_format="pyarrow"
+    )
+    # materialized: change-scale (O(changes) rows), and the empty-result
+    # schema probe below must not re-execute the shuffle on consumption
+    out = tagged.groupby("_pk").map_groups(
+        _diff_partition(key_cols), batch_format="pandas"
+    ).materialize()
+    # an all-cancelling (or maintenance-only) span loses its schema through
+    # the empty groupby — pin the net-diff shape for cross-poll unions
+    if out.count() == 0 and table_schema is not None:
+        empty = table_schema.empty_table()
+        empty = empty.append_column(CHANGE_COL, pa.array([], pa.string()))
+        return rd.from_arrow(empty)
+    return out
+
+
 HASH_PAYLOAD_MIN_BYTES = 256 * 1024 * 1024
 
 
@@ -340,10 +389,20 @@ def change_feed(
             for f in feeds[1:]:
                 out = out.union(f)
             if granularity == "auto":
-                # schema stability: auto may serve EITHER source across a
-                # consumer's polls, so it always emits the net-diff shape
-                # (per-commit event semantics, no version column)
-                out = out.drop_columns(["_commit_version"])
+                # auto promises NET-DIFF semantics (schema stability: it
+                # may serve either source across a consumer's polls), but
+                # a key touched in several commits of the span produces
+                # multiple pre/post pairs — or contradictory insert+delete
+                # rows — that a net-apply consumer would mis-converge on.
+                # Each commit's events are an exact multiset delta
+                # (state_v = state_{v-1} − preimages/deletes +
+                # postimages/inserts), so summing over the span and
+                # cancelling gives the true net diff — the SAME pairing
+                # problem the computed path solves, reusing its kernel
+                # over the event set (O(changes) shuffle, zero file reads).
+                return _net_reduce_events(
+                    out, log.table_schema(head), list(key_cols), num_partitions
+                )
             return out
         if granularity == "commits":
             missing = [v for v, f in zip(span, feeds) if f is None]
@@ -619,9 +678,11 @@ class ChangeStream:
 
     def poll(self, granularity: str = "auto"):
         """(feed Dataset, to_version) when the table moved, else None.
-        Default ``auto`` serves the recorded per-commit CDC (with a
-        ``_commit_version`` column) when every commit in the span wrote
-        one — zero recompute — else the computed net diff."""
+        Default ``auto`` always has NET-DIFF semantics: when every commit
+        in the span recorded write-time CDC the feed is folded from those
+        events (no data-file reads, an O(changes) shuffle), else it is the
+        computed net diff. ``granularity="commits"`` returns the raw
+        per-commit events with ``_commit_version`` for ordered apply."""
         head = TableLog(self.root).current_version()
         last = self.last_version
         if head is None or head <= last:

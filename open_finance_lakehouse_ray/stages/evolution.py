@@ -12,9 +12,11 @@ up) — data files are NEVER rewritten by an evolution, exactly like the
 Delta log.
 
 Promotion rules (a superset is an error, never silent): NULL adopts the
-other side; integers widen to the larger signed width; any int/float mix
-or float32/float64 mix widens to float64; string/large_string widen to
-large_string. Anything else (date vs timestamp, string vs int, …) raises
+other side; integers widen to the larger signed width; an int/float mix
+or float32/float64 mix widens to float64 ONLY when lossless — int64 or
+uint64 mixed with float raises (float64's 53 mantissa bits silently
+corrupt larger integers); string/large_string widen to large_string.
+Anything else (date vs timestamp, string vs int, …) raises
 :class:`SchemaEvolutionError` — the caller must cast explicitly.
 """
 
@@ -50,8 +52,17 @@ def promote_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     if a_int and b_int:
         return a if _INT_RANK[a] >= _INT_RANK[b] else b
     if (a_int or a_f) and (b_int or b_f):
-        # int/float mix, or float32/float64: float64 is the only type
-        # that loses nothing from int32-or-smaller and either float
+        # int/float mix, or float32/float64: float64 loses nothing from
+        # int32-or-smaller and either float. int64 (and uint64) × float
+        # is LOSSY — float64 has 53 mantissa bits, so values beyond 2^53
+        # (row hashes, large ids) would silently corrupt through the
+        # cast; the module contract is "a superset is an error, never
+        # silent", so raise and make the caller cast explicitly.
+        if pa.int64() in (a, b) or pa.uint64() in (a, b):
+            raise SchemaEvolutionError(
+                f"cannot promote {a} with {b}: int64/uint64 -> float64 "
+                "loses integer precision beyond 2^53; cast explicitly"
+            )
         return pa.float64()
     if {a, b} == {pa.string(), pa.large_string()}:
         return pa.large_string()

@@ -416,6 +416,7 @@ class TableLog:
         """
         removed = set(removed_paths or ())
         read = set(read_paths or ())
+        plan_base = base_version  # the base the SUMMARY was computed against
         for _ in range(max_retries):
             existing = self.find_commit(job_id)
             if existing is not None:
@@ -435,6 +436,13 @@ class TableLog:
                 if summary and summary.get("keys_unique"):
                     summary = {**summary,
                                "keys_unique": bool(self.keys_unique(head))}
+                # schema/constraints in the summary were also computed
+                # against the OLD base: republishing them as-is would
+                # silently drop a concurrent commit's evolved column or
+                # ALTERed constraint (the latest-commit-wins chain walk
+                # reads only the newest record). Re-merge against the head.
+                if summary and ("schema_b64" in summary or "constraints" in summary):
+                    summary = self._rebase_summary(summary, plan_base, head)
                 base_version = head  # safe rebase
             parent = head
             new_version = (head or 0) + 1 if head is not None else 1
@@ -493,6 +501,69 @@ class TableLog:
             if base_version is None:
                 base_version = self.current_version()
         raise RuntimeError(f"commit contention: gave up after {max_retries} retries")
+
+    def _rebase_summary(
+        self, summary: dict[str, Any], plan_base: int | None, head: int
+    ) -> dict[str, Any]:
+        """Re-derive schema/constraints summary entries against the new
+        head at commit rebase.
+
+        Schema evolution is a join-semilattice (union-by-name, widening
+        only, no drop verb), so merging OUR published schema with the
+        HEAD's schema yields exactly the state both evolutions together
+        produce — commutative and associative, order of concurrent
+        commits doesn't matter. An incompatible concurrent widening
+        (``SchemaEvolutionError``) is a true conflict: the caller must
+        replan with an explicit cast.
+
+        Constraints DO have a drop verb, so a plain union is wrong; the
+        3-way merge reconstructs our adds/drops against the plan base and
+        replays them on the head's active set (concurrent add+drop of the
+        SAME name resolves latest-wins by commit order, i.e. ours).
+        """
+        out = dict(summary)
+        if "schema_b64" in out and out["schema_b64"] is not None:
+            from open_finance_lakehouse_ray.stages.evolution import (
+                SchemaEvolutionError,
+                evolve_schema,
+                schema_from_b64,
+                schema_to_b64,
+            )
+
+            head_schema = self.table_schema(head)
+            ours = schema_from_b64(out["schema_b64"])
+            if head_schema is not None and not head_schema.equals(ours):
+                try:
+                    merged = evolve_schema(head_schema, ours)
+                except SchemaEvolutionError as e:
+                    raise CommitConflict(
+                        f"concurrent schema evolutions are incompatible: {e}"
+                    ) from e
+                out["schema_b64"] = schema_to_b64(merged)
+                if "schema_evolved" in out:
+                    out["schema_evolved"] = bool(
+                        out.get("schema_evolved")
+                        or self.schema_is_evolved(head)
+                        or not merged.equals(head_schema)
+                    )
+        if "constraints" in out and out["constraints"] is not None:
+            base_cons = (
+                self.table_constraints(plan_base) if plan_base is not None else {}
+            )
+            ours_cons = dict(out["constraints"])
+            head_cons = dict(self.table_constraints(head))
+            # our drops: names active at plan base but absent from ours
+            for name in base_cons:
+                if name not in ours_cons:
+                    head_cons.pop(name, None)
+            # our adds/updates: names new or changed relative to plan base
+            for name, spec in ours_cons.items():
+                if name not in base_cons or base_cons[name] != spec:
+                    head_cons[name] = spec
+                else:
+                    head_cons.setdefault(name, spec)
+            out["constraints"] = head_cons
+        return out
 
     def _check_conflicts(self, base: int, head: int, depends_on: set[str]) -> None:
         """Raise CommitConflict iff a commit in (base, head] removed any

@@ -433,3 +433,88 @@ def test_merge_records_cdc_both_strategies(ray_session, table_root, tmp_path):
             rec["text"]
         )  # stale losers emit nothing
         pd.testing.assert_frame_equal(net, rec[net.columns], check_dtype=False)
+
+
+def test_auto_multi_touch_reduces_to_net(ray_session, table_root):
+    """auto granularity folds recorded per-commit events into a TRUE net
+    diff: a key updated in two commits emits ONE pre/post pair (first
+    preimage, last postimage); rows inserted then deleted inside the span
+    cancel entirely; a value updated away and back cancels. The fold must
+    match the computed net diff bit for bit (ADVICE r2, cdf.py:346)."""
+    import pyarrow.compute as pc
+
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+    tx = build_transcripts(n_convs=30)
+    ingest_dataset(
+        rd.from_arrow(tx).repartition(4), table_root, job_id="mt-base",
+        summary={"keys_unique": True},
+    )
+    log = TableLog(table_root)
+    v0 = log.current_version()
+
+    # same keys touched TWICE: tool -> "x" then tool -> "y"
+    sel = lambda t: pc.equal(t["role"], "tool")  # noqa: E731
+    update_where(table_root, job_id="mt-u1", match=sel, assign={"tool": "x"})
+    update_where(table_root, job_id="mt-u2", match=sel, assign={"tool": "y"})
+    # insert-then-delete inside the span: must cancel to nothing
+    extra = build_transcripts(seed=21, n_convs=3)
+    extra = extra.set_column(
+        0, "conv_id", pc.utf8_replace_slice(extra["conv_id"], 0, 4, "convT")
+    )
+    ingest_dataset(rd.from_arrow(extra), table_root, job_id="mt-extra", validate=False)
+    delete_where(table_root, job_id="mt-del", conv_id_range=("convT", "convT~"))
+
+    def norm(df):
+        return (
+            df.sort_values(["conv_id", "turn_idx", "_change_type"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    auto = norm(change_feed(table_root, from_version=v0, granularity="auto").to_pandas())
+    net = norm(change_feed(table_root, from_version=v0, granularity="net").to_pandas())
+    pd.testing.assert_frame_equal(auto, net[auto.columns])
+    # no intermediate state leaks: every postimage shows the FINAL value
+    posts = auto[auto["_change_type"] == "update_postimage"]
+    assert len(posts) > 0 and set(posts["tool"]) == {"y"}
+    # the transient convT rows are gone entirely
+    assert not auto["conv_id"].str.startswith("convT").any()
+    # the span's commits all carry recorded CDC (the fold path actually ran)
+    head = log.current_version()
+    from open_finance_lakehouse_ray.pipelines.cdf import commit_changes
+
+    assert all(
+        commit_changes(table_root, v) is not None for v in range(v0 + 1, head + 1)
+    )
+
+
+def test_auto_update_roundtrip_cancels(ray_session, table_root):
+    """tool -> 'x' then back to its original value: net is EMPTY."""
+    import pyarrow.compute as pc
+
+    from open_finance_lakehouse_ray.pipelines.delete import update_where
+
+    log = TableLog(table_root)
+    log.create()
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": ["user", "user"],
+            "text": ["hello", "world"],
+            "tool": ["orig", "orig"],
+            "ts": pa.array([1000, 2000], pa.timestamp("us")),
+        }
+    )
+    e = write_table_file(table_root, t)
+    log.commit(operation="ingest", job_id="rt-base", added=[e],
+               summary={"keys_unique": True, "cdc": {"derive": "commit-paths"}})
+    v0 = log.current_version()
+    update_where(table_root, job_id="rt-u1",
+                 match=lambda b: pc.equal(b["conv_id"], "c1"),
+                 assign={"tool": "x"})
+    update_where(table_root, job_id="rt-u2",
+                 match=lambda b: pc.equal(b["conv_id"], "c1"),
+                 assign={"tool": "orig"})
+    auto = change_feed(table_root, from_version=v0, granularity="auto").to_pandas()
+    assert len(auto) == 0

@@ -28,9 +28,15 @@ def test_promotions():
     assert promote_types(pa.int32(), pa.int64()) == pa.int64()
     assert promote_types(pa.int64(), pa.int8()) == pa.int64()
     assert promote_types(pa.float32(), pa.float64()) == pa.float64()
-    assert promote_types(pa.int64(), pa.float32()) == pa.float64()
+    assert promote_types(pa.int32(), pa.float32()) == pa.float64()
     assert promote_types(pa.null(), pa.string()) == pa.string()
     assert promote_types(pa.string(), pa.large_string()) == pa.large_string()
+    # int64/uint64 × float is LOSSY beyond 2^53 — must raise, never
+    # silently corrupt (the cdf._protect_ints corruption class)
+    with pytest.raises(SchemaEvolutionError):
+        promote_types(pa.int64(), pa.float32())
+    with pytest.raises(SchemaEvolutionError):
+        promote_types(pa.float64(), pa.uint64())
     with pytest.raises(SchemaEvolutionError):
         promote_types(pa.string(), pa.int64())
     with pytest.raises(SchemaEvolutionError):
@@ -112,3 +118,43 @@ def test_overwrite_resets_schema(ray_session, table_root):
     )
     assert not log.schema_is_evolved()
     assert "score" not in log.table_schema().names
+
+
+def test_update_and_delete_on_evolved_table(ray_session, table_root):
+    """update_where assigning an EVOLVED column must conform pre-evolution
+    files (which lack the column on disk) before applying assignments —
+    previously a KeyError mid-job (ADVICE r2, delete.py:396). A residual
+    delete predicate over the evolved column must work the same way."""
+    import pyarrow.compute as pc_
+
+    from open_finance_lakehouse_ray.pipelines.delete import (
+        delete_where,
+        update_where,
+    )
+
+    tx = build_transcripts(n_convs=20)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="uev-base")
+    extra = _with_score(build_transcripts(seed=9, n_convs=5))
+    ingest_dataset(
+        rd.from_arrow(extra), table_root, job_id="uev-ev",
+        validate=False, merge_schema=True,
+    )
+    log = TableLog(table_root)
+    assert log.schema_is_evolved()
+
+    # assign the evolved column on rows living in PRE-evolution files
+    snap = update_where(
+        table_root, job_id="uev-upd",
+        match=lambda t: pc_.is_null(t["score"]),
+        assign={"score": 1.5},
+    )
+    assert snap is not None and snap.summary["updated_rows"] == tx.num_rows
+    got = validation_scan(table_root)
+    assert pc.count(got["score"]).as_py() == got.num_rows  # fully filled
+    # residual delete over the evolved column (reads pre-evolution files too)
+    snap2 = delete_where(
+        table_root, job_id="uev-del",
+        match=lambda t: pc_.equal(t["score"], 1.5),
+    )
+    assert snap2.summary["deleted_rows"] == tx.num_rows
+    assert validation_scan(table_root).num_rows == extra.num_rows

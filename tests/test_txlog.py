@@ -285,3 +285,90 @@ def test_overwrite_live_on_empty_table_is_plain_create(table_root):
     s = log.commit(operation="ingest", job_id="ow", added=[fe("data/a.parquet")],
                    overwrite_live=True)
     assert s.version == 1 and s.removed_paths == []
+
+
+def test_rebase_remerges_concurrent_schema_evolutions(table_root):
+    """Two evolving appends race: the loser's rebase must re-merge its
+    schema with the winner's head schema instead of republishing a schema
+    computed against the old base (which would silently drop the winner's
+    evolved column from every subsequent scan)."""
+    import pyarrow as pa
+
+    from open_finance_lakehouse_ray.stages.evolution import schema_to_b64
+
+    base = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    with_a = pa.schema([("k", pa.int64()), ("v", pa.string()), ("a", pa.float64())])
+    with_b = pa.schema([("k", pa.int64()), ("v", pa.string()), ("b", pa.int32())])
+
+    log = TableLog(table_root)
+    log.create()
+    log.commit(
+        operation="ingest", job_id="j0", added=[fe("data/a.parquet")],
+        summary={"schema_b64": schema_to_b64(base), "schema_evolved": False},
+    )
+    # writer A evolves against v1 and wins the race
+    log.commit(
+        operation="ingest", job_id="jA", added=[fe("data/b.parquet")],
+        base_version=1,
+        summary={"schema_b64": schema_to_b64(with_a), "schema_evolved": True},
+    )
+    # writer B also planned against v1; its commit rebases onto v2
+    log.commit(
+        operation="ingest", job_id="jB", added=[fe("data/c.parquet")],
+        base_version=1,
+        summary={"schema_b64": schema_to_b64(with_b), "schema_evolved": True},
+    )
+    final = log.table_schema()
+    assert final.names == ["k", "v", "a", "b"]  # NEITHER column lost
+    assert log.schema_is_evolved()
+
+
+def test_rebase_remerges_concurrent_constraints(table_root):
+    """Two concurrent ALTERs: the rebase 3-way-merges constraint sets so
+    the winner's add survives the loser's commit — including the loser's
+    own DROP of a third constraint."""
+    log = TableLog(table_root)
+    log.create()
+    log.commit(
+        operation="ingest", job_id="j0", added=[fe("data/a.parquet")],
+        summary={"constraints": {"c1": {"required_non_null": ["k"]}}},
+    )
+    # ALTER X plans against v1: drops c1, adds c2 ... but loses the race
+    # ALTER Y wins first: keeps c1, adds c3
+    log.commit(
+        operation="alter", job_id="alterY", added=[], base_version=1,
+        summary={"constraints": {"c1": {"required_non_null": ["k"]},
+                                 "c3": {"required_non_null": ["v"]}}},
+    )
+    log.commit(
+        operation="alter", job_id="alterX", added=[], base_version=1,
+        summary={"constraints": {"c2": {"required_non_null": ["w"]}}},
+    )
+    final = log.table_constraints()
+    assert set(final) == {"c2", "c3"}  # c1 dropped by X, c3 kept from Y
+
+
+def test_rebase_incompatible_schema_is_a_conflict(table_root):
+    import pyarrow as pa
+
+    from open_finance_lakehouse_ray.stages.evolution import schema_to_b64
+
+    log = TableLog(table_root)
+    log.create()
+    log.commit(
+        operation="ingest", job_id="j0", added=[fe("data/a.parquet")],
+        summary={"schema_b64": schema_to_b64(pa.schema([("k", pa.int64())]))},
+    )
+    log.commit(
+        operation="ingest", job_id="jA", added=[fe("data/b.parquet")],
+        base_version=1,
+        summary={"schema_b64": schema_to_b64(
+            pa.schema([("k", pa.int64()), ("x", pa.string())]))},
+    )
+    with pytest.raises(CommitConflict):
+        log.commit(
+            operation="ingest", job_id="jB", added=[fe("data/c.parquet")],
+            base_version=1,
+            summary={"schema_b64": schema_to_b64(
+                pa.schema([("k", pa.int64()), ("x", pa.int64())]))},
+        )
