@@ -123,7 +123,7 @@ class StreamProcessor:
         window_us: int = 60_000_000,
         delay_us: int = 120_000_000,
         max_files_per_trigger: int = 64,
-        distributed: bool = False,
+        distributed: bool = True,
     ):
         self.source_dir = source_dir
         self.bronze = TableLog(bronze_root)
@@ -136,12 +136,14 @@ class StreamProcessor:
         self.window_us = window_us
         self.delay_us = delay_us
         self.max_files = max_files_per_trigger
-        # distributed=True runs each micro-batch's ROW work (parse, tag,
-        # late-filter, dedup, window partials) as Ray Data stages; only the
-        # watermark-BOUNDED state (seen keys, open windows, metrics) lives
-        # in the checkpoint. Semantics are identical to the single-process
-        # mirror (pinned by tests/test_streaming_lane.py + the equivalence
-        # test) — the fold is associative (_combine_bars) and the dedup
+        # distributed=True (the DEFAULT since round 3) runs each
+        # micro-batch's ROW work (parse, tag, late-filter, dedup, window
+        # partials) as Ray Data stages; only the watermark-BOUNDED state
+        # (seen keys, open windows, metrics) lives in the checkpoint.
+        # Semantics are identical to the single-process mirror
+        # (distributed=False, kept as the offline-testable reference) —
+        # the whole tests/test_streaming_lane.py matrix runs against BOTH
+        # paths, the fold is associative (_combine_bars) and the dedup
         # first-wins order is (ts_us, event_id), batch-order-free.
         self.distributed = distributed
 

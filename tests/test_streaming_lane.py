@@ -40,8 +40,10 @@ def make_events(
     )
 
 
-@pytest.fixture()
-def lane(tmp_path):
+@pytest.fixture(params=["single", "distributed"])
+def lane(tmp_path, request, ray_session):
+    """The WHOLE behavior matrix runs against BOTH execution paths: the
+    single-process semantics mirror and the Ray-Data distributed default."""
     src = tmp_path / "src"
     src.mkdir()
 
@@ -56,6 +58,7 @@ def lane(tmp_path):
         window_us=MIN,
         delay_us=2 * MIN,
         max_files_per_trigger=1,
+        distributed=(request.param == "distributed"),
     )
     return src, write, proc, tmp_path
 
@@ -138,6 +141,7 @@ def test_checkpoint_resume_and_idempotent_replay(lane, tmp_path):
     proc2 = StreamProcessor(
         str(src), str(tmp / "bronze"), str(tmp / "silver"), str(tmp / "ckpt"),
         window_us=MIN, delay_us=2 * MIN, max_files_per_trigger=1,
+        distributed=proc.distributed,
     )
     proc2.run_available_now()
     assert TableLog(str(tmp / "bronze")).current_version() == bronze_v1

@@ -575,3 +575,51 @@ def test_term_scrubber_redacts_and_counts():
     assert out.loc[0, "scrubbed"] == "[SCRUBBED] of keys [SCRUBBED] [SCRUBBED]"
     assert out.loc[0, "n_hits"] == 3
     assert out.loc[1, "n_hits"] == 0 and out.loc[1, "scrubbed"] == "nothing here"
+
+
+def test_dedup_clusters_distributed_matches_union_find(ray_session):
+    """The task-exchange min-label-propagation path (edge-count guard /
+    OFLR_FORCE_SCALE_PATHS) must equal driver union-find exactly —
+    including long chains (pointer doubling) and multi-component graphs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        _dedup_clusters_distributed,
+        dedup_clusters,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 800, 900)
+    b = rng.integers(0, 800, 900)
+    chain = np.arange(2000, 2150)  # 150-node path: exercises doubling
+    ia = np.concatenate([np.minimum(a, b), chain[:-1]])
+    ib = np.concatenate([np.maximum(a, b), chain[1:]])
+    keep = ia != ib
+    pairs = pa.table({"id_a": ia[keep].astype("int64"),
+                      "id_b": ib[keep].astype("int64")})
+    ref = dedup_clusters(pairs).to_pandas()
+    dist = _dedup_clusters_distributed(
+        rd.from_arrow(pairs), num_partitions=8
+    ).to_pandas()
+    pd.testing.assert_frame_equal(ref, dist)
+    # chain collapses to its min id
+    assert (dist[dist["doc_id"].between(2000, 2149)]["canonical_id"] == 2000).all()
+
+    # guard routing: a tiny max_driver_edges forces the distributed path
+    routed = dedup_clusters(pairs, max_driver_edges=1).to_pandas()
+    pd.testing.assert_frame_equal(ref, routed)
+
+    # edge cases
+    empty = _dedup_clusters_distributed(
+        rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                "id_b": pa.array([], pa.int64())})),
+        num_partitions=4,
+    )
+    assert empty.num_rows == 0
+    one = _dedup_clusters_distributed(
+        rd.from_arrow(pa.table({"id_a": [7], "id_b": [3]})), num_partitions=4
+    ).to_pandas()
+    assert dict(zip(one["doc_id"], one["canonical_id"])) == {3: 3, 7: 3}

@@ -153,6 +153,49 @@ elif cmd == "update":
                         assign={"tool": "scrubbed"})
     print(json.dumps({"version": None if snap is None else snap.version,
                       "updated": 0 if snap is None else snap.summary["updated_rows"]}))
+elif cmd == "stream":
+    # deterministic micro-batch streaming drain over a generated source
+    # dir (files are pure functions of their index, so a reference run
+    # and a killed+resumed run see identical input). Exercises the
+    # DISTRIBUTED lane (the round-3 default).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamProcessor
+    MINUTE = 60_000_000
+    BASE_TS = 1_700_000_000_000_000
+    n_files = int(sys.argv[3])
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    for i in range(n_files):
+        p = os.path.join(src_dir, f"f{i:03d}.parquet")
+        if os.path.exists(p):
+            continue
+        ids = list(range(i * 10, i * 10 + 10)) + ([i * 10 - 3] if i else [])
+        # every column a pure function of event_id -> a cross-file dup id
+        # is an exact duplicate event (same key, ts, value)
+        tab = pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([BASE_TS + e * (MINUTE // 2) for e in ids], pa.timestamp("us")),
+            "user_id": pa.array([e % 5 for e in ids], pa.int64()),
+            "event_type": pa.array(["click" if e % 3 else "view" for e in ids]),
+            "value": pa.array([None if e % 17 == 0 else float(e) for e in ids], pa.float64()),
+            "props": pa.array(["{}"] * len(ids)),
+        })
+        pq.write_table(tab, p)
+    proc = StreamProcessor(
+        src_dir, os.path.join(root, "bronze"), os.path.join(root, "silver"),
+        os.path.join(root, "ckpt"), window_us=MINUTE, delay_us=2 * MINUTE,
+        max_files_per_trigger=1, distributed=True,
+    )
+    slow = os.environ.get("HARNESS_SLOW_STREAM_S")
+    if slow:
+        orig = proc._process_batch_distributed
+        def slowed(state, files):
+            time.sleep(float(slow))
+            return orig(state, files)
+        proc._process_batch_distributed = slowed
+    m = proc.run_available_now()
+    print(json.dumps({"metrics": m}))
 elif cmd == "merge":
     from open_finance_lakehouse_ray.sources.transcripts import build_transcripts, late_turns
     from open_finance_lakehouse_ray.pipelines.merge import merge_into
@@ -500,6 +543,76 @@ def scenario_update_kill_resume(scratch: str) -> dict:
     }
 
 
+def scenario_stream_kill_resume(scratch: str) -> dict:
+    """The DISTRIBUTED streaming lane is SIGKILLed mid-drain; the resumed
+    process must converge to the uninterrupted reference — bronze, dead
+    letters, silver bars and checkpoint metrics all equal under an
+    independent DuckDB read (offsets claimed with state, appends
+    idempotent on the batch id)."""
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    def stream_state(base: str) -> dict:
+        con = duckdb.connect()
+        out = {}
+        for name, sub in (("bronze", "bronze"), ("silver", "silver"),
+                          ("dead", os.path.join("bronze", "_dead_letter"))):
+            log = TableLog(os.path.join(base, sub))
+            if log.current_version() is None:
+                out[name] = {"rows": 0, "hash": "0"}
+                continue
+            cols = "*" if name != "silver" else \
+                "event_type, window_start, open, close, high, low, volume, n_events"
+            row = con.execute(
+                f"select count(*), sum(hash(concat_ws('#', {cols.replace('*', 'event_id, ts, value')}))) "
+                f"from (select {cols} from read_parquet($1))",
+                [log.file_paths()],
+            ).fetchone()
+            out[name] = {"rows": row[0], "hash": str(row[1])}
+        con.close()
+        return out
+
+    base = os.path.join(scratch, "stream")
+    ref = os.path.join(scratch, "stream-ref")
+    n = "10"
+    ref_metrics = run_worker(["stream", ref, n])["metrics"]
+    ref_state = stream_state(ref)
+
+    p = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "stream", base, n],
+        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_SLOW_STREAM_S": "0.8"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    ckpt = os.path.join(base, "ckpt", "stream.json")
+    deadline = time.time() + 120
+    batches_done = 0
+    while time.time() < deadline and p.poll() is None:
+        try:
+            with open(ckpt) as f:
+                batches_done = json.load(f)["batch_id"]
+        except (OSError, json.JSONDecodeError):
+            batches_done = 0
+        if batches_done >= 3:
+            break
+        time.sleep(0.1)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    mid_run = 0 < batches_done < int(n)
+
+    got_metrics = run_worker(["stream", base, n])["metrics"]
+    got_state = stream_state(base)
+    return {
+        "ok": mid_run and ref_state == got_state and ref_metrics == got_metrics,
+        "killed_mid_run": mid_run,
+        "batches_before_kill": batches_done,
+        "reference": {"state": ref_state, "metrics": ref_metrics},
+        "resumed": {"state": got_state, "metrics": got_metrics},
+    }
+
+
 def scenario_concurrent(scratch: str) -> dict:
     root = os.path.join(scratch, "concurrent")
     run_worker(["ingest", root, "40"])
@@ -584,7 +697,7 @@ def main() -> int:
                     choices=["all", "double-run", "kill-resume",
                              "zorder-kill-resume", "merge-kill-resume",
                              "delete-kill-resume", "update-kill-resume",
-                             "concurrent", "overwrite-race"])
+                             "concurrent", "overwrite-race", "stream-kill-resume"])
     args = ap.parse_args()
     scratch = tempfile.mkdtemp(prefix="ofl-harness-")
     scenarios = {
@@ -594,6 +707,7 @@ def main() -> int:
         "merge-kill-resume": scenario_merge_kill_resume,
         "delete-kill-resume": scenario_delete_kill_resume,
         "update-kill-resume": scenario_update_kill_resume,
+        "stream-kill-resume": scenario_stream_kill_resume,
         "concurrent": scenario_concurrent,
         "overwrite-race": scenario_overwrite_race,
     }
