@@ -170,6 +170,31 @@ def run_bench() -> dict:
     timed("q_pricing_summary", lambda: q_li_pricing_summary(SF_DIR))
     timed("q_near_dup", lambda: q_doc_near_dup_pairs(SF_DIR))
 
+    # --- table-verb lane: DELETE / UPDATE / recorded-CDC replay on the
+    # just-built table (regressions here were previously visible only in
+    # tools/table_verbs_bench.py evidence, not the per-round driver bench)
+    from open_finance_lakehouse_ray.pipelines.cdf import change_feed
+    from open_finance_lakehouse_ray.pipelines.delete import (
+        delete_where,
+        update_where,
+    )
+
+    ents = TableLog(root_last).files()
+    if REPLICATE > 1:  # one replica's conv-prefix slice each (~1/REPLICATE)
+        del_rng, upd_rng = ("r5-", "r5-~"), ("r7-", "r7-~")
+    else:
+        del_rng = tuple(ents[0].stats["conv_id"])
+        upd_rng = tuple(ents[-1].stats["conv_id"])
+    v_before_verbs = TableLog(root_last).current_version()
+    timed("verb_delete", lambda: delete_where(
+        root_last, job_id="bench-del", conv_id_range=del_rng))
+    timed("verb_update", lambda: update_where(
+        root_last, job_id="bench-upd", conv_id_range=upd_rng,
+        assign={"tool": "scrubbed"}))
+    timed("verb_cdc_replay", lambda: change_feed(
+        root_last, from_version=v_before_verbs, granularity="commits"
+    ).count())
+
     snapshot_version = best["version"]
     import shutil
 

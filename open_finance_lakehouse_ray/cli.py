@@ -107,7 +107,8 @@ def main(argv: list[str] | None = None) -> int:
     rp = sub.add_parser("registry")
     rp.add_argument("--registry", required=True, help="path to registry.yml")
     rp.add_argument("--action", default="maintain",
-                    choices=["maintain", "marts", "report", "scrubs"])
+                    choices=["maintain", "marts", "report", "scrubs",
+                             "freshness"])
     rp.add_argument("--table", default=None, help="one table (default: all)")
     rp.add_argument("--mart", default=None, help="one mart (default: all)")
     rp.add_argument("--sf-dir", default=None, help="source dir for mart queries")
@@ -294,6 +295,16 @@ def main(argv: list[str] | None = None) -> int:
                 t: run_scrubs(reg, t, job_prefix=f"{job_id}/{t}")
                 for t in targets
             }
+        elif args.action == "freshness":
+            from open_finance_lakehouse_ray.registry import freshness_report
+
+            rep = freshness_report(reg)
+            out["freshness"] = rep
+            if any(v["status"] in ("stale", "missing")
+                   for v in rep.values()
+                   if v["sla_s"] is not None):
+                print(json.dumps(out, default=str))
+                return 1
         elif args.action == "marts":
             if not args.sf_dir:
                 raise SystemExit("--sf-dir is required for --action marts")

@@ -480,3 +480,112 @@ class StreamProcessor:
             operation="stream-append", job_id=job_id, added=[entry],
             summary={"cdc": {"derive": "commit-paths"}},
         )
+
+
+def replay_dead_letters(
+    bronze_root: str,
+    fix_fn,
+    *,
+    job_id: str,
+) -> dict[str, Any]:
+    """Re-ingest dead-lettered rows after a fix — the replayability the
+    reference promises for its reject table
+    (``/root/reference/ofl/streaming/bronze.py:171-182``: rejects are
+    written verbatim with a reason so they can be REPLAYED once the
+    producer bug is fixed).
+
+    ``fix_fn`` is a ``pa.Table -> pa.Table`` batch repair (applied as a
+    streaming ``map_batches`` over the dead-letter table, ``_reason``
+    column included so a fix can dispatch on it). Rows that pass the
+    bronze validity gate after the fix (non-null ``value`` AND ``ts`` —
+    the same rule the lane splits on) append to bronze; rows still
+    invalid stay dead-lettered (with their original reason). Accounting
+    reconciles exactly: ``replayed + still_dead == dead rows before``.
+
+    Crash-safe and idempotent on ``job_id``: the bronze append commits
+    under ``{job_id}/append`` and the dead-letter prune (an
+    ``overwrite_live`` commit) under ``{job_id}/prune`` — a crash between
+    the two resumes cleanly because each half no-ops on replay.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.stages.writer import (
+        make_stats_writer,
+        meta_rows_to_entries,
+    )
+
+    bronze = TableLog(bronze_root)
+    dead = TableLog(os.path.join(bronze_root, "_dead_letter"))
+    if dead.current_version() is None:
+        return {"replayed": 0, "still_dead": 0}
+    dead_v = dead.current_version()
+    n_dead = sum(e.rows for e in dead.files(dead_v))
+    if n_dead == 0:
+        return {"replayed": 0, "still_dead": 0}
+
+    # fix once, split once — the materialization is reject-scale (the
+    # dead-letter table), never corpus-scale
+    fixed = (
+        rd.read_parquet(dead.file_paths(dead_v))
+        .map_batches(fix_fn, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _mask(t: pa.Table):
+        return pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["ts"]))
+
+    def good_part(t: pa.Table) -> pa.Table:
+        out = t.filter(_mask(t))
+        return out.drop_columns(["_reason"])
+
+    def bad_part(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(_mask(t)))
+
+    # --- bronze append (idempotent on the job id) ---
+    append_job = f"{job_id}/append"
+    existing = bronze.find_commit(append_job)
+    if existing is not None:
+        n_good = int(existing.summary.get("replayed_rows", 0))
+    else:
+        meta = fixed.map_batches(good_part, batch_format="pyarrow").map_batches(
+            make_stats_writer(bronze.root, stats_cols=(), sort_by=("event_id",),
+                              prefix="replay"),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        entries = meta_rows_to_entries(meta.take_all())
+        n_good = sum(e.rows for e in entries)
+        if entries:
+            bronze.commit(
+                operation="stream-append", job_id=append_job, added=entries,
+                summary={
+                    "replayed_rows": n_good,
+                    "replay_of_dead_version": dead_v,
+                    "cdc": {"derive": "commit-paths"},
+                },
+            )
+
+    # --- dead-letter prune: the still-bad rows REPLACE the table ---
+    prune_job = f"{job_id}/prune"
+    if dead.find_commit(prune_job) is None:
+        meta = fixed.map_batches(bad_part, batch_format="pyarrow").map_batches(
+            make_stats_writer(dead.root, stats_cols=(), sort_by=("event_id",),
+                              prefix="replay-dead"),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        entries = meta_rows_to_entries(meta.take_all())
+        dead.commit(
+            operation="ingest", job_id=prune_job, added=entries,
+            overwrite_live=True,
+            summary={"still_dead": sum(e.rows for e in entries),
+                     "cdc": {"derive": "commit-paths"}},
+        )
+    still = sum(e.rows for e in dead.files())
+    return {
+        "replayed": int(n_good),
+        "still_dead": int(still),
+        "dead_before": int(n_dead),
+        "reconciled": int(n_good) + int(still) == int(n_dead),
+    }

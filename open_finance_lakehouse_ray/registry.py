@@ -251,3 +251,67 @@ def run_scrubs(
             }}
         )
     return report
+
+
+def _parse_sla_seconds(spec) -> float:
+    """``freshness_sla`` values: plain seconds, or ``"10d"``/``"36h"``/
+    ``"45m"``/``"90s"``/``"2w"`` (the reference's registry uses day
+    strings, ``sources/registry.yml:392``)."""
+    if isinstance(spec, (int, float)):
+        return float(spec)
+    s = str(spec).strip().lower()
+    units = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0, "w": 604800.0}
+    if s and s[-1] in units:
+        return float(s[:-1]) * units[s[-1]]
+    return float(s)
+
+
+def freshness_report(reg: Registry, *, now: float | None = None) -> dict[str, Any]:
+    """Per-table freshness-vs-SLA gauge from manifest stats alone — the
+    analog of the reference's per-series freshness metric
+    (``ofl/ingestion/landing.py:22-33``: freshness is asserted on the
+    DATA date — the max event timestamp — not the run wall-clock, so
+    quiet periods on slow tables don't read as stale; the commit time is
+    the fallback basis for tables without ts stats).
+
+    Status per table: ``fresh`` / ``stale`` (age > ``freshness_sla``),
+    ``unconfigured`` (no SLA declared — age still reported), ``missing``
+    (no snapshot yet — always a breach when an SLA is declared).
+    """
+    import time as _time
+
+    from open_finance_lakehouse_ray.pipelines.metrics import manifest_report
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    now = _time.time() if now is None else now
+    out: dict[str, Any] = {}
+    for name, cfg in reg.tables.items():
+        sla = cfg.get("freshness_sla")
+        sla_s = _parse_sla_seconds(sla) if sla is not None else None
+        log = TableLog(cfg["root"])
+        if log.current_version() is None:
+            out[name] = {
+                "status": "missing" if sla_s is not None else "unconfigured",
+                "age_s": None, "sla_s": sla_s, "basis": None,
+            }
+            continue
+        rep = manifest_report(cfg["root"])
+        if rep["max_ts"] is not None:
+            age = now - rep["max_ts"] / 1e6  # manifest ts stats are epoch-us
+            basis = "data"
+        else:
+            age = now - log.snapshot().committed_at
+            basis = "commit"
+        status = (
+            "unconfigured" if sla_s is None
+            else ("stale" if age > sla_s else "fresh")
+        )
+        out[name] = {
+            "status": status,
+            "age_s": round(age, 3),
+            "sla_s": sla_s,
+            "basis": basis,
+            "version": rep["version"],
+            "rows": rep["rows"],
+        }
+    return out

@@ -357,3 +357,66 @@ def test_registry_scrubs_are_declarative_and_idempotent(ray_session, tmp_path):
     r2 = run_scrubs(reg, "t", job_prefix="scrub-run")
     assert log.current_version() == v
     assert r2["purge"]["version"] == r1["purge"]["version"]
+
+
+def test_freshness_report_trips_on_stale_table(ray_session, tmp_path):
+    """A table whose newest DATA timestamp is older than its declared
+    freshness_sla reads stale; a fresh one doesn't; a declared-but-unlanded
+    table is a breach (missing); no SLA -> unconfigured, age still
+    reported. Data date, not run wall-clock, is the basis
+    (ofl/ingestion/landing.py:22-33 semantics)."""
+    import textwrap as tw
+    import time
+
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.registry import (
+        freshness_report,
+        load_registry,
+    )
+
+    path = tmp_path / "registry.yml"
+    path.write_text(tw.dedent(f"""
+        base: {tmp_path}
+        tables:
+          fresh_t:
+            root: "{{base}}/fresh"
+            freshness_sla: 1d
+          stale_t:
+            root: "{{base}}/stale"
+            freshness_sla: 30m
+          missing_t:
+            root: "{{base}}/missing"
+            freshness_sla: 1h
+          nosla_t:
+            root: "{{base}}/nosla"
+    """))
+    reg = load_registry(str(path))
+
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+
+    now = time.time()
+
+    def with_ts(age_s: float) -> pa.Table:
+        t = build_transcripts(n_convs=4)
+        us = int((now - age_s) * 1e6)
+        return t.set_column(
+            t.column_names.index("ts"), "ts",
+            pa.array([us] * t.num_rows, pa.timestamp("us")),
+        )
+
+    ingest_dataset(rd.from_arrow(with_ts(60.0)), reg.table_root("fresh_t"),
+                   job_id="fr-a")
+    ingest_dataset(rd.from_arrow(with_ts(7200.0)), reg.table_root("stale_t"),
+                   job_id="fr-b")
+    ingest_dataset(rd.from_arrow(with_ts(7200.0)), reg.table_root("nosla_t"),
+                   job_id="fr-c")
+
+    rep = freshness_report(reg, now=now)
+    assert rep["fresh_t"]["status"] == "fresh"
+    assert rep["fresh_t"]["basis"] == "data"
+    assert rep["stale_t"]["status"] == "stale"
+    assert rep["stale_t"]["age_s"] > 1800
+    assert rep["missing_t"]["status"] == "missing"
+    assert rep["nosla_t"]["status"] == "unconfigured"
+    assert rep["nosla_t"]["age_s"] is not None

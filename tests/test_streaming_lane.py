@@ -222,3 +222,64 @@ def test_distributed_lane_matches_single_process(ray_session, tmp_path):
     assert k1 == k2
     assert w1 == w2
     assert wm1 == wm2
+
+
+def test_dead_letter_replay_reconciles(ray_session, tmp_path):
+    """reject -> fix -> replay: fixed rows land in bronze through the same
+    validity gate, unfixable rows stay dead-lettered with their reason,
+    accounting reconciles exactly, and a replay re-run no-ops."""
+    import pyarrow.compute as pc
+
+    from open_finance_lakehouse_ray.pipelines.streaming import (
+        replay_dead_letters,
+    )
+
+    src = tmp_path / "src3"
+    src.mkdir()
+    # 4 rows with null value (dead), 2 of them also null ts (unfixable)
+    t = make_events([1, 2, 3, 4, 5, 6], [0.1, 0.5, 1.0, 1.5, 2.0, 2.5],
+                    nulls=True)  # ids at even positions get null value
+    ts = t["ts"].to_pylist()
+    ts[0] = None  # id 1: null value AND null ts -> unfixable by value-fill
+    t = t.set_column(1, "ts", pa.array(ts, pa.timestamp("us")))
+    pq.write_table(t, src / "a.parquet")
+
+    proc = StreamProcessor(
+        str(src), str(tmp_path / "bronze3"), str(tmp_path / "silver3"),
+        str(tmp_path / "ckpt3"), window_us=MIN, delay_us=2 * MIN,
+    )
+    m = proc.run_available_now()
+    dead_log = TableLog(str(tmp_path / "bronze3" / "_dead_letter"))
+    n_dead = sum(e.rows for e in dead_log.files())
+    assert n_dead == 3  # ids 1, 3, 5 (null value); id 1 also null ts
+    bronze_rows_before = sum(
+        e.rows for e in TableLog(str(tmp_path / "bronze3")).files()
+    )
+
+    def fix(batch: pa.Table) -> pa.Table:
+        # producer fix: missing values default to 0.0; null ts stays broken
+        i = batch.column_names.index("value")
+        return batch.set_column(i, "value", pc.fill_null(batch["value"], 0.0))
+
+    rep = replay_dead_letters(
+        str(tmp_path / "bronze3"), fix, job_id="replay-1"
+    )
+    assert rep["reconciled"]
+    assert rep["replayed"] == 2 and rep["still_dead"] == 1
+    bronze_rows = sum(
+        e.rows for e in TableLog(str(tmp_path / "bronze3")).files()
+    )
+    assert bronze_rows == bronze_rows_before + 2
+    # surviving dead row keeps its verbatim reason column
+    left = pq.read_table(dead_log.file_paths()[0])
+    assert left.num_rows == 1
+    assert left["_reason"][0].as_py().startswith("missing_required_fields")
+
+    # idempotent re-run: nothing moves
+    rep2 = replay_dead_letters(
+        str(tmp_path / "bronze3"), fix, job_id="replay-1"
+    )
+    assert rep2["replayed"] == 2 and rep2["still_dead"] == 1
+    assert sum(
+        e.rows for e in TableLog(str(tmp_path / "bronze3")).files()
+    ) == bronze_rows
