@@ -2030,6 +2030,112 @@ Q_EV_STREAM_OHLC_SQL = """
 """
 
 
+def q_ev_dead_letter_replay(sf_dir: str) -> pa.Table:
+    """Dead-letter REPLAY lifecycle through the gate: the events table is
+    streamed with deterministic corruption injected (value nulled where
+    ``event_id % 7 == 0``; ts ALSO nulled where ``% 21 == 0``), the lane
+    dead-letters the invalid rows, then ``replay_dead_letters`` re-ingests
+    them after a value-fill fix. The PUBLISHED bronze table (original
+    landings + replay commit) must equal the SQL mirror: every row whose
+    ts survives, with filled values — the reject→fix→replay accounting
+    reconciling exactly (``ofl/streaming/bronze.py:171-182`` promise)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from open_finance_lakehouse_ray.pipelines.streaming import (
+        StreamProcessor,
+        replay_dead_letters,
+    )
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    scratch = tempfile.mkdtemp(prefix="oflr-replay-")
+    try:
+        src = os.path.join(scratch, "src")
+        os.makedirs(src)
+        ev = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        ev = ev.append_column("props", pa.array(["{}"] * ev.num_rows))
+        ev = ev.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        eid = ev["event_id"]
+        import numpy as _np
+
+        eid_np = eid.to_numpy(zero_copy_only=False)
+        bad_val = pa.array(eid_np % 7 == 0)
+        bad_ts = pa.array(eid_np % 21 == 0)
+        ev = ev.set_column(
+            ev.column_names.index("value"), "value",
+            pc.if_else(bad_val, pa.nulls(ev.num_rows, pa.float64()), ev["value"]),
+        )
+        ev = ev.set_column(
+            ev.column_names.index("ts"), "ts",
+            pc.if_else(bad_ts, pa.nulls(ev.num_rows, pa.timestamp("us")), ev["ts"]),
+        )
+        n_files = 2
+        step = (ev.num_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = ev.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(src, f"f{i:03d}.parquet"))
+
+        bronze_root = os.path.join(scratch, "bronze")
+        proc = StreamProcessor(
+            src, bronze_root, os.path.join(scratch, "silver"),
+            os.path.join(scratch, "ckpt"),
+            window_us=60_000_000, delay_us=120_000_000,
+            max_files_per_trigger=1,
+        )
+        proc.run_available_now()
+
+        def fix(batch: pa.Table) -> pa.Table:
+            i = batch.column_names.index("value")
+            return batch.set_column(
+                i, "value", pc.fill_null(batch["value"], 0.0)
+            )
+
+        rep = replay_dead_letters(bronze_root, fix, job_id="gate-replay")
+        assert rep["reconciled"], rep
+
+        # aggregate the PUBLISHED bronze per event_type (engine-side)
+        import ray.data as rd
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            g = df.groupby("event_type")["value"].agg(["count", "sum"]).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = (
+            rd.read_parquet(TableLog(bronze_root).file_paths())
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        out = parts.groupby("event_type").agg(
+            n_rows=("count", "sum"), total_value=("sum", "sum")
+        ).reset_index().sort_values("event_type")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["total_value"] = _round_half_away(out["total_value"], 2)
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# bronze after replay = every event whose ts survived corruption, with the
+# fix's value fill applied to the value-corrupted rows
+Q_EV_DEAD_LETTER_REPLAY_SQL = """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(CASE WHEN event_id % 7 = 0 THEN 0.0 ELSE value END), 2)
+               AS total_value
+    FROM events
+    WHERE event_id % 21 <> 0
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 def q_mart_pricing_lifecycle(sf_dir: str) -> pa.Table:
     """Persisted-mart lifecycle through the gate: compute the pricing
     summary, publish it check-gated into a transaction-logged mart table
@@ -2068,6 +2174,7 @@ QUERIES.update(
         "cust_urgent_segments": q_cust_urgent_segments,
         "emb_knn_ivf": q_emb_knn_ivf,
         "ev_stream_ohlc": q_ev_stream_ohlc,
+        "ev_dead_letter_replay": q_ev_dead_letter_replay,
     }
 )
 ORACLES.update(
@@ -2080,6 +2187,7 @@ ORACLES.update(
         "cust_urgent_segments": Q_CUST_URGENT_SQL,
         "emb_knn_ivf": Q_EMB_KNN_SQL,
         "ev_stream_ohlc": Q_EV_STREAM_OHLC_SQL,
+        "ev_dead_letter_replay": Q_EV_DEAD_LETTER_REPLAY_SQL,
     }
 )
 
