@@ -135,7 +135,8 @@ def run_bench() -> dict:
         from open_finance_lakehouse_ray.pipelines.scan import scan
 
         if REPLICATE > 1:
-            upd_src = scan(root, conv_id_range=("r3-", "r3-~"))
+            rm_ = min(3, REPLICATE - 1)
+            upd_src = scan(root, conv_id_range=(f"r{rm_}-", f"r{rm_}-~"))
         else:
             upd_src = scan(root)
         upd = _merge_updates(upd_src)
@@ -180,8 +181,13 @@ def run_bench() -> dict:
     )
 
     ents = TableLog(root_last).files()
-    if REPLICATE > 1:  # one replica's conv-prefix slice each (~1/REPLICATE)
-        del_rng, upd_rng = ("r5-", "r5-~"), ("r7-", "r7-~")
+    if REPLICATE > 1:  # one replica's conv-prefix slice each (~1/REPLICATE);
+        # prefixes derived from REPLICATE so any factor >1 hits real rows
+        rd_, ru_ = min(5, REPLICATE - 1), min(7, REPLICATE - 1)
+        if ru_ == rd_:
+            ru_ = max(0, rd_ - 1)
+        del_rng = (f"r{rd_}-", f"r{rd_}-~")
+        upd_rng = (f"r{ru_}-", f"r{ru_}-~")
     else:
         del_rng = tuple(ents[0].stats["conv_id"])
         upd_rng = tuple(ents[-1].stats["conv_id"])

@@ -37,7 +37,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from open_finance_lakehouse_ray.functions.windows import WatermarkState, window_end
-from open_finance_lakehouse_ray.state.txlog import TableLog, _atomic_write_json
+from open_finance_lakehouse_ray.state.txlog import (
+    StaleTableError,
+    TableLog,
+    _atomic_write_json,
+)
 
 
 class StreamCheckpoint:
@@ -308,8 +312,6 @@ class StreamProcessor:
             self.bronze, ds.map_batches(split(True), batch_format="pyarrow"),
             f"bronze-{batch_id}", ("event_id",),
         )
-        if n_valid is None:  # replayed batch: commit already existed
-            n_valid = rows_in - (n_dead or 0)
         state["metrics"]["rows_valid"] += n_valid
 
         # --- watermark (one-batch lag); late-drop count derived, not an
@@ -434,13 +436,25 @@ class StreamProcessor:
 
     def _append_ds(
         self, log: TableLog, ds, job_id: str, sort_by: tuple[str, ...]
-    ) -> int | None:
+    ) -> int:
         """Idempotent DISTRIBUTED micro-batch append: per-block stats
-        writer + one commit under the batch's job id. Returns rows written
-        (None when the commit already existed — replayed batch)."""
+        writer + one commit under the batch's job id. Always returns the
+        rows this batch's commit holds — on a crash-replayed batch (commit
+        exists, checkpoint lost) the count is recovered from the commit's
+        own manifests so the re-derived metrics match an uninterrupted run
+        exactly (review finding, round 3: the old ``None`` fallback
+        counted dead rows as valid on replay)."""
         existing = log.find_commit(job_id)
         if existing is not None:
-            return None
+            added = set(existing.added_paths)
+            if not added:
+                return 0
+            rows = 0
+            for m in existing.manifests:
+                for e in log.read_manifest(m):
+                    if e.path in added:
+                        rows += e.rows
+            return rows
         from open_finance_lakehouse_ray.stages.writer import (
             make_stats_writer,
             meta_rows_to_entries,
@@ -500,12 +514,17 @@ def replay_dead_letters(
     bronze validity gate after the fix (non-null ``value`` AND ``ts`` —
     the same rule the lane splits on) append to bronze; rows still
     invalid stay dead-lettered (with their original reason). Accounting
-    reconciles exactly: ``replayed + still_dead == dead rows before``.
+    reconciles exactly: ``replayed + still_dead == dead_before``.
 
-    Crash-safe and idempotent on ``job_id``: the bronze append commits
-    under ``{job_id}/append`` and the dead-letter prune (an
-    ``overwrite_live`` commit) under ``{job_id}/prune`` — a crash between
-    the two resumes cleanly because each half no-ops on replay.
+    Crash-safe and idempotent on ``job_id``. The fix-set is pinned to ONE
+    dead-table version: the bronze append commits under ``{job_id}/append``
+    recording ``replay_of_dead_version``, and the prune commit
+    (``{job_id}/prune``) removes EXACTLY that version's files — never an
+    overwrite of the live head, so rows dead-lettered between the two
+    halves (or between crash and resume) survive untouched for the next
+    replay. A resume after a crash between the halves reads the pinned
+    version back from the append commit; a re-run after full completion
+    reports straight from the recorded summaries with zero I/O.
     """
     import pyarrow.compute as pc
     import ray.data as rd
@@ -517,17 +536,55 @@ def replay_dead_letters(
 
     bronze = TableLog(bronze_root)
     dead = TableLog(os.path.join(bronze_root, "_dead_letter"))
-    if dead.current_version() is None:
-        return {"replayed": 0, "still_dead": 0}
-    dead_v = dead.current_version()
-    n_dead = sum(e.rows for e in dead.files(dead_v))
-    if n_dead == 0:
-        return {"replayed": 0, "still_dead": 0}
+    append_job, prune_job = f"{job_id}/append", f"{job_id}/prune"
+    existing_append = bronze.find_commit(append_job)
+    existing_prune = dead.find_commit(prune_job)
+
+    def _report(n_good: int, still: int, dead_before: int) -> dict[str, Any]:
+        return {
+            "replayed": int(n_good),
+            "still_dead": int(still),
+            "dead_before": int(dead_before),
+            "reconciled": int(n_good) + int(still) == int(dead_before),
+        }
+
+    if existing_prune is not None:
+        # fully committed replay: report from the recorded summaries
+        s = existing_prune.summary
+        n_good = (
+            int(existing_append.summary.get("replayed_rows", 0))
+            if existing_append is not None else 0
+        )
+        return _report(
+            n_good, s.get("still_dead", 0),
+            s.get("dead_before", n_good + int(s.get("still_dead", 0))),
+        )
+
+    if existing_append is not None:
+        s = existing_append.summary
+        if "replay_of_dead_version" not in s:
+            raise StaleTableError(
+                f"replay {job_id!r}: the append commit's snapshot expired "
+                "before the prune committed; the pinned fix-set version is "
+                "unrecoverable — rerun under a NEW job_id"
+            )
+        dead_v = int(s["replay_of_dead_version"])
+        n_good: int | None = int(s["replayed_rows"])
+        n_dead = int(s["dead_before"])
+    else:
+        dead_v = dead.current_version()
+        if dead_v is None:
+            return _report(0, 0, 0)
+        n_dead = sum(e.rows for e in dead.files(dead_v))
+        if n_dead == 0:
+            return _report(0, 0, 0)
+        n_good = None  # computed below
 
     # fix once, split once — the materialization is reject-scale (the
-    # dead-letter table), never corpus-scale
+    # dead-letter table at the PINNED version), never corpus-scale
+    dead_files_v = dead.files(dead_v)
     fixed = (
-        rd.read_parquet(dead.file_paths(dead_v))
+        rd.read_parquet([os.path.join(dead.root, e.path) for e in dead_files_v])
         .map_batches(fix_fn, batch_format="pyarrow")
         .materialize()
     )
@@ -542,12 +599,8 @@ def replay_dead_letters(
     def bad_part(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(_mask(t)))
 
-    # --- bronze append (idempotent on the job id) ---
-    append_job = f"{job_id}/append"
-    existing = bronze.find_commit(append_job)
-    if existing is not None:
-        n_good = int(existing.summary.get("replayed_rows", 0))
-    else:
+    # --- bronze append (idempotent on the job id, pins the fix-set) ---
+    if n_good is None:
         meta = fixed.map_batches(good_part, batch_format="pyarrow").map_batches(
             make_stats_writer(bronze.root, stats_cols=(), sort_by=("event_id",),
                               prefix="replay"),
@@ -562,30 +615,31 @@ def replay_dead_letters(
                 summary={
                     "replayed_rows": n_good,
                     "replay_of_dead_version": dead_v,
+                    "dead_before": n_dead,
                     "cdc": {"derive": "commit-paths"},
                 },
             )
 
-    # --- dead-letter prune: the still-bad rows REPLACE the table ---
-    prune_job = f"{job_id}/prune"
-    if dead.find_commit(prune_job) is None:
-        meta = fixed.map_batches(bad_part, batch_format="pyarrow").map_batches(
-            make_stats_writer(dead.root, stats_cols=(), sort_by=("event_id",),
-                              prefix="replay-dead"),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
-        entries = meta_rows_to_entries(meta.take_all())
-        dead.commit(
-            operation="ingest", job_id=prune_job, added=entries,
-            overwrite_live=True,
-            summary={"still_dead": sum(e.rows for e in entries),
-                     "cdc": {"derive": "commit-paths"}},
-        )
-    still = sum(e.rows for e in dead.files())
-    return {
-        "replayed": int(n_good),
-        "still_dead": int(still),
-        "dead_before": int(n_dead),
-        "reconciled": int(n_good) + int(still) == int(n_dead),
-    }
+    # --- dead-letter prune: still-bad rows REPLACE the pinned version's
+    # files only; dead rows landed since dead_v stay for the next replay
+    meta = fixed.map_batches(bad_part, batch_format="pyarrow").map_batches(
+        make_stats_writer(dead.root, stats_cols=(), sort_by=("event_id",),
+                          prefix="replay-dead"),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    entries_bad = meta_rows_to_entries(meta.take_all())
+    still = sum(e.rows for e in entries_bad)
+    pinned_paths = {e.path for e in dead_files_v}
+    dead.commit(
+        operation="ingest", job_id=prune_job, added=entries_bad,
+        removed_paths=pinned_paths, read_paths=pinned_paths,
+        base_version=dead.current_version(),
+        summary={
+            "still_dead": still,
+            "dead_before": n_dead,
+            "replay_of_dead_version": dead_v,
+            "cdc": {"derive": "commit-paths"},
+        },
+    )
+    return _report(n_good, still, n_dead)

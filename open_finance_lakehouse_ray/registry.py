@@ -297,7 +297,18 @@ def freshness_report(reg: Registry, *, now: float | None = None) -> dict[str, An
             continue
         rep = manifest_report(cfg["root"])
         if rep["max_ts"] is not None:
-            age = now - rep["max_ts"] / 1e6  # manifest ts stats are epoch-us
+            # manifest ts stats are epoch ints in the COLUMN'S native unit
+            # (stages/writer.py:column_stats) — scale by the schema's unit,
+            # else an ms/s/ns table misreads by orders of magnitude
+            div = 1e6
+            sch = log.table_schema()
+            if sch is not None and "ts" in sch.names:
+                import pyarrow as _pa
+
+                t = sch.field("ts").type
+                if _pa.types.is_timestamp(t):
+                    div = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[t.unit]
+            age = now - rep["max_ts"] / div
             basis = "data"
         else:
             age = now - log.snapshot().committed_at

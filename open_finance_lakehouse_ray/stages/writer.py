@@ -40,8 +40,11 @@ META_SCHEMA = pa.schema(
 
 
 def column_stats(table: pa.Table, cols: list[str]) -> dict[str, list[Any]]:
-    """Per-column [min, max]; timestamps serialized as epoch-microsecond ints
-    so stats stay JSON-native in the manifest."""
+    """Per-column [min, max]; timestamps serialized as epoch ints in the
+    COLUMN'S NATIVE unit (us for transcript tables) so stats stay
+    JSON-native in the manifest and compare consistently with native-unit
+    range predicates. Consumers that need wall-clock seconds must scale by
+    the schema's recorded unit (``registry.freshness_report`` does)."""
     out: dict[str, list[Any]] = {}
     for c in cols:
         if c not in table.column_names or table.num_rows == 0:

@@ -556,12 +556,13 @@ class TableLog:
             for name in base_cons:
                 if name not in ours_cons:
                     head_cons.pop(name, None)
-            # our adds/updates: names new or changed relative to plan base
+            # our adds/updates: names new or changed relative to plan base.
+            # Names we did NOT touch keep the HEAD's state — re-adding an
+            # unchanged name would resurrect a constraint a concurrent
+            # commit dropped (review finding, round 3)
             for name, spec in ours_cons.items():
                 if name not in base_cons or base_cons[name] != spec:
                     head_cons[name] = spec
-                else:
-                    head_cons.setdefault(name, spec)
             out["constraints"] = head_cons
         return out
 

@@ -283,3 +283,98 @@ def test_dead_letter_replay_reconciles(ray_session, tmp_path):
     assert sum(
         e.rows for e in TableLog(str(tmp_path / "bronze3")).files()
     ) == bronze_rows
+
+
+def test_replay_crash_between_halves_preserves_new_dead_rows(
+    ray_session, tmp_path, monkeypatch
+):
+    """Crash after the replay's bronze append but before the dead-letter
+    prune, with NEW rows dead-lettered in between: the resumed replay must
+    prune only the PINNED version's files — the new dead rows survive for
+    the next replay instead of being silently destroyed."""
+    import pyarrow.compute as pc
+
+    from open_finance_lakehouse_ray.pipelines.streaming import (
+        replay_dead_letters,
+    )
+
+    src = tmp_path / "src4"
+    src.mkdir()
+    t = make_events([1, 2, 3, 4], [0.1, 0.5, 1.0, 1.5], nulls=True)
+    pq.write_table(t, src / "a.parquet")
+    proc = StreamProcessor(
+        str(src), str(tmp_path / "bronze4"), str(tmp_path / "silver4"),
+        str(tmp_path / "ckpt4"), window_us=MIN, delay_us=2 * MIN,
+    )
+    proc.run_available_now()
+    dead_log = TableLog(str(tmp_path / "bronze4" / "_dead_letter"))
+    assert sum(e.rows for e in dead_log.files()) == 2  # ids 1, 3
+
+    def fix(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("value")
+        return batch.set_column(i, "value", pc.fill_null(batch["value"], 0.0))
+
+    # simulate the crash: the prune commit dies
+    orig_commit = TableLog.commit
+
+    def boom(self, **kw):
+        if kw.get("job_id", "").endswith("/prune"):
+            raise RuntimeError("simulated crash before prune")
+        return orig_commit(self, **kw)
+
+    monkeypatch.setattr(TableLog, "commit", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        replay_dead_letters(str(tmp_path / "bronze4"), fix, job_id="rp")
+    monkeypatch.setattr(TableLog, "commit", orig_commit)
+
+    # new fixable rows dead-letter AFTER the half-applied replay
+    pq.write_table(make_events([11, 12], [2.0, 2.5], nulls=True),
+                   src / "b.parquet")
+    proc.run_available_now()  # id 11 dead-letters
+
+    rep = replay_dead_letters(str(tmp_path / "bronze4"), fix, job_id="rp")
+    assert rep["reconciled"] and rep["replayed"] == 2 and rep["dead_before"] == 2
+    # the post-crash dead row (id 11) SURVIVED the resumed prune
+    left = pa.concat_tables([pq.read_table(p) for p in dead_log.file_paths()])
+    assert sorted(left["event_id"].to_pylist()) == [11]
+    # ...and a second replay under a new job id picks it up
+    rep2 = replay_dead_letters(str(tmp_path / "bronze4"), fix, job_id="rp2")
+    assert rep2["reconciled"] and rep2["replayed"] == 1
+
+
+def test_distributed_replayed_batch_metrics_match_clean_run(
+    ray_session, tmp_path
+):
+    """Crash-replay of a micro-batch containing dead rows (commits landed,
+    checkpoint lost) must re-derive the SAME metrics as an uninterrupted
+    run — the old fallback counted dead rows as valid on replay."""
+    srcs = {}
+    for mode in ("clean", "replay"):
+        src = tmp_path / f"src5-{mode}"
+        src.mkdir()
+        pq.write_table(
+            make_events([1, 2, 3, 4, 5], [0.1, 0.2, 0.3, 0.4, 0.5], nulls=True),
+            src / "a.parquet",
+        )
+        srcs[mode] = src
+
+    metrics = {}
+    for mode, src in srcs.items():
+        proc = StreamProcessor(
+            str(src), str(tmp_path / f"bz5-{mode}"),
+            str(tmp_path / f"sv5-{mode}"), str(tmp_path / f"ck5-{mode}"),
+            window_us=MIN, delay_us=2 * MIN, distributed=True,
+        )
+        proc.run_available_now()
+        if mode == "replay":  # lose the checkpoint save, replay the batch
+            state = proc.ckpt.load()
+            state["batch_id"] = 0
+            state["processed"] = []
+            state["metrics"] = {k: 0 for k in state["metrics"]}
+            state["seen_keys"] = {}
+            state["open_windows"] = {}
+            state["max_event_us"] = None
+            proc.ckpt.save(state)
+            proc.run_available_now()
+        metrics[mode] = proc.ckpt.load()["metrics"]
+    assert metrics["clean"] == metrics["replay"]

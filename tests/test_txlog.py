@@ -372,3 +372,24 @@ def test_rebase_incompatible_schema_is_a_conflict(table_root):
             summary={"schema_b64": schema_to_b64(
                 pa.schema([("k", pa.int64()), ("x", pa.int64())]))},
         )
+
+
+def test_rebase_does_not_resurrect_concurrent_drop(table_root):
+    """A commit that did NOT touch constraint c1 must not re-add it when
+    rebasing over a concurrent commit that DROPPED c1."""
+    log = TableLog(table_root)
+    log.create()
+    log.commit(
+        operation="ingest", job_id="j0", added=[fe("data/a.parquet")],
+        summary={"constraints": {"c1": {"required_non_null": ["k"]}}},
+    )
+    # ALTER A wins: drops c1
+    log.commit(operation="alter", job_id="dropA", added=[], base_version=1,
+               summary={"constraints": {}})
+    # ALTER B (planned against v1, c1 untouched, adds c2) rebases onto A
+    log.commit(
+        operation="alter", job_id="addB", added=[], base_version=1,
+        summary={"constraints": {"c1": {"required_non_null": ["k"]},
+                                 "c2": {"required_non_null": ["v"]}}},
+    )
+    assert set(log.table_constraints()) == {"c2"}  # c1 stays dropped
