@@ -221,6 +221,15 @@ def _net_reduce_events(
     """
     from open_finance_lakehouse_ray.pipelines.dedup import _pk_tagger
 
+    if table_schema is not None:
+        missing = [k for k in key_cols if k not in table_schema.names]
+        if missing:
+            raise ValueError(
+                f"auto-granularity net fold needs key_cols present in the "
+                f"table schema; {missing} not in {table_schema.names} — "
+                "pass the table's actual merge key (key_cols=...)"
+            )
+
     def to_sides(t: pa.Table) -> pa.Table:
         ct = t[CHANGE_COL]
         import pyarrow.compute as pc
@@ -651,11 +660,22 @@ class ChangeStream:
     so idempotent apply gives exactly-once).
     """
 
-    def __init__(self, root: str, checkpoint_path: str, *, start_version: int | None = None):
+    def __init__(
+        self,
+        root: str,
+        checkpoint_path: str,
+        *,
+        start_version: int | None = None,
+        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ):
         import json as _json
 
         self.root = root
         self.path = checkpoint_path
+        # the merge key the auto-granularity net fold pairs on — MUST match
+        # the table's actual key columns (a stream bronze table is keyed by
+        # event_id, not the transcript default)
+        self.key_cols = tuple(key_cols)
         self._json = _json
         if not os.path.exists(checkpoint_path):
             if start_version is None:
@@ -689,7 +709,7 @@ class ChangeStream:
             return None
         feed = change_feed(
             self.root, from_version=last, to_version=head,
-            granularity=granularity,
+            granularity=granularity, key_cols=self.key_cols,
         )
         return feed, head
 

@@ -646,11 +646,25 @@ def embedding_near_dup_pairs(
         .materialize()
     )
 
+    # in-bucket prefilter: the FULL n_planes sign sketch travels with each
+    # band row (n_planes/8 bytes — vs the 8·d-byte vector it replaces), so
+    # a hot bucket can discard its sub-threshold pairs locally by sketch
+    # hamming distance instead of shipping O(m²) candidates through the
+    # dedup + join shuffles (review finding, round 3). The cutoff keeps
+    # every pair whose SKETCH cosine could be ≥ threshold − 0.2 — for a
+    # true pair at the threshold that is >5σ of sketch noise at 128
+    # planes, the same epistemic class as LSH band recall itself; exact
+    # verify still decides every surviving pair.
+    cut_cos = max(threshold - 0.2, -1.0)
+    ham_cut = int(np.ceil(np.arccos(np.clip(cut_cos, -1.0, 1.0)) / np.pi * n_planes))
+    sig_words = (n_planes + 63) // 64
+
     class SignBander:
         """Actor-pool stage: the hyperplane matrix is drawn ONCE per actor
         in ``__init__`` (deterministic seed — every actor draws the same
-        planes), then each batch is one matmul + bit-pack. Emits only
-        (band_id, band_hash, vid) — 24 bytes/row into the shuffle."""
+        planes), then each batch is one matmul + bit-pack. Emits
+        (band_id, band_hash, vid, sig) — sig is the packed full-plane
+        sketch (n_planes/8 bytes), NOT the vector."""
 
         def __init__(self):
             self.planes: np.ndarray | None = None
@@ -662,6 +676,11 @@ def embedding_near_dup_pairs(
                 rng = np.random.default_rng(seed)
                 self.planes = rng.standard_normal((m.shape[1], n_planes))
             bits = (m @ self.planes) >= 0.0  # (n, n_planes) sign bits
+            packed = np.packbits(bits, axis=1)
+            pad = sig_words * 8 - packed.shape[1]
+            if pad:
+                packed = np.pad(packed, ((0, 0), (0, pad)))
+            sig = pa.array([row.tobytes() for row in packed], pa.binary())
             out_band, out_hash, out_id = [], [], []
             for b in range(bands):
                 seg = bits[:, b * r_bits : (b + 1) * r_bits]
@@ -671,11 +690,13 @@ def embedding_near_dup_pairs(
                 out_band.append(np.full(len(ids), b, dtype=np.int64))
                 out_hash.append(h)
                 out_id.append(ids)
+            n = len(ids)
             return pa.table(
                 {
                     "band_id": np.concatenate(out_band),
                     "band_hash": np.concatenate(out_hash),
                     "vid": np.concatenate(out_id),
+                    "sig": pa.concat_arrays([sig] * bands) if n else sig,
                 }
             )
 
@@ -684,12 +705,36 @@ def embedding_near_dup_pairs(
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["vid"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                                 "id_b": np.array([], dtype=np.int64)})
+        empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                              "id_b": np.array([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        order = np.argsort(g["vid"].to_numpy())
+        ids = g["vid"].to_numpy()[order]
+        sig = np.frombuffer(
+            b"".join(g["sig"].to_numpy()[order]), dtype=np.uint64
+        ).reshape(len(ids), sig_words)
         ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+        out_a, out_b = [], []
+        CH = 4_000_000  # bound the XOR workspace in hot buckets
+        for s in range(0, len(ii), CH):
+            a, b = ii[s : s + CH], jj[s : s + CH]
+            x = sig[a] ^ sig[b]
+            if hasattr(np, "bitwise_count"):
+                h = np.bitwise_count(x).sum(axis=1).astype(np.int64)
+            else:
+                h = (
+                    np.unpackbits(
+                        np.ascontiguousarray(x).view(np.uint8), axis=1
+                    ).sum(axis=1).astype(np.int64)
+                )
+            keep = h <= ham_cut
+            out_a.append(ids[a[keep]])
+            out_b.append(ids[b[keep]])
+        oa = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        if not len(oa):
+            return empty
+        return pd.DataFrame({"id_a": oa, "id_b": np.concatenate(out_b)})
 
     cand = _collision_groups(buckets, ("band_id", "band_hash"), bucket_pairs)
     # a true pair collides in many bands: dedup distributed, THEN attach
@@ -784,7 +829,7 @@ DRIVER_UNION_FIND_MAX_EDGES = 50_000_000
 
 
 def dedup_clusters(
-    pairs: pa.Table,
+    pairs: pa.Table | rd.Dataset,
     *,
     max_driver_edges: int = DRIVER_UNION_FIND_MAX_EDGES,
 ) -> pa.Table:
@@ -802,8 +847,25 @@ def dedup_clusters(
     O(component diameter) rounds of bounded hash-partition shuffles, no
     driver state beyond the per-round converged flag
     (:func:`_dedup_clusters_distributed`).
+
+    ``pairs`` may be a ``rd.Dataset`` — the TRUE scale path: a
+    beyond-guard edge set routes to the distributed propagation straight
+    from its object-store blocks without ever concatenating on the driver
+    (a ``pa.Table`` argument has by definition already been
+    driver-materialized by the caller; the guard then only bounds what we
+    re-ship).
     """
-    if _force_scale() or pairs.num_rows > max_driver_edges:
+    if isinstance(pairs, rd.Dataset):
+        mat = pairs.materialize()
+        if _force_scale() or mat.count() > max_driver_edges:
+            return _dedup_clusters_distributed(mat)
+        tabs = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+        pairs = (
+            pa.concat_tables(tabs) if tabs
+            else pa.table({"id_a": pa.array([], pa.int64()),
+                           "id_b": pa.array([], pa.int64())})
+        )
+    elif _force_scale() or pairs.num_rows > max_driver_edges:
         return _dedup_clusters_distributed(rd.from_arrow(pairs))
     ia = pairs["id_a"].to_pylist()
     ib = pairs["id_b"].to_pylist()

@@ -304,7 +304,9 @@ class StreamProcessor:
             pq.ParquetFile(p).metadata.num_rows for p in paths
         )
         state["metrics"]["rows_in"] += rows_in
-        n_dead = self._append_ds(
+        # (return value unused: dead rows don't feed a metric — the write
+        # and its idempotent commit are the point)
+        self._append_ds(
             self.dead, ds.map_batches(split(False), batch_format="pyarrow"),
             f"dead-{batch_id}", ("event_id",),
         )
@@ -446,6 +448,14 @@ class StreamProcessor:
         counted dead rows as valid on replay)."""
         existing = log.find_commit(job_id)
         if existing is not None:
+            if existing.operation == "expired":
+                # the commit's snapshot was vacuumed while its txn marker
+                # survived: the row count is unrecoverable — fail loudly
+                # rather than silently under-counting rows_valid
+                raise StaleTableError(
+                    f"replayed batch {job_id!r}: commit snapshot expired; "
+                    "metrics cannot be re-derived exactly"
+                )
             added = set(existing.added_paths)
             if not added:
                 return 0

@@ -270,6 +270,22 @@ def corpus_prep(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def _token_bucket_tagger(num_buckets: int):
+    """``map_batches`` fn appending ``_b`` = stable hash of the ``token``
+    column mod ``num_buckets`` — ONE definition shared by every
+    token-keyed shuffle (vocab DF, TF-IDF DF) so the bucketing can never
+    silently diverge between them."""
+    import pandas as pd
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(t["token"].to_pylist(), dtype=object))
+        return t.append_column(
+            "_b", pa.array((h % num_buckets).astype(np.int64))
+        )
+
+    return tag
+
+
 def _distinct_token_df(batch: pa.Table, text_col: str) -> pa.Table:
     """Per-batch document-frequency partials over each doc's DISTINCT
     tokens — the map-side combiner shared by the vocabulary and TF-IDF
@@ -315,19 +331,13 @@ def vocab_df_topk(
     def partial(batch: pa.Table) -> pa.Table:
         return _distinct_token_df(batch, text_col)
 
-    def bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(np.asarray(t["token"].to_pylist(), dtype=object))
-        return t.append_column(
-            "_b", pa.array((h % num_buckets).astype(np.int64))
-        )
-
     def per_bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
         full = g.groupby("token").agg(df=("df", "sum")).reset_index()
         return full.sort_values(["df", "token"], ascending=[False, True]).head(k)
 
     cand = (
         docs.map_batches(partial, batch_format="pyarrow")
-        .map_batches(bucket, batch_format="pyarrow")
+        .map_batches(_token_bucket_tagger(num_buckets), batch_format="pyarrow")
         .groupby("_b")
         .map_groups(per_bucket_topk, batch_format="pandas")
         .to_pandas()
@@ -407,16 +417,12 @@ def tfidf_top_terms(
     def df_partial(batch: pa.Table) -> pa.Table:
         return _distinct_token_df(batch, text_col)
 
-    def bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(np.asarray(t["token"].to_pylist(), dtype=object))
-        return t.append_column("_b", pa.array((h % num_buckets).astype(np.int64)))
-
     def sum_per_token(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("token", sort=False).agg(df=("df", "sum")).reset_index()
 
     df_ds = (
         mat.map_batches(df_partial, batch_format="pyarrow")
-        .map_batches(bucket, batch_format="pyarrow")
+        .map_batches(_token_bucket_tagger(num_buckets), batch_format="pyarrow")
         .groupby("_b")
         .map_groups(sum_per_token, batch_format="pandas")
     )

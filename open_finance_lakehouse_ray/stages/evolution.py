@@ -53,15 +53,17 @@ def promote_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
         return a if _INT_RANK[a] >= _INT_RANK[b] else b
     if (a_int or a_f) and (b_int or b_f):
         # int/float mix, or float32/float64: float64 loses nothing from
-        # int32-or-smaller and either float. int64 (and uint64) × float
-        # is LOSSY — float64 has 53 mantissa bits, so values beyond 2^53
-        # (row hashes, large ids) would silently corrupt through the
-        # cast; the module contract is "a superset is an error, never
-        # silent", so raise and make the caller cast explicitly.
-        if pa.int64() in (a, b) or pa.uint64() in (a, b):
+        # int32-or-smaller and either float. int64 × float is LOSSY —
+        # float64 has 53 mantissa bits, so values beyond 2^53 (row
+        # hashes, large ids) would silently corrupt through the cast;
+        # the module contract is "a superset is an error, never silent",
+        # so raise and make the caller cast explicitly. (uint64 never
+        # reaches this branch — it is not in _INT_RANK, so any uint64
+        # mix already raises at the fall-through below.)
+        if pa.int64() in (a, b):
             raise SchemaEvolutionError(
-                f"cannot promote {a} with {b}: int64/uint64 -> float64 "
-                "loses integer precision beyond 2^53; cast explicitly"
+                f"cannot promote {a} with {b}: int64 -> float64 loses "
+                "integer precision beyond 2^53; cast explicitly"
             )
         return pa.float64()
     if {a, b} == {pa.string(), pa.large_string()}:

@@ -417,7 +417,12 @@ class TableLog:
         removed = set(removed_paths or ())
         read = set(read_paths or ())
         plan_base = base_version  # the base the SUMMARY was computed against
+        orig_summary = summary  # pristine: every retry rebases from THIS —
+        # re-rebasing an already-rebased summary would misattribute a
+        # concurrent commit's adds as ours (and resurrect what a later
+        # concurrent commit dropped)
         for _ in range(max_retries):
+            summary = orig_summary
             existing = self.find_commit(job_id)
             if existing is not None:
                 return existing  # idempotent replay: no-op (ST2 semantics)

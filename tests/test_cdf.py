@@ -518,3 +518,29 @@ def test_auto_update_roundtrip_cancels(ray_session, table_root):
                  assign={"tool": "orig"})
     auto = change_feed(table_root, from_version=v0, granularity="auto").to_pandas()
     assert len(auto) == 0
+
+
+def test_change_stream_non_default_keys(ray_session, table_root, tmp_path):
+    """ChangeStream over a table NOT keyed by (conv_id, turn_idx): the
+    auto-granularity net fold must pair on the stream's declared key_cols
+    instead of KeyErroring on the transcript default."""
+    from open_finance_lakehouse_ray.pipelines.cdf import ChangeStream
+
+    log = TableLog(table_root)
+    log.create()
+    t = pa.table({"event_id": pa.array([1, 2, 3], pa.int64()),
+                  "v": ["a", "b", "c"]})
+    e = write_table_file(table_root, t, sort_by=())
+    log.commit(operation="ingest", job_id="ks-base", added=[e],
+               summary={"cdc": {"derive": "commit-paths"}})
+    cs = ChangeStream(table_root, str(tmp_path / "ck.json"),
+                      key_cols=("event_id",))
+    t2 = pa.table({"event_id": pa.array([4], pa.int64()), "v": ["d"]})
+    e2 = write_table_file(table_root, t2, sort_by=())
+    log.commit(operation="ingest", job_id="ks-a", added=[e2],
+               summary={"cdc": {"derive": "commit-paths"}})
+    got = cs.poll()
+    assert got is not None
+    feed = got[0].to_pandas()
+    assert list(feed["event_id"]) == [4]
+    assert set(feed["_change_type"]) == {"insert"}

@@ -393,3 +393,63 @@ def test_rebase_does_not_resurrect_concurrent_drop(table_root):
                                  "c2": {"required_non_null": ["v"]}}},
     )
     assert set(log.table_constraints()) == {"c2"}  # c1 stays dropped
+
+
+def test_retry_rebase_starts_from_pristine_summary(table_root, monkeypatch):
+    """A commit that loses the CAS twice must rebase its ORIGINAL summary
+    each attempt: re-rebasing the attempt-1 result would misattribute the
+    first concurrent commit's constraint add as ours and resurrect it
+    after a later concurrent commit drops it."""
+    log = TableLog(table_root)
+    log.create()
+    log.commit(
+        operation="ingest", job_id="j0", added=[fe("data/a.parquet")],
+        summary={"constraints": {"Y0": {"required_non_null": ["k"]}}},
+    )
+    # interleave: before OUR first CAS attempt, v2 adds X; before our
+    # second, v3 drops X — simulated by committing from inside a patched
+    # _atomic_create_json that fails our first two attempts
+    from open_finance_lakehouse_ray.state import txlog as txmod
+
+    orig_cas = txmod._atomic_create_json
+    state = {"n": 0}
+
+    def interfering_cas(staging, final_path, payload):
+        if payload.get("job_id") == "ours":
+            state["n"] += 1
+            if state["n"] == 1:
+                log2 = TableLog(table_root)
+                orig = txmod._atomic_create_json
+                txmod._atomic_create_json = orig_cas  # let theirs through
+                try:
+                    log2.commit(operation="alter", job_id="addX", added=[],
+                                base_version=1,
+                                summary={"constraints": {
+                                    "Y0": {"required_non_null": ["k"]},
+                                    "X": {"required_non_null": ["v"]}}})
+                finally:
+                    txmod._atomic_create_json = interfering_cas
+                return False  # we lose the race
+            if state["n"] == 2:
+                txmod._atomic_create_json = orig_cas
+                try:
+                    TableLog(table_root).commit(
+                        operation="alter", job_id="dropX", added=[],
+                        base_version=2,
+                        summary={"constraints": {
+                            "Y0": {"required_non_null": ["k"]}}})
+                finally:
+                    txmod._atomic_create_json = interfering_cas
+                return False
+        return orig_cas(staging, final_path, payload)
+
+    monkeypatch.setattr(txmod, "_atomic_create_json", interfering_cas)
+    # ours: planned against v1, adds Y1, never touched X
+    TableLog(table_root).commit(
+        operation="alter", job_id="ours", added=[], base_version=1,
+        summary={"constraints": {"Y0": {"required_non_null": ["k"]},
+                                 "Y1": {"required_non_null": ["w"]}}},
+    )
+    monkeypatch.setattr(txmod, "_atomic_create_json", orig_cas)
+    final = TableLog(table_root).table_constraints()
+    assert set(final) == {"Y0", "Y1"}  # X stays dropped
