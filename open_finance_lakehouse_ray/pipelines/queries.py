@@ -962,6 +962,109 @@ Q_DOC_NEAR_DUP_SQL = """
 """
 
 
+def q_doc_unigram_logprob(sf_dir: str) -> pa.Table:
+    """Unigram-LM perplexity-proxy quality scores — the CCNet-style
+    quality filter (corpus unigram counts, token-bucketed; DF attached by
+    the bucketed join; per-doc fold in bounded hash partitions)."""
+    from open_finance_lakehouse_ray.pipelines.textpipe import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir, ["doc_id", "text"]))
+
+
+Q_DOC_UNIGRAM_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok),
+    tot AS (SELECT count(*)::DOUBLE AS n FROM toks)
+    SELECT t.doc_id,
+           ROUND(SUM(-ln(c.c / tot.n)) / COUNT(*), 4) AS avg_neg_logprob,
+           COUNT(*) AS n_tokens
+    FROM toks t JOIN cnt c ON t.tok = c.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+def q_ev_jsonl_roundtrip(sf_dir: str) -> pa.Table:
+    """JSONL source through the gate: the events table is re-serialized
+    as newline-delimited JSON with deterministic corruption (lines for
+    ``event_id % 97 == 0`` truncated mid-object), read back through the
+    pinned-schema JSONL source (``sources/jsonl.py`` — malformed lines
+    route, never fail the batch), and the GOOD rows' aggregate must equal
+    the SQL mirror over the uncorrupted complement."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from open_finance_lakehouse_ray.sources.jsonl import read_jsonl, split_valid
+
+    scratch = tempfile.mkdtemp(prefix="oflr-jsonl-")
+    try:
+        ev = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        ids = ev["event_id"].to_pylist()
+        ts_us = ev["ts"].cast(pa.int64()).to_pylist()
+        users = ev["user_id"].to_pylist()
+        types_ = ev["event_type"].to_pylist()
+        vals = ev["value"].to_pylist()
+        import json as _json
+
+        n_files, rows = 4, ev.num_rows
+        step = (rows + n_files - 1) // n_files
+        n_bad = 0
+        for i in range(n_files):
+            with open(os.path.join(scratch, f"ev-{i:03d}.jsonl"), "w") as f:
+                for j in range(i * step, min((i + 1) * step, rows)):
+                    line = _json.dumps(
+                        {"event_id": ids[j], "ts": ts_us[j], "user_id": users[j],
+                         "event_type": types_[j], "value": vals[j]}
+                    )
+                    if ids[j] % 97 == 0:  # producer bug: truncated record
+                        line = line[: max(1, len(line) // 2)]
+                        n_bad += 1
+                    f.write(line + "\n")
+
+        schema = pa.schema(
+            [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+             ("user_id", pa.int64()), ("event_type", pa.string()),
+             ("value", pa.float64())]
+        )
+        good, dead = split_valid(
+            read_jsonl([os.path.join(scratch, f"ev-{i:03d}.jsonl")
+                        for i in range(n_files)], schema)
+        )
+        assert dead.count() == n_bad  # every corrupted line routed, none lost
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            g = df.groupby("event_type")["value"].agg(["count", "sum"]).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = good.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out = parts.groupby("event_type").agg(
+            n_rows=("count", "sum"), total_value=("sum", "sum")
+        ).reset_index().sort_values("event_type")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["total_value"] = _round_half_away(out["total_value"], 2)
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+Q_EV_JSONL_SQL = """
+    SELECT event_type, COUNT(*) AS n_rows,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE event_id % 97 <> 0
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 def q_doc_token_stats(sf_dir: str) -> pa.Table:
     from open_finance_lakehouse_ray.pipelines.textpipe import token_stats
 
@@ -1208,6 +1311,8 @@ QUERIES = {
     "party_union": q_party_union,
     "doc_near_dup_pairs": q_doc_near_dup_pairs,
     "doc_token_stats": q_doc_token_stats,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
+    "ev_jsonl_roundtrip": q_ev_jsonl_roundtrip,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_langid": q_doc_langid,
@@ -1237,6 +1342,8 @@ ORACLES = {
     "party_union": Q_PARTY_UNION_SQL,
     "doc_near_dup_pairs": Q_DOC_NEAR_DUP_SQL,
     "doc_token_stats": Q_DOC_TOKEN_SQL,
+    "doc_unigram_logprob": Q_DOC_UNIGRAM_SQL,
+    "ev_jsonl_roundtrip": Q_EV_JSONL_SQL,
     "doc_quality": Q_DOC_QUALITY_SQL,
     "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
     "doc_langid": Q_DOC_LANGID_SQL,

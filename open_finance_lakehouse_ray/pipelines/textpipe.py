@@ -626,3 +626,121 @@ def bpe_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         .append_column("n_bpe_tokens", bpe)
         .append_column("bpe_per_ws", ratio)
     )
+
+
+def unigram_logprob(
+    docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Per-document average negative log-probability of its tokens under
+    the CORPUS unigram distribution — the perplexity-proxy quality filter
+    of the CCNet family (Wenzek et al. 2020 filter pretraining corpora by
+    LM perplexity; with no LM libs in the image, the unigram model is the
+    exact, oracle-checkable member of that family). High scores flag
+    rare-token gibberish; low scores flag boilerplate.
+
+    Fully distributed, same shapes as :func:`tfidf_top_terms`:
+
+    - unigram counts: per-batch occurrence combiner → token-hash-bucketed
+      sum (one row per (batch, token) enters the shuffle, vocabulary never
+      becomes one object);
+    - the corpus total N is a Dataset aggregate over the counts;
+    - per-doc (token, tf) rows join the counts through the size-guarded
+      bucketed ``join()`` (``OFLR_FORCE_SCALE_PATHS=1`` forces shuffle);
+    - the per-doc fold is a bounded hash-partition groupby.
+
+    Tokenization is a literal single-space split so DuckDB's
+    ``string_split(text, ' ')`` sees the identical token stream (the
+    :func:`repetition_stats` convention). Returns
+    (doc_id, avg_neg_logprob, n_tokens) sorted by doc_id, 4-dp half-away
+    rounding on the score.
+    """
+    import pandas as pd
+
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        _force_scale,
+        _pk_tagger,
+    )
+    from open_finance_lakehouse_ray.pipelines.join import join as ds_join
+
+    mat = docs.select_columns([id_col, text_col]).materialize()
+
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ex = df[text_col].str.split(" ").explode(ignore_index=True)
+        cnt = ex.groupby(ex, sort=False).size()
+        return pa.table({"token": pa.array(cnt.index.astype(str)),
+                         "c": pa.array(cnt.to_numpy(), pa.int64())})
+
+    def sum_per_token(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False).agg(c=("c", "sum")).reset_index()
+
+    cnt_ds = (
+        mat.map_batches(occ_partial, batch_format="pyarrow")
+        .map_batches(_token_bucket_tagger(num_buckets), batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(sum_per_token, batch_format="pandas")
+        .materialize()
+    )
+    n_total = cnt_ds.sum("c")
+    if not n_total:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "avg_neg_logprob": pa.array([], pa.float64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    log_n = float(np.log(n_total))
+
+    def doc_token_tf(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ex = df[[id_col]].copy()
+        ex["token"] = df[text_col].str.split(" ")
+        ex = ex.explode("token", ignore_index=True)
+        cnt = (
+            ex.groupby([id_col, "token"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        cnt["n_tok"] = cnt.groupby(id_col, sort=False)["tf"].transform("sum")
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    joined = ds_join(
+        mat.map_batches(doc_token_tf, batch_format="pyarrow"),
+        cnt_ds.select_columns(["token", "c"]),
+        on="token", right_columns=["c"],
+        strategy="shuffle" if _force_scale() else "auto",
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        g["nll"] = g["tf"] * (log_n - np.log(g["c"].to_numpy()))
+        return pa.Table.from_pandas(
+            g[[id_col, "nll", "n_tok"]], preserve_index=False
+        )
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, sort=False).agg(
+            nll=("nll", "sum"), n_tokens=("n_tok", "first")
+        ).reset_index()
+        out["avg_neg_logprob"] = np.floor(
+            out["nll"] / out["n_tokens"] * 1e4 + 0.5
+        ) / 1e4  # half-away, 4 dp
+        return out[[id_col, "avg_neg_logprob", "n_tokens"]]
+
+    out = (
+        joined.map_batches(contrib, batch_format="pyarrow")
+        .map_batches(_pk_tagger((id_col,), num_buckets), batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(per_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    if "avg_neg_logprob" not in out.columns or len(out) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "avg_neg_logprob": pa.array([], pa.float64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    out = out.sort_values(id_col).astype(
+        {id_col: "int64", "n_tokens": "int64"}
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -67,3 +67,44 @@ def test_json_lines_tag_then_split():
         None, "unparseable_json", "missing_required_fields",
     ]
     assert out["sym"].to_pylist() == ["BTC", None, "ETH"]
+
+
+def test_jsonl_pinned_schema_and_routing(ray_session, tmp_path):
+    """JSONL source: good lines land at the pinned schema (extra fields
+    ignored, missing null-filled, ISO and epoch timestamps both accepted);
+    malformed lines — bad JSON, non-object, type mismatch — route verbatim
+    with a reason instead of failing the batch."""
+    import json
+
+    import pyarrow as pa
+
+    from open_finance_lakehouse_ray.sources.jsonl import read_jsonl, split_valid
+
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("event_type", pa.string()), ("value", pa.float64()),
+    ])
+    lines = [
+        json.dumps({"event_id": 1, "ts": 1_700_000_000_000_000,
+                    "event_type": "click", "value": 1.5, "extra": "ignored"}),
+        json.dumps({"event_id": 2, "ts": "2023-11-14T22:13:20+00:00",
+                    "event_type": "view"}),            # value missing -> null
+        '{"event_id": 3, "ts": 17',                    # truncated JSON
+        json.dumps([1, 2, 3]),                          # not an object
+        json.dumps({"event_id": "four", "ts": 0,
+                    "event_type": "x", "value": 0.0}),  # type mismatch
+        json.dumps({"event_id": 5, "ts": True,
+                    "event_type": "x", "value": 2.0}),  # bool is not epoch
+    ]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    good, dead = split_valid(read_jsonl(str(p), schema))
+    g = good.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(g["event_id"]) == [1, 2]
+    assert g["value"].isna().tolist() == [False, True]
+    # ISO string coerced to the same epoch as the int form
+    assert int(g["ts"][1].value // 1000) == 1_700_000_000_000_000
+    d = dead.to_pandas()
+    assert len(d) == 4 and d["_reason"].str.startswith("jsonl:").all()
+    # verbatim raw lines ride along for replay-after-fix
+    assert '{"event_id": 3, "ts": 17' in set(d["_raw"])

@@ -623,3 +623,41 @@ def test_dedup_clusters_distributed_matches_union_find(ray_session):
         rd.from_arrow(pa.table({"id_a": [7], "id_b": [3]})), num_partitions=4
     ).to_pandas()
     assert dict(zip(one["doc_id"], one["canonical_id"])) == {3: 3, 7: 3}
+
+
+def test_unigram_logprob_matches_pandas_reference(ray_session):
+    """Distributed unigram-LM scoring equals a single-process reference
+    computed with plain Python/numpy over the same corpus."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.textpipe import unigram_logprob
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat",
+        "completely novel gibberish tokens here",
+        "the the the",
+    ]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+    got = unigram_logprob(rd.from_arrow(docs).repartition(3)).to_pandas()
+
+    toks = [t.split(" ") for t in texts]
+    from collections import Counter
+
+    cnt = Counter(w for ws in toks for w in ws)
+    n = sum(cnt.values())
+    exp = []
+    for i, ws in enumerate(toks):
+        s = sum(-math.log(cnt[w] / n) for w in ws) / len(ws)
+        exp.append(math.floor(s * 1e4 + 0.5) / 1e4)
+    assert list(got["doc_id"]) == [0, 1, 2, 3]
+    assert list(got["n_tokens"]) == [6, 3, 5, 3]
+    np.testing.assert_allclose(got["avg_neg_logprob"], exp, rtol=0, atol=1e-9)
+    # rare-token gibberish scores HIGHER than boilerplate
+    assert got["avg_neg_logprob"][2] == max(got["avg_neg_logprob"])
+    assert got["avg_neg_logprob"][3] == min(got["avg_neg_logprob"])
