@@ -707,19 +707,21 @@ def embedding_near_dup_pairs(
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
                               "id_b": np.array([], dtype=np.int64)})
-        if len(g) < 2:
+        m = len(g)
+        if m < 2:
             return empty
         order = np.argsort(g["vid"].to_numpy())
         ids = g["vid"].to_numpy()[order]
         sig = np.frombuffer(
             b"".join(g["sig"].to_numpy()[order]), dtype=np.uint64
-        ).reshape(len(ids), sig_words)
-        ii, jj = np.triu_indices(len(ids), k=1)
+        ).reshape(m, sig_words)
+        # row-at-a-time pair generation: peak memory is O(m·words) — a
+        # hot bucket never allocates the O(m²) triu index arrays (which
+        # at m=50k would be ~20 GB before any filtering could run); the
+        # per-row numpy dispatch is negligible against the O(m²) XOR work
         out_a, out_b = [], []
-        CH = 4_000_000  # bound the XOR workspace in hot buckets
-        for s in range(0, len(ii), CH):
-            a, b = ii[s : s + CH], jj[s : s + CH]
-            x = sig[a] ^ sig[b]
+        for i in range(m - 1):
+            x = sig[i] ^ sig[i + 1 :]
             if hasattr(np, "bitwise_count"):
                 h = np.bitwise_count(x).sum(axis=1).astype(np.int64)
             else:
@@ -729,12 +731,14 @@ def embedding_near_dup_pairs(
                     ).sum(axis=1).astype(np.int64)
                 )
             keep = h <= ham_cut
-            out_a.append(ids[a[keep]])
-            out_b.append(ids[b[keep]])
-        oa = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
-        if not len(oa):
+            k = int(keep.sum())
+            if k:
+                out_a.append(np.full(k, ids[i], dtype=np.int64))
+                out_b.append(ids[i + 1 :][keep])
+        if not out_a:
             return empty
-        return pd.DataFrame({"id_a": oa, "id_b": np.concatenate(out_b)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
     cand = _collision_groups(buckets, ("band_id", "band_hash"), bucket_pairs)
     # a true pair collides in many bands: dedup distributed, THEN attach

@@ -1041,7 +1041,11 @@ def q_ev_jsonl_roundtrip(sf_dir: str) -> pa.Table:
 
         def partial(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
-            g = df.groupby("event_type")["value"].agg(["count", "sum"]).reset_index()
+            # size, not count: the oracle's COUNT(*) counts ROWS — pandas
+            # count would exclude null values (valid rows can carry them)
+            g = df.groupby("event_type").agg(
+                count=("value", "size"), sum=("value", "sum")
+            ).reset_index()
             return pa.Table.from_pandas(g, preserve_index=False)
 
         parts = good.map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -2211,7 +2215,11 @@ def q_ev_dead_letter_replay(sf_dir: str) -> pa.Table:
 
         def partial(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
-            g = df.groupby("event_type")["value"].agg(["count", "sum"]).reset_index()
+            # size, not count: the oracle's COUNT(*) counts ROWS — pandas
+            # count would exclude null values (valid rows can carry them)
+            g = df.groupby("event_type").agg(
+                count=("value", "size"), sum=("value", "sum")
+            ).reset_index()
             return pa.Table.from_pandas(g, preserve_index=False)
 
         parts = (

@@ -305,10 +305,12 @@ class StreamProcessor:
         )
         state["metrics"]["rows_in"] += rows_in
         # (return value unused: dead rows don't feed a metric — the write
-        # and its idempotent commit are the point)
+        # and its idempotent commit are the point; strict_replay=False so
+        # an expired-tombstone replay can't wedge the stream over a count
+        # nobody reads)
         self._append_ds(
             self.dead, ds.map_batches(split(False), batch_format="pyarrow"),
-            f"dead-{batch_id}", ("event_id",),
+            f"dead-{batch_id}", ("event_id",), strict_replay=False,
         )
         n_valid = self._append_ds(
             self.bronze, ds.map_batches(split(True), batch_format="pyarrow"),
@@ -437,7 +439,8 @@ class StreamProcessor:
         self.ckpt.save(state)
 
     def _append_ds(
-        self, log: TableLog, ds, job_id: str, sort_by: tuple[str, ...]
+        self, log: TableLog, ds, job_id: str, sort_by: tuple[str, ...],
+        strict_replay: bool = True,
     ) -> int:
         """Idempotent DISTRIBUTED micro-batch append: per-block stats
         writer + one commit under the batch's job id. Always returns the
@@ -449,6 +452,8 @@ class StreamProcessor:
         existing = log.find_commit(job_id)
         if existing is not None:
             if existing.operation == "expired":
+                if not strict_replay:
+                    return 0  # caller discards the count; idempotence holds
                 # the commit's snapshot was vacuumed while its txn marker
                 # survived: the row count is unrecoverable — fail loudly
                 # rather than silently under-counting rows_valid

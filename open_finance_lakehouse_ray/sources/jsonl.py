@@ -33,14 +33,29 @@ import pyarrow as pa
 import ray.data as rd
 
 
+_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+
+
+def _check_i64(value: int, what: str) -> int:
+    # JSON ints are arbitrary-precision; an unchecked bigint would crash
+    # the whole batch later at pa.array() (OverflowError) instead of
+    # routing the one line
+    if not (_I64_MIN <= value <= _I64_MAX):
+        raise ValueError(f"{what} out of int64 range: {value}")
+    return value
+
+
 def _coerce(value: Any, typ: pa.DataType):
-    """One field to one Arrow type; raises ValueError on mismatch."""
+    """One field to one Arrow type; raises ValueError on mismatch. Every
+    check that could otherwise explode at BATCH-level Arrow conversion
+    (bigints, lone-surrogate strings) happens here, per line — the
+    routing contract is per-line, never per-batch."""
     if value is None:
         return None
     if pa.types.is_integer(typ):
         if isinstance(value, bool) or not isinstance(value, int):
             raise ValueError(f"expected integer, got {type(value).__name__}")
-        return value
+        return _check_i64(value, "integer")
     if pa.types.is_floating(typ):
         if isinstance(value, bool) or not isinstance(value, (int, float)):
             raise ValueError(f"expected number, got {type(value).__name__}")
@@ -48,12 +63,16 @@ def _coerce(value: Any, typ: pa.DataType):
     if pa.types.is_string(typ) or pa.types.is_large_string(typ):
         if not isinstance(value, str):
             raise ValueError(f"expected string, got {type(value).__name__}")
+        try:
+            value.encode("utf-8")  # lone surrogates crash pa.array later
+        except UnicodeEncodeError as e:
+            raise ValueError(f"non-UTF-8 string: {e}") from e
         return value
     if pa.types.is_timestamp(typ):
         if isinstance(value, bool):
             raise ValueError("expected epoch int or ISO string, got bool")
         if isinstance(value, int):
-            return value  # epoch in the column's unit
+            return _check_i64(value, "epoch")  # in the column's unit
         if isinstance(value, str):
             import datetime as _dt
 
@@ -61,8 +80,24 @@ def _coerce(value: Any, typ: pa.DataType):
                 dt = _dt.datetime.fromisoformat(value)
             except ValueError as e:
                 raise ValueError(f"bad ISO timestamp: {value!r}") from e
-            unit_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[typ.unit]
-            return int(dt.timestamp() * unit_per_s)
+            # a NAIVE ISO timestamp is UTC by contract — interpreting it
+            # in the reader host's local zone would make the pinned output
+            # host-dependent; epoch math is integer microseconds end to
+            # end (float seconds lose precision at us/ns units)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            us = (dt - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)) \
+                // _dt.timedelta(microseconds=1)
+            unit = typ.unit
+            if unit == "ns":
+                value = us * 1000
+            elif unit == "us":
+                value = us
+            elif unit == "ms":
+                value = us // 1000
+            else:  # "s"
+                value = us // 10**6
+            return _check_i64(value, "epoch")
         raise ValueError(f"expected epoch int or ISO string, got {type(value).__name__}")
     if pa.types.is_boolean(typ):
         if not isinstance(value, bool):

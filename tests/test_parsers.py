@@ -108,3 +108,33 @@ def test_jsonl_pinned_schema_and_routing(ray_session, tmp_path):
     assert len(d) == 4 and d["_reason"].str.startswith("jsonl:").all()
     # verbatim raw lines ride along for replay-after-fix
     assert '{"event_id": 3, "ts": 17' in set(d["_raw"])
+
+
+def test_jsonl_routes_bigints_and_surrogates_per_line(ray_session, tmp_path):
+    """Values that pass JSON parsing but would crash BATCH-level Arrow
+    conversion (int64 overflow, lone-surrogate strings) must route their
+    own line, never fail the batch; naive ISO timestamps are UTC."""
+    import json
+
+    import pyarrow as pa
+
+    from open_finance_lakehouse_ray.sources.jsonl import read_jsonl, split_valid
+
+    schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                        ("event_type", pa.string())])
+    lines = [
+        json.dumps({"event_id": 1, "ts": 0, "event_type": "ok"}),
+        json.dumps({"event_id": 99999999999999999999999, "ts": 0,
+                    "event_type": "big"}),          # > int64
+        '{"event_id": 2, "ts": 0, "event_type": "\\ud800"}',  # lone surrogate
+        json.dumps({"event_id": 3, "ts": "2023-11-14T22:13:20",  # naive ISO
+                    "event_type": "naive"}),
+    ]
+    p = tmp_path / "edge.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    good, dead = split_valid(read_jsonl(str(p), schema))
+    g = good.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(g["event_id"]) == [1, 3]
+    # naive ISO interpreted as UTC, integer-exact epoch
+    assert int(g["ts"][1].value // 1000) == 1_700_000_000_000_000
+    assert dead.count() == 2
