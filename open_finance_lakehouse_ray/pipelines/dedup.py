@@ -1086,3 +1086,86 @@ def _dedup_clusters_distributed(
         .sort_by("doc_id")
     )
     return out.combine_chunks()
+
+
+def decontaminate(
+    train: rd.Dataset,
+    eval_ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_partitions: int = NUM_SHUFFLE_PARTITIONS,
+) -> pa.Table:
+    """Exact n-gram decontamination — flag every TRAIN document sharing at
+    least one k-word shingle with ANY eval document (the benchmark-overlap
+    scrub every open LLM pipeline runs before pretraining; e.g. the
+    13-gram overlap checks of GPT-3/The Pile, public literature). Exact,
+    not approximate: recall 1.0 by construction, so a SQL engine can
+    reproduce the flagged set bit for bit.
+
+    Distributed shape: both sides emit (shingle_hash, doc_id, is_eval)
+    rows — the same vectorized shingling as the MinHash family — then ONE
+    bounded hash-partition shuffle on the shingle key; inside each
+    partition a vectorized ``transform("max")`` marks shingle groups
+    containing an eval row and collects their train doc ids; a second
+    bounded shuffle dedups doc ids across partitions. No driver-side set,
+    no broadcast of the eval corpus.
+
+    Returns (doc_id,) of contaminated train documents, sorted.
+    """
+
+    def rows(is_eval: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            hashes = _shingle_hashes(batch[text_col].to_pylist(), k=shingle_k)
+            out_h, out_id = [], []
+            for i, h in enumerate(hashes):
+                if len(h):
+                    out_h.append(h.view(np.int64))
+                    out_id.append(np.full(len(h), ids[i], dtype=np.int64))
+            if not out_h:
+                return pa.table(
+                    {"shingle": pa.array([], pa.int64()),
+                     "doc_id": pa.array([], pa.int64()),
+                     "is_eval": pa.array([], pa.int64())}
+                )
+            hh = np.concatenate(out_h)
+            return pa.table(
+                {"shingle": hh,
+                 "doc_id": np.concatenate(out_id),
+                 "is_eval": np.full(len(hh), is_eval, dtype=np.int64)}
+            )
+
+        return f
+
+    unioned = train.map_batches(rows(0), batch_format="pyarrow").union(
+        eval_ds.map_batches(rows(1), batch_format="pyarrow")
+    )
+    tagged = unioned.map_batches(
+        _pk_tagger(("shingle",), num_partitions), batch_format="pyarrow"
+    )
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: mark shingle groups containing any eval row, keep
+        # the train doc ids in them (no Python loop over shingle groups)
+        flag = g.groupby("shingle", sort=False)["is_eval"].transform("max")
+        c = g[(flag == 1) & (g["is_eval"] == 0)]
+        return c[["doc_id"]].drop_duplicates()
+
+    ids = tagged.groupby("_pk").map_groups(hits, batch_format="pandas")
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id"]].drop_duplicates()
+
+    out = (
+        ids.map_batches(_pk_tagger(("doc_id",), num_partitions),
+                        batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(dd, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns or len(out) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    out = out.sort_values("doc_id").astype({"doc_id": "int64"})
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

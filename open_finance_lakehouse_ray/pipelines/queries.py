@@ -1069,6 +1069,64 @@ Q_EV_JSONL_SQL = """
 """
 
 
+def q_doc_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination through the gate: documents with
+    ``doc_id % 50 == 0`` act as the EVAL set; every other document sharing
+    at least one 3-word shingle with any eval doc is flagged. Exact
+    (recall 1.0), so the DuckDB all-pairs shingle join reproduces the set
+    bit for bit."""
+    import pyarrow.compute as pc_
+
+    from open_finance_lakehouse_ray.pipelines.dedup import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def side(is_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc_.equal(pc_.mod(t["doc_id"], 50), 0) if hasattr(pc_, "mod") \
+                else pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
+                )
+            return t.filter(m if is_eval else pc_.invert(m))
+        return f
+
+    return decontaminate(
+        docs.map_batches(side(False), batch_format="pyarrow"),
+        docs.map_batches(side(True), batch_format="pyarrow"),
+    )
+
+
+Q_DOC_DECONTAMINATE_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w) - 1)])) s
+           FROM toks),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+    SELECT DISTINCT t.doc_id
+    FROM sh t JOIN ev ON t.s = ev.s
+    WHERE t.doc_id % 50 <> 0
+    ORDER BY doc_id
+"""
+
+
+def q_emb_pq_knn(sf_dir: str) -> pa.Table:
+    """Product-quantization ANN top-3 for the first 8 vectors — the
+    vector-compression scale path (rows-only driver check: PQ is
+    approximate by design; the pytest recall gate pins quality)."""
+    import pyarrow.parquet as pq
+
+    from open_finance_lakehouse_ray.pipelines.similarity import pq_topk
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 8)
+    queries = np.stack(qt["embedding"].to_pandas().to_numpy())
+    qids = qt["vec_id"].to_numpy()
+    out = pq_topk(_emb(sf_dir), queries, qids, k=3).to_pandas()
+    return pa.Table.from_pandas(
+        out[["query_id", "neighbor_id", "rank"]], preserve_index=False
+    )
+
+
 def q_doc_token_stats(sf_dir: str) -> pa.Table:
     from open_finance_lakehouse_ray.pipelines.textpipe import token_stats
 
@@ -1317,6 +1375,8 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "ev_jsonl_roundtrip": q_ev_jsonl_roundtrip,
+    "doc_decontaminate": q_doc_decontaminate,
+    "emb_pq_knn": q_emb_pq_knn,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_langid": q_doc_langid,
@@ -1348,6 +1408,7 @@ ORACLES = {
     "doc_token_stats": Q_DOC_TOKEN_SQL,
     "doc_unigram_logprob": Q_DOC_UNIGRAM_SQL,
     "ev_jsonl_roundtrip": Q_EV_JSONL_SQL,
+    "doc_decontaminate": Q_DOC_DECONTAMINATE_SQL,
     "doc_quality": Q_DOC_QUALITY_SQL,
     "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
     "doc_langid": Q_DOC_LANGID_SQL,
