@@ -1100,9 +1100,13 @@ def decontaminate(
     """Exact n-gram decontamination — flag every TRAIN document sharing at
     least one k-word shingle with ANY eval document (the benchmark-overlap
     scrub every open LLM pipeline runs before pretraining; e.g. the
-    13-gram overlap checks of GPT-3/The Pile, public literature). Exact,
-    not approximate: recall 1.0 by construction, so a SQL engine can
-    reproduce the flagged set bit for bit.
+    13-gram overlap checks of GPT-3/The Pile, public literature).
+    Recall 1.0 by construction — a genuinely contaminated document can
+    never be missed. The match key is the 64-bit shingle hash, so a hash
+    collision can only ADD a false flag (birthday bound ~n^2/2^65 over
+    distinct shingles — negligible at gate scale, where the DuckDB
+    string-join oracle confirms exact equality, and a conservative
+    over-flag at corpus scales where it isn't).
 
     Distributed shape: both sides emit (shingle_hash, doc_id, is_eval)
     rows — the same vectorized shingling as the MinHash family — then ONE

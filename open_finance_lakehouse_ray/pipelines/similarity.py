@@ -20,6 +20,34 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+
+def _merge_topk(cand: "pd.DataFrame", k: int, exclude_self: bool) -> pa.Table:
+    """Shared candidate-merge tail for every top-k searcher (brute / LSH /
+    IVF / PQ): self-filter, quantize-before-rank (BLAS matmul low bits
+    depend on batch SHAPE, and Ray may split blocks differently run to
+    run — round(12) + neighbor_id tie-break keeps the order
+    batch-partitioning-invariant), per-query head(k), dense rank. ONE
+    definition so the tie-break rule can never diverge between engines."""
+    if exclude_self:
+        cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    if len(cand) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    cand = cand.copy()
+    cand["cosine"] = cand["cosine"].round(12)
+    cand = cand.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = cand.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    top["cosine"] = top["cosine"].round(4)
+    return pa.Table.from_pandas(
+        top[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False
+    )
+
+
 def brute_force_topk(
     emb: rd.Dataset,
     queries: np.ndarray,
@@ -53,20 +81,7 @@ def brute_force_topk(
         return pa.table(rows)
 
     cand = emb.map_batches(stage, batch_format="pyarrow").to_pandas()
-    if exclude_self:
-        cand = cand[cand["query_id"] != cand["neighbor_id"]]
-    # quantize before ranking: BLAS low bits vary with batch shape (see
-    # ivf_topk) — keep the top-k order batch-partitioning-invariant
-    cand["cosine"] = cand["cosine"].round(12)
-    cand = cand.sort_values(
-        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-    )
-    top = cand.groupby("query_id", sort=True).head(k).copy()
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    top["cosine"] = top["cosine"].round(4)
-    return pa.Table.from_pandas(
-        top[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False
-    )
+    return _merge_topk(cand, k, exclude_self)
 
 
 def lsh_bucketed_topk(
@@ -124,25 +139,7 @@ def lsh_bucketed_topk(
         return pa.table(rows)
 
     cand = emb.map_batches(stage, batch_format="pyarrow").to_pandas()
-    cand = cand[cand["query_id"] != cand["neighbor_id"]]
-    if len(cand) == 0:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "neighbor_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
-    # BLAS matmul low bits depend on batch SHAPE, and Ray may split blocks
-    # differently run to run — quantize before ranking (with neighbor_id as
-    # the tie-break) so the top-k order is batch-partitioning-invariant
-    cand["cosine"] = cand["cosine"].round(12)
-    cand = cand.sort_values(
-        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-    )
-    top = cand.groupby("query_id", sort=True).head(k).copy()
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    top["cosine"] = top["cosine"].round(4)
-    return pa.Table.from_pandas(
-        top[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False
-    )
+    return _merge_topk(cand, k, exclude_self=True)
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 13) -> np.ndarray:
@@ -226,25 +223,7 @@ def ivf_topk(
         return pa.table(rows)
 
     cand = emb.map_batches(stage, batch_format="pyarrow").to_pandas()
-    cand = cand[cand["query_id"] != cand["neighbor_id"]]
-    if len(cand) == 0:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "neighbor_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
-    # BLAS matmul low bits depend on batch SHAPE, and Ray may split blocks
-    # differently run to run — quantize before ranking (with neighbor_id as
-    # the tie-break) so the top-k order is batch-partitioning-invariant
-    cand["cosine"] = cand["cosine"].round(12)
-    cand = cand.sort_values(
-        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-    )
-    top = cand.groupby("query_id", sort=True).head(k).copy()
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    top["cosine"] = top["cosine"].round(4)
-    return pa.Table.from_pandas(
-        top[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False
-    )
+    return _merge_topk(cand, k, exclude_self=True)
 
 
 def label_centroid_report(emb: rd.Dataset) -> pa.Table:
@@ -477,15 +456,24 @@ def pq_topk(
     stride = max(1, n_corpus // max_train)
 
     def pick(t: pa.Table) -> pa.Table:
+        from open_finance_lakehouse_ray.functions.hashing import splitmix64
+
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(ids % stride == 0))
+        # HASH-strided, id-distribution-proof (plain `id % stride` returns
+        # nothing for e.g. all-odd ids); the collect is id-SORTED before
+        # head() — never `limit()` over blocks, whose layout (and thus the
+        # codebooks) would vary run to run (ivf_topk's determinism rule)
+        h = splitmix64(ids.view(np.uint64))
+        return t.filter(pa.array(h % np.uint64(stride) == 0))
 
     train_tab = (
         emb.select_columns([id_col, vec_col])
         .map_batches(pick, batch_format="pyarrow")
-        .limit(max_train)
         .to_pandas()
     )
+    if len(train_tab) == 0:  # pathological stride miss: tiny corpus anyway
+        train_tab = emb.select_columns([id_col, vec_col]).to_pandas()
+    train_tab = train_tab.sort_values(id_col).head(max_train)
     sample = _normalize(np.stack(train_tab[vec_col].to_numpy()).astype(np.float64))
     books = train_pq_codebooks(
         sample, n_subspaces=n_subspaces, n_centroids=n_centroids, seed=seed
@@ -529,15 +517,4 @@ def pq_topk(
         return pa.table(rows)
 
     cand = emb.map_batches(stage, batch_format="pyarrow").to_pandas()
-    if exclude_self:
-        cand = cand[cand["query_id"] != cand["neighbor_id"]]
-    cand["cosine"] = cand["cosine"].round(12)
-    cand = cand.sort_values(
-        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-    )
-    top = cand.groupby("query_id", sort=True).head(k).copy()
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    top["cosine"] = top["cosine"].round(4)
-    return pa.Table.from_pandas(
-        top[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False
-    )
+    return _merge_topk(cand, k, exclude_self)

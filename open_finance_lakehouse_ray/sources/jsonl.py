@@ -33,15 +33,21 @@ import pyarrow as pa
 import ray.data as rd
 
 
-_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+def _int_bounds(typ: pa.DataType) -> tuple[int, int]:
+    bw = typ.bit_width
+    if pa.types.is_signed_integer(typ):
+        return -(2 ** (bw - 1)), 2 ** (bw - 1) - 1
+    return 0, 2**bw - 1
 
 
-def _check_i64(value: int, what: str) -> int:
-    # JSON ints are arbitrary-precision; an unchecked bigint would crash
-    # the whole batch later at pa.array() (OverflowError) instead of
-    # routing the one line
-    if not (_I64_MIN <= value <= _I64_MAX):
-        raise ValueError(f"{what} out of int64 range: {value}")
+def _check_int(value: int, typ: pa.DataType, what: str) -> int:
+    # JSON ints are arbitrary-precision; an unchecked out-of-range value
+    # would crash the whole batch later at pa.array() (OverflowError /
+    # ArrowInvalid) instead of routing the one line. Bounds come from the
+    # PINNED column type — int32 rejects 2**40, uint64 accepts 2**63.
+    lo, hi = _int_bounds(typ)
+    if not (lo <= value <= hi):
+        raise ValueError(f"{what} out of {typ} range: {value}")
     return value
 
 
@@ -55,7 +61,7 @@ def _coerce(value: Any, typ: pa.DataType):
     if pa.types.is_integer(typ):
         if isinstance(value, bool) or not isinstance(value, int):
             raise ValueError(f"expected integer, got {type(value).__name__}")
-        return _check_i64(value, "integer")
+        return _check_int(value, typ, "integer")
     if pa.types.is_floating(typ):
         if isinstance(value, bool) or not isinstance(value, (int, float)):
             raise ValueError(f"expected number, got {type(value).__name__}")
@@ -72,7 +78,7 @@ def _coerce(value: Any, typ: pa.DataType):
         if isinstance(value, bool):
             raise ValueError("expected epoch int or ISO string, got bool")
         if isinstance(value, int):
-            return _check_i64(value, "epoch")  # in the column's unit
+            return _check_int(value, pa.int64(), "epoch")  # column-unit epoch
         if isinstance(value, str):
             import datetime as _dt
 
@@ -97,7 +103,7 @@ def _coerce(value: Any, typ: pa.DataType):
                 value = us // 1000
             else:  # "s"
                 value = us // 10**6
-            return _check_i64(value, "epoch")
+            return _check_int(value, pa.int64(), "epoch")
         raise ValueError(f"expected epoch int or ISO string, got {type(value).__name__}")
     if pa.types.is_boolean(typ):
         if not isinstance(value, bool):
