@@ -351,6 +351,67 @@ def _events(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
+def _ohlc_partial_df(df: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-batch PARTIAL bars over a frame that already carries
+    ``window_start`` (epoch-us int) — shared by the tumbling and hopping
+    OHLC queries so the deterministic open/close rule lives once."""
+    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    g = df.groupby(["event_type", "window_start"], sort=False)
+    return g.agg(
+        open=("value", "first"),
+        close=("value", "last"),
+        high=("value", "max"),
+        low=("value", "min"),
+        volume=("value", "sum"),
+        n_events=("value", "size"),
+        _first_key=("ts", "first"),
+        _last_key=("ts", "last"),
+        _first_id=("event_id", "first"),
+        _last_id=("event_id", "last"),
+    ).reset_index()
+
+
+def _ohlc_add_coarse_bucket(t: pa.Table) -> pa.Table:
+    # many tiny (type, window) groups → Python-per-group map_groups is
+    # the slow shape; shuffle on a COARSE bucket instead and merge all
+    # of a bucket's windows vectorized in one pandas pass
+    wb = (
+        t["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        // MINUTE_US
+        % 32
+    )
+    return t.append_column("_wb", pa.array(wb))
+
+
+def _ohlc_final_merge(g: "pd.DataFrame") -> "pd.DataFrame":
+    keys = ["event_type", "window_start"]
+    a = g.sort_values(["_first_key", "_first_id"], kind="mergesort").groupby(
+        keys, sort=False
+    )
+    opn = a["open"].first()
+    b = g.sort_values(["_last_key", "_last_id"], kind="mergesort").groupby(
+        keys, sort=False
+    )
+    cls = b["close"].last()
+    agg = g.groupby(keys, sort=False).agg(
+        high=("high", "max"),
+        low=("low", "min"),
+        volume=("volume", "sum"),
+        n_events=("n_events", "sum"),
+    )
+    out = (
+        agg.join(opn.rename("open"))
+        .join(cls.rename("close"))
+        .reset_index()
+    )
+    out["volume"] = _round_half_away(out["volume"], 2)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[
+        ["event_type", "window_start", "open", "high", "low", "close",
+         "volume", "n_events"]
+    ]
+
+
 def q_ev_ohlc_1m(sf_dir: str) -> pa.Table:
     """Event-time 1-minute OHLC bars per event_type — the A1 windowed
     aggregate (``ofl/streaming/silver.py:107-140``) with deterministic
@@ -364,66 +425,13 @@ def q_ev_ohlc_1m(sf_dir: str) -> pa.Table:
         df["window_start"] = (
             df["ts"].astype("int64") // MINUTE_US * MINUTE_US
         )
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        g = df.groupby(["event_type", "window_start"], sort=False)
-        out = g.agg(
-            open=("value", "first"),
-            close=("value", "last"),
-            high=("value", "max"),
-            low=("value", "min"),
-            volume=("value", "sum"),
-            n_events=("value", "size"),
-            _first_key=("ts", "first"),
-            _last_key=("ts", "last"),
-            _first_id=("event_id", "first"),
-            _last_id=("event_id", "last"),
-        ).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    def add_coarse_bucket(t: pa.Table) -> pa.Table:
-        # many tiny (type, window) groups → Python-per-group map_groups is
-        # the slow shape; shuffle on a COARSE bucket instead and merge all
-        # of a bucket's windows vectorized in one pandas pass
-        wb = (
-            t["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
-            // MINUTE_US
-            % 32
-        )
-        return t.append_column("_wb", pa.array(wb))
-
-    def final_merge(g: pd.DataFrame) -> pd.DataFrame:
-        keys = ["event_type", "window_start"]
-        a = g.sort_values(["_first_key", "_first_id"], kind="mergesort").groupby(
-            keys, sort=False
-        )
-        opn = a["open"].first()
-        b = g.sort_values(["_last_key", "_last_id"], kind="mergesort").groupby(
-            keys, sort=False
-        )
-        cls = b["close"].last()
-        agg = g.groupby(keys, sort=False).agg(
-            high=("high", "max"),
-            low=("low", "min"),
-            volume=("volume", "sum"),
-            n_events=("n_events", "sum"),
-        )
-        out = (
-            agg.join(opn.rename("open"))
-            .join(cls.rename("close"))
-            .reset_index()
-        )
-        out["volume"] = _round_half_away(out["volume"], 2)
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[
-            ["event_type", "window_start", "open", "high", "low", "close",
-             "volume", "n_events"]
-        ]
+        return pa.Table.from_pandas(_ohlc_partial_df(df), preserve_index=False)
 
     bars = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .map_batches(add_coarse_bucket, batch_format="pyarrow")
+        .map_batches(_ohlc_add_coarse_bucket, batch_format="pyarrow")
         .groupby("_wb")
-        .map_groups(final_merge, batch_format="pandas")
+        .map_groups(_ohlc_final_merge, batch_format="pandas")
         .to_pandas()
     )
     bars["window_start"] = pd.to_datetime(bars["window_start"], unit="us")
@@ -439,6 +447,63 @@ Q_EV_OHLC_SQL = """
                row_number() OVER (PARTITION BY event_type,
                    epoch_us(ts) // 60000000 ORDER BY ts DESC, event_id DESC) AS rn_d
         FROM events
+    )
+    SELECT event_type, window_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           ROUND(SUM(value), 2) AS volume,
+           COUNT(*) AS n_events
+    FROM w GROUP BY event_type, window_start
+    ORDER BY event_type, window_start
+"""
+
+
+def q_ev_ohlc_hopping(sf_dir: str) -> pa.Table:
+    """HOPPING-window OHLC: 5-minute windows advancing every minute (each
+    event belongs to 5 overlapping windows) — the sliding/hopping member
+    of the windowed-aggregate family the tumbling A1 bars don't cover.
+    Distributed shape: a vectorized 5× expansion inside ``map_batches``
+    (np.repeat + tiled offsets, no per-row Python) feeds the SAME shared
+    partial-bar / coarse-bucket / vectorized-merge kernels as the
+    tumbling query."""
+    HOP = 5
+    ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+
+    def expand_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = (df["ts"].astype("int64") // MINUTE_US).to_numpy()
+        rep = df.loc[df.index.repeat(HOP)].reset_index(drop=True)
+        offs = np.tile(np.arange(HOP, dtype=np.int64), len(df))
+        rep["window_start"] = (np.repeat(m, HOP) - offs) * MINUTE_US
+        return pa.Table.from_pandas(_ohlc_partial_df(rep), preserve_index=False)
+
+    bars = (
+        ds.map_batches(expand_partial, batch_format="pyarrow")
+        .map_batches(_ohlc_add_coarse_bucket, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(_ohlc_final_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    bars["window_start"] = pd.to_datetime(bars["window_start"], unit="us")
+    bars = bars.sort_values(["event_type", "window_start"])
+    return pa.Table.from_pandas(
+        bars.reset_index(drop=True), preserve_index=False
+    )
+
+
+Q_EV_OHLC_HOPPING_SQL = """
+    WITH base AS (
+        SELECT e.*,
+               (epoch_us(e.ts) // 60000000 - j.j) * 60000000 AS ws
+        FROM events e CROSS JOIN generate_series(0, 4) AS j(j)
+    ), w AS (
+        SELECT *, make_timestamp(ws) AS window_start,
+               row_number() OVER (PARTITION BY event_type, ws
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, ws
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM base
     )
     SELECT event_type, window_start,
            MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
@@ -1359,6 +1424,7 @@ QUERIES = {
     "tx_expire_invariance": q_tx_expire_invariance,
     "tx_key_metrics": q_tx_key_metrics,
     "ev_ohlc_1m": q_ev_ohlc_1m,
+    "ev_ohlc_hopping": q_ev_ohlc_hopping,
     "ev_latest_per_user": q_ev_latest_per_user,
     "ev_monthly_type_mean": q_ev_monthly_type_mean,
     "ev_pivot_daily": q_ev_pivot_daily,
@@ -1392,6 +1458,7 @@ ORACLES = {
     "tx_expire_invariance": Q_TX_ROUNDTRIP_SQL,
     "tx_key_metrics": Q_TX_METRICS_SQL,
     "ev_ohlc_1m": Q_EV_OHLC_SQL,
+    "ev_ohlc_hopping": Q_EV_OHLC_HOPPING_SQL,
     "ev_latest_per_user": Q_EV_LATEST_SQL,
     "ev_monthly_type_mean": Q_EV_MONTHLY_SQL,
     "ev_pivot_daily": Q_EV_PIVOT_SQL,

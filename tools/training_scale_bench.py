@@ -236,6 +236,38 @@ def main() -> int:
         and abs(float(ref_val) - round(float(got_df["total_value"].sum()), 2)) < 1.0
     )
 
+    # --- decontamination at scale: the TWIN docs act as the eval set;
+    # exact n-gram overlap must flag every twin's partner (recall 1.0 by
+    # construction) — the benchmark-overlap scrub at 100k docs ------------
+    t0 = time.perf_counter()
+    from open_finance_lakehouse_ray.pipelines.dedup import decontaminate
+
+    eval_ids = {b for _, b in twin_pairs}
+    eval_arr = pa.array(sorted(eval_ids), pa.int64())
+
+    def _side(is_eval: bool):
+        def f(t):
+            import pyarrow.compute as _pc
+
+            m = _pc.is_in(t["doc_id"], value_set=eval_arr)
+            return t.filter(m if is_eval else _pc.invert(m))
+        return f
+
+    cont = decontaminate(
+        docs.map_batches(_side(False), batch_format="pyarrow"),
+        docs.map_batches(_side(True), batch_format="pyarrow"),
+    )
+    out["decontaminate_sec"] = round(time.perf_counter() - t0, 2)
+    flagged = set(cont["doc_id"].to_pylist())
+    partners = {a for a, _ in twin_pairs}
+    out["decontaminate_flagged"] = len(flagged)
+    # every twin partner MUST be flagged (a twin shares all-but-edge
+    # shingles with its eval half); other docs may legitimately share
+    # common shingles with eval docs, so >= partners, never missing one
+    out["decontaminate_recall"] = round(
+        len(flagged & partners) / max(len(partners), 1), 4
+    )
+
     out["ok"] = bool(
         out["ngram_jaccard_exact_match"]
         and out["minhash_subset_of_seeded"]
@@ -244,6 +276,7 @@ def main() -> int:
         and out["emb_subset_of_seeded"]
         and out["emb_recall"] >= 0.95
         and out["sessionize_matches_duckdb"]
+        and out["decontaminate_recall"] == 1.0
     )
     ray.shutdown()
     os.unlink(scratch)
