@@ -648,6 +648,69 @@ def scenario_concurrent(scratch: str) -> dict:
     return {"ok": comparable == got, "ops": ops, "concurrent": state, "serial": ref}
 
 
+def scenario_delete_merge_race(scratch: str) -> dict:
+    """A slowed predicate DELETE races a MERGE from the same base: the
+    loser must detect the overlap (CommitConflict on files both touched),
+    replan against the new head, and converge to the serial
+    delete-after-merge reference — serializable isolation across the two
+    verbs that both REWRITE files (compact+merge only move rows; this
+    pair changes them)."""
+    root = os.path.join(scratch, "delmerge")
+    run_worker(["ingest", root, "40"])
+    pd_ = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "delete", root, "del-R"],
+        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_SLOW_DELETE_S": "0.7"},
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    pm = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "merge", root, "merge-R", "40"],
+        env={**os.environ, "HARNESS_REPO": REPO},
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    out_d, err_d = pd_.communicate(timeout=900)
+    out_m, err_m = pm.communicate(timeout=900)
+    if pd_.returncode != 0 or pm.returncode != 0:
+        return {"ok": False, "delete_err": err_d[-2000:], "merge_err": err_m[-2000:]}
+    state = independent_state(root)
+
+    # serial reference: merge first, then the same delete
+    ref_root = os.path.join(scratch, "delmerge-ref")
+    run_worker(["ingest", ref_root, "40"])
+    run_worker(["merge", ref_root, "merge-R", "40"])
+    run_worker(["delete", ref_root, "del-R"])
+    ref = independent_state(ref_root)
+
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    log = TableLog(root)
+    ops = [(v, log.snapshot(v).operation, log.snapshot(v).job_id)
+           for v in log.versions()]
+    replanned = any("~replan" in j for _, _, j in ops)
+    order_serialized = [o for _, o, _ in ops]
+    # equality holds whichever order the log serialized them in ONLY when
+    # delete ran after merge (merge's late turns include 'tool'-role rows
+    # the delete predicate matches); if delete won the race, the merge
+    # re-inserts rows the reference deletes — then rows may differ but
+    # KEYS must still be unique and both verbs' commits present.
+    comparable = {k: ref[k] for k in ("rows", "distinct_keys", "content_hash")}
+    got = {k: state[k] for k in ("rows", "distinct_keys", "content_hash")}
+    delete_after_merge = order_serialized.index("merge") < order_serialized.index("delete") \
+        if "delete" in order_serialized and "merge" in order_serialized else False
+    if delete_after_merge:
+        ok = comparable == got
+    else:
+        ok = ("delete" in order_serialized and "merge" in order_serialized
+              and state["rows"] == state["distinct_keys"])
+    return {
+        "ok": bool(ok),
+        "ops": order_serialized,
+        "replanned_on_conflict": replanned,
+        "delete_after_merge": delete_after_merge,
+        "concurrent": state,
+        "serial": ref,
+    }
+
+
 def scenario_overwrite_race(scratch: str) -> dict:
     """REPLACE isolation: an append that commits inside an overwrite's
     plan->commit window must be serialized BEFORE the overwrite and
@@ -697,7 +760,8 @@ def main() -> int:
                     choices=["all", "double-run", "kill-resume",
                              "zorder-kill-resume", "merge-kill-resume",
                              "delete-kill-resume", "update-kill-resume",
-                             "concurrent", "overwrite-race", "stream-kill-resume"])
+                             "concurrent", "overwrite-race", "stream-kill-resume",
+                             "delete-merge-race"])
     args = ap.parse_args()
     scratch = tempfile.mkdtemp(prefix="ofl-harness-")
     scenarios = {
@@ -708,6 +772,7 @@ def main() -> int:
         "delete-kill-resume": scenario_delete_kill_resume,
         "update-kill-resume": scenario_update_kill_resume,
         "stream-kill-resume": scenario_stream_kill_resume,
+        "delete-merge-race": scenario_delete_merge_race,
         "concurrent": scenario_concurrent,
         "overwrite-race": scenario_overwrite_race,
     }
