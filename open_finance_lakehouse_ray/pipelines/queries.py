@@ -351,24 +351,40 @@ def _events(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
-def _ohlc_partial_df(df: "pd.DataFrame") -> "pd.DataFrame":
+def _ohlc_partial_df(df: "pd.DataFrame", *, presorted: bool = False) -> "pd.DataFrame":
     """Per-batch PARTIAL bars over a frame that already carries
     ``window_start`` (epoch-us int) — shared by the tumbling and hopping
-    OHLC queries so the deterministic open/close rule lives once."""
-    df = df.sort_values(["ts", "event_id"], kind="mergesort")
-    g = df.groupby(["event_type", "window_start"], sort=False)
-    return g.agg(
-        open=("value", "first"),
-        close=("value", "last"),
+    OHLC queries so the deterministic open/close rule lives once.
+
+    open/close are the PHYSICAL first/last row's value (drop_duplicates
+    on the sorted frame), matching the SQL oracle's
+    ``rn=1``-row semantics exactly — pandas groupby ``first()``/``last()``
+    would silently skip a NULL value and diverge from the oracle on
+    nullable data."""
+    keys = ["event_type", "window_start"]
+    if not presorted:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    first = (
+        df.drop_duplicates(keys, keep="first")
+        .set_index(keys)[["value", "ts", "event_id"]]
+        .rename(columns={"value": "open", "ts": "_first_key",
+                         "event_id": "_first_id"})
+    )
+    last = (
+        df.drop_duplicates(keys, keep="last")
+        .set_index(keys)[["value", "ts", "event_id"]]
+        .rename(columns={"value": "close", "ts": "_last_key",
+                         "event_id": "_last_id"})
+    )
+    agg = df.groupby(keys, sort=False).agg(
         high=("value", "max"),
         low=("value", "min"),
         volume=("value", "sum"),
         n_events=("value", "size"),
-        _first_key=("ts", "first"),
-        _last_key=("ts", "last"),
-        _first_id=("event_id", "first"),
-        _last_id=("event_id", "last"),
-    ).reset_index()
+    )
+    out = agg.join(first).join(last).reset_index()
+    return out[keys + ["open", "close", "high", "low", "volume", "n_events",
+                       "_first_key", "_last_key", "_first_id", "_last_id"]]
 
 
 def _ohlc_add_coarse_bucket(t: pa.Table) -> pa.Table:
@@ -385,14 +401,19 @@ def _ohlc_add_coarse_bucket(t: pa.Table) -> pa.Table:
 
 def _ohlc_final_merge(g: "pd.DataFrame") -> "pd.DataFrame":
     keys = ["event_type", "window_start"]
-    a = g.sort_values(["_first_key", "_first_id"], kind="mergesort").groupby(
-        keys, sort=False
+    # physical first/last partial (drop_duplicates), NOT groupby
+    # first()/last() — those skip NaN and would diverge from the SQL
+    # oracle when a window's earliest/latest value is NULL
+    opn = (
+        g.sort_values(["_first_key", "_first_id"], kind="mergesort")
+        .drop_duplicates(keys, keep="first")
+        .set_index(keys)["open"]
     )
-    opn = a["open"].first()
-    b = g.sort_values(["_last_key", "_last_id"], kind="mergesort").groupby(
-        keys, sort=False
+    cls = (
+        g.sort_values(["_last_key", "_last_id"], kind="mergesort")
+        .drop_duplicates(keys, keep="last")
+        .set_index(keys)["close"]
     )
-    cls = b["close"].last()
     agg = g.groupby(keys, sort=False).agg(
         high=("high", "max"),
         low=("low", "min"),
@@ -471,12 +492,18 @@ def q_ev_ohlc_hopping(sf_dir: str) -> pa.Table:
     ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
 
     def expand_partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        # sort BEFORE the 5x repeat: index.repeat preserves row order and
+        # each window holds at most one copy per event, so the expanded
+        # frame is already (ts, event_id)-sorted — one n-row sort instead
+        # of a 5n-row sort in the hot path
+        df = t.to_pandas().sort_values(["ts", "event_id"], kind="mergesort")
         m = (df["ts"].astype("int64") // MINUTE_US).to_numpy()
         rep = df.loc[df.index.repeat(HOP)].reset_index(drop=True)
         offs = np.tile(np.arange(HOP, dtype=np.int64), len(df))
         rep["window_start"] = (np.repeat(m, HOP) - offs) * MINUTE_US
-        return pa.Table.from_pandas(_ohlc_partial_df(rep), preserve_index=False)
+        return pa.Table.from_pandas(
+            _ohlc_partial_df(rep, presorted=True), preserve_index=False
+        )
 
     bars = (
         ds.map_batches(expand_partial, batch_format="pyarrow")

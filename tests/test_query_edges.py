@@ -110,3 +110,42 @@ def test_type_quantiles_constant_value(ray_session, tmp_path):
     assert out.loc["ramp", "p25"] == 25.0
     assert out.loc["ramp", "p50"] == 50.0
     assert out.loc["ramp", "p90"] == 90.0
+
+
+def test_ohlc_open_close_are_physical_rows_incl_null(ray_session, tmp_path):
+    """A window whose EARLIEST row carries a NULL value must report a NULL
+    open (the SQL rn=1 semantics) — pandas groupby first() would silently
+    skip to the first non-null and diverge from the oracle."""
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    from open_finance_lakehouse_ray.pipelines.queries import (
+        Q_EV_OHLC_SQL,
+        q_ev_ohlc_1m,
+    )
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i * 1_000_000 for i in range(4)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([0] * 4, pa.int64()),
+        "event_type": pa.array(["click"] * 4),
+        "value": pa.array([None, 2.0, 3.0, None], pa.float64()),
+        "props": pa.array(["{}"] * 4),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_.write_table(t, d / "events.parquet")
+    got = q_ev_ohlc_1m(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    exp = con.execute(Q_EV_OHLC_SQL).df()
+    con.close()
+    assert got["open"].isna().tolist() == exp["open"].isna().tolist()
+    assert got["close"].isna().tolist() == exp["close"].isna().tolist()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp[got.columns].reset_index(drop=True),
+        check_dtype=False, atol=1e-9,
+    )
+    # the one 1-minute window holds all 4 events: open IS NULL, close IS NULL
+    assert len(got) == 1 and pd.isna(got["open"][0]) and pd.isna(got["close"][0])

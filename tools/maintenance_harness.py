@@ -32,6 +32,13 @@ Scenarios (FIXTURES.md F5):
                  window (deterministic via a file gate); the overwrite
                  must serialize it first and replace it (REPLACE
                  isolation), verified by an independent DuckDB read.
+  stream-kill-resume — the DISTRIBUTED streaming drain is SIGKILLed
+                 mid-batch; the resume converges to an uninterrupted
+                 reference (bronze/dead/silver/metrics all equal).
+  delete-merge-race — a slowed DELETE races a MERGE from the same
+                 base (retried until a conflict-replan is OBSERVED —
+                 never a vacuous pass); the loser replans and the scan
+                 equals the serial merge-then-delete reference.
 
 Usage:  python tools/maintenance_harness.py [--scenario all]
 """
@@ -655,22 +662,37 @@ def scenario_delete_merge_race(scratch: str) -> dict:
     delete-after-merge reference — serializable isolation across the two
     verbs that both REWRITE files (compact+merge only move rows; this
     pair changes them)."""
-    root = os.path.join(scratch, "delmerge")
-    run_worker(["ingest", root, "40"])
-    pd_ = subprocess.Popen(
-        [sys.executable, "-c", WORKER_SRC, "delete", root, "del-R"],
-        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_SLOW_DELETE_S": "0.7"},
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-    )
-    pm = subprocess.Popen(
-        [sys.executable, "-c", WORKER_SRC, "merge", root, "merge-R", "40"],
-        env={**os.environ, "HARNESS_REPO": REPO},
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-    )
-    out_d, err_d = pd_.communicate(timeout=900)
-    out_m, err_m = pm.communicate(timeout=900)
-    if pd_.returncode != 0 or pm.returncode != 0:
-        return {"ok": False, "delete_err": err_d[-2000:], "merge_err": err_m[-2000:]}
+    # retry until the race ACTUALLY happens (a conflict-replan observed):
+    # on a loaded host one verb can finish before the other plans, which
+    # proves nothing — the scenario must never pass vacuously
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    replanned = False
+    for attempt in range(4):
+        root = os.path.join(scratch, f"delmerge{attempt}")
+        run_worker(["ingest", root, "40"])
+        pd_ = subprocess.Popen(
+            [sys.executable, "-c", WORKER_SRC, "delete", root, "del-R"],
+            env={**os.environ, "HARNESS_REPO": REPO,
+                 "HARNESS_SLOW_DELETE_S": "0.7"},
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        pm = subprocess.Popen(
+            [sys.executable, "-c", WORKER_SRC, "merge", root, "merge-R", "40"],
+            env={**os.environ, "HARNESS_REPO": REPO},
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        out_d, err_d = pd_.communicate(timeout=900)
+        out_m, err_m = pm.communicate(timeout=900)
+        if pd_.returncode != 0 or pm.returncode != 0:
+            return {"ok": False, "delete_err": err_d[-2000:],
+                    "merge_err": err_m[-2000:]}
+        log_try = TableLog(root)
+        replanned = any(
+            "~replan" in log_try.snapshot(v).job_id for v in log_try.versions()
+        )
+        if replanned:
+            break
     state = independent_state(root)
 
     # serial reference: merge first, then the same delete
@@ -680,12 +702,9 @@ def scenario_delete_merge_race(scratch: str) -> dict:
     run_worker(["delete", ref_root, "del-R"])
     ref = independent_state(ref_root)
 
-    from open_finance_lakehouse_ray.state.txlog import TableLog
-
     log = TableLog(root)
     ops = [(v, log.snapshot(v).operation, log.snapshot(v).job_id)
            for v in log.versions()]
-    replanned = any("~replan" in j for _, _, j in ops)
     order_serialized = [o for _, o, _ in ops]
     # equality holds whichever order the log serialized them in ONLY when
     # delete ran after merge (merge's late turns include 'tool'-role rows
@@ -697,9 +716,10 @@ def scenario_delete_merge_race(scratch: str) -> dict:
     delete_after_merge = order_serialized.index("merge") < order_serialized.index("delete") \
         if "delete" in order_serialized and "merge" in order_serialized else False
     if delete_after_merge:
-        ok = comparable == got
+        ok = replanned and comparable == got
     else:
-        ok = ("delete" in order_serialized and "merge" in order_serialized
+        ok = (replanned and "delete" in order_serialized
+              and "merge" in order_serialized
               and state["rows"] == state["distinct_keys"])
     return {
         "ok": bool(ok),

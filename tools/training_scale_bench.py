@@ -261,12 +261,13 @@ def main() -> int:
     flagged = set(cont["doc_id"].to_pylist())
     partners = {a for a, _ in twin_pairs}
     out["decontaminate_flagged"] = len(flagged)
-    # every twin partner MUST be flagged (a twin shares all-but-edge
-    # shingles with its eval half); other docs may legitimately share
-    # common shingles with eval docs, so >= partners, never missing one
     out["decontaminate_recall"] = round(
         len(flagged & partners) / max(len(partners), 1), 4
     )
+    # the salted construction shares NO shingles across replicas, so the
+    # flagged set must EQUAL the twin partners exactly — asserting recall
+    # alone would let a flag-everything regression pass silently
+    out["decontaminate_exact_match"] = flagged == partners
 
     out["ok"] = bool(
         out["ngram_jaccard_exact_match"]
@@ -276,7 +277,7 @@ def main() -> int:
         and out["emb_subset_of_seeded"]
         and out["emb_recall"] >= 0.95
         and out["sessionize_matches_duckdb"]
-        and out["decontaminate_recall"] == 1.0
+        and out["decontaminate_exact_match"]
     )
     ray.shutdown()
     os.unlink(scratch)
