@@ -1203,9 +1203,13 @@ Q_DOC_DECONTAMINATE_SQL = """
 
 
 def q_emb_pq_knn(sf_dir: str) -> pa.Table:
-    """Product-quantization ANN top-3 for the first 8 vectors — the
-    vector-compression scale path (rows-only driver check: PQ is
-    approximate by design; the pytest recall gate pins quality)."""
+    """Product-quantization ANN top-3 for the first 8 vectors, driven to
+    EXACTNESS like ``emb_knn_ivf``: ``rerank`` covers every batch
+    ("probe-all"), so each query's ADC shortlist is the whole batch and
+    the exact re-rank provably reproduces brute force — the full PQ
+    machinery (sampled codebooks, encode, ADC scan) runs and the result
+    is hash-checkable against the brute SQL oracle. The scale bench keeps
+    ``rerank=None`` (pure ADC, recall gated in pytest)."""
     import pyarrow.parquet as pq
 
     from open_finance_lakehouse_ray.pipelines.similarity import pq_topk
@@ -1213,7 +1217,7 @@ def q_emb_pq_knn(sf_dir: str) -> pa.Table:
     qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 8)
     queries = np.stack(qt["embedding"].to_pandas().to_numpy())
     qids = qt["vec_id"].to_numpy()
-    out = pq_topk(_emb(sf_dir), queries, qids, k=3).to_pandas()
+    out = pq_topk(_emb(sf_dir), queries, qids, k=3, rerank=2**31).to_pandas()
     return pa.Table.from_pandas(
         out[["query_id", "neighbor_id", "rank"]], preserve_index=False
     )
@@ -1509,6 +1513,9 @@ ORACLES = {
     "doc_simhash_pairs": Q_DOC_SIMHASH_SQL,
     "doc_multimodal": Q_DOC_MULTIMODAL_SQL,
     "emb_knn": Q_EMB_KNN_SQL,
+    # PQ runs in probe-all + exact-rerank mode at gate scale, so brute-force
+    # SQL is its exact oracle (the emb_knn_ivf n_probe=n_lists precedent)
+    "emb_pq_knn": Q_EMB_KNN_SQL,
     "emb_label_centroids": Q_EMB_CENTROID_SQL,
 }
 
@@ -1918,23 +1925,40 @@ def q_ev_ohlc_daily_rollup(sf_dir: str) -> pa.Table:
     (event_type, day) computed FROM q_ev_ohlc_1m's result."""
     bars = q_ev_ohlc_1m(sf_dir).to_pandas()  # the upstream mart
     bars["day"] = bars["window_start"].values.astype("datetime64[D]")
+    # bar volume is already 2-decimal rounded upstream, so integer
+    # centi-units are exact: summing int64 is order-independent, where a
+    # float mean's last ulp depends on summation order and can cross a
+    # ROUND(.,4) half-boundary between numpy and DuckDB (round-3/4 red row)
+    bars["vol_c"] = np.floor(bars["volume"].to_numpy() * 100.0 + 0.5).astype(
+        "int64"
+    )
     g = bars.groupby(["event_type", "day"], sort=True).agg(
         n_bars=("n_events", "size"),
-        avg_bar_volume=("volume", "mean"),
+        vol_c=("vol_c", "sum"),
         day_high=("high", "max"),
         day_low=("low", "min"),
     ).reset_index()
-    g["avg_bar_volume"] = _round_half_away(g["avg_bar_volume"], 4)
-    g["day"] = pd.to_datetime(g["day"])
+    g["avg_bar_volume"] = _round_half_away(
+        g["vol_c"] / (100.0 * g["n_bars"]), 4
+    )
+    # pandas 2.x keeps the coarse datetime64[D]->[s] unit through
+    # to_datetime; the oracle emits timestamp[us], so force the unit or the
+    # driver's epoch-integer value hash differs by 1e6 (round-3 red row).
+    g["day"] = pd.to_datetime(g["day"]).astype("datetime64[us]")
     g["n_bars"] = g["n_bars"].astype("int64")
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return pa.Table.from_pandas(
+        g[["event_type", "day", "n_bars", "avg_bar_volume", "day_high",
+           "day_low"]],
+        preserve_index=False,
+    )
 
 
 Q_EV_OHLC_DAILY_SQL = f"""
     WITH bars AS ({Q_EV_OHLC_SQL.replace("ORDER BY event_type, window_start", "")})
     SELECT event_type, date_trunc('day', window_start) AS day,
            COUNT(*) AS n_bars,
-           ROUND(AVG(volume), 4) AS avg_bar_volume,
+           ROUND(SUM(CAST(FLOOR(volume * 100 + 0.5) AS BIGINT))::DOUBLE
+                 / (COUNT(*) * 100), 4) AS avg_bar_volume,
            MAX(high) AS day_high, MIN(low) AS day_low
     FROM bars GROUP BY 1, 2 ORDER BY event_type, day
 """

@@ -437,6 +437,7 @@ def pq_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     seed: int = 5,
+    rerank: int | None = None,
 ) -> pa.Table:
     """Product-quantization ANN top-k — the memory-compression scale path
     (a 128-dim float32 vector becomes ``n_subspaces`` uint8 codes: 64×
@@ -449,8 +450,17 @@ def pq_topk(
     computation — per-query (M × K) inner-product tables indexed by the
     batch's codes, one ``take``+sum per subspace, no per-row Python.
     Output schema matches :func:`brute_force_topk`
-    (query_id, neighbor_id, rank, cosine≈); recall < 1 by design — the
-    pytest recall gate and the rows-only driver check cover it.
+    (query_id, neighbor_id, rank, cosine≈); recall < 1 by design with
+    ``rerank=None`` — the pytest recall gate covers that mode.
+
+    ``rerank=R`` is the standard ADC-shortlist + exact-rerank design
+    (Jégou et al. §V): per batch, each query's top-R ADC candidates get
+    their TRUE cosine computed from the batch's raw vectors, and the
+    merge ranks on exact scores.  With R >= batch rows ("probe-all", the
+    :func:`ivf_topk` n_probe=n_lists analog) the result provably equals
+    :func:`brute_force_topk`, which makes the gate query hash-checkable
+    against the brute SQL oracle while still exercising the full PQ
+    train/encode/ADC machinery; the scale bench keeps rerank None/small.
     """
     n_corpus = emb.count()
     stride = max(1, n_corpus // max_train)
@@ -485,10 +495,12 @@ def pq_topk(
     tables = np.einsum(
         "qmd,mkd->qmk", q.reshape(len(q), n_subspaces, dsub), books
     )
-    b_ref = ray.put((books, np.asarray(query_ids, dtype=np.int64), tables))
+    if rerank is not None and rerank < k + (1 if exclude_self else 0):
+        raise ValueError(f"rerank={rerank} must cover k={k} (+self exclusion)")
+    b_ref = ray.put((books, np.asarray(query_ids, dtype=np.int64), tables, q))
 
     def stage(batch: pa.Table) -> pa.Table:
-        books_, qids, tabs = ray.get(b_ref)
+        books_, qids, tabs, qm = ray.get(b_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(
             np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
@@ -507,13 +519,30 @@ def pq_topk(
         for sm in range(n_subspaces):
             sims += tabs[:, sm, :][:, codes[:, sm]]
         rows = {"query_id": [], "neighbor_id": [], "cosine": []}
-        kk = min(k + (1 if exclude_self else 0), n)
-        for qi in range(len(qids)):
-            part = np.argpartition(-sims[qi], kk - 1)[:kk]
-            for j in part:
-                rows["query_id"].append(int(qids[qi]))
-                rows["neighbor_id"].append(int(ids[j]))
-                rows["cosine"].append(float(sims[qi, j]))
+        if rerank is None:
+            kk = min(k + (1 if exclude_self else 0), n)
+            for qi in range(len(qids)):
+                part = np.argpartition(-sims[qi], kk - 1)[:kk]
+                for j in part:
+                    rows["query_id"].append(int(qids[qi]))
+                    rows["neighbor_id"].append(int(ids[j]))
+                    rows["cosine"].append(float(sims[qi, j]))
+        else:
+            rr = min(rerank, n)
+            kk = min(k + (1 if exclude_self else 0), rr)
+            for qi in range(len(qids)):
+                cand_idx = (
+                    np.arange(n)
+                    if rr == n
+                    else np.argpartition(-sims[qi], rr - 1)[:rr]
+                )
+                exact = m[cand_idx] @ qm[qi]  # TRUE cosine for the shortlist
+                # only the batch-local exact top-k leaves the task
+                keep = np.argpartition(-exact, kk - 1)[:kk]
+                for j in keep:
+                    rows["query_id"].append(int(qids[qi]))
+                    rows["neighbor_id"].append(int(ids[cand_idx[j]]))
+                    rows["cosine"].append(float(exact[j]))
         return pa.table(rows)
 
     cand = emb.map_batches(stage, batch_format="pyarrow").to_pandas()

@@ -45,32 +45,135 @@ from open_finance_lakehouse_ray.state.txlog import (
 
 
 class StreamCheckpoint:
-    """JSON checkpoint: processed files, watermark state, bounded dedup
-    keys, open (unfinalized) windows, metrics."""
+    """SHARDED checkpoint: a small core JSON (offsets, watermark, metrics,
+    shard manifest) plus time-bucketed state shard files.
 
-    def __init__(self, path: str):
+    Round-3 verdict: persisting ``seen_keys`` + ``open_windows`` as ONE
+    JSON per batch is the lane's 100-TB scale-killer — at high key
+    cardinality every batch rewrites the whole state.  The analog of the
+    reference's per-query checkpoint dirs (``ofl/streaming/paths.py:33-37``)
+    is a sharded state store:
+
+    - ``seen_keys`` shard = ``ts_us // bucket_us``; ``open_windows`` shard
+      = ``wstart // bucket_us``.  Event-time bucketing (not key hashing)
+      means the watermark prune DELETES whole shard files instead of
+      rewriting every shard, and in-order arrivals only dirty the most
+      recent buckets — checkpoint write I/O stays flat as key cardinality
+      grows (see ``tools/checkpoint_scale_bench.py``).
+    - Per batch, only shards whose payload changed are rewritten (to a NEW
+      ``<kind>-<bucket>-<batch>.json`` name), then the core manifest is
+      atomically replaced; a crash between the two leaves the old core
+      pointing at the old files — consistent, and the idempotent appends
+      make the batch replay a no-op.  Unreferenced shard files are pruned
+      best-effort after the core points away.
+    - Retained-key semantics are IDENTICAL to the unsharded checkpoint
+      (per-key ``ts >= watermark``): the watermark's own boundary bucket is
+      filtered and rewritten; only strictly-older buckets drop wholesale.
+
+    ``load()`` still returns the merged ``seen_keys`` / ``open_windows``
+    dicts, so the processor code is layout-agnostic.
+    """
+
+    def __init__(self, path: str, *, bucket_us: int = 60_000_000):
         self.path = path
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.bucket_us = int(bucket_us)
+        self.shard_dir = os.path.join(os.path.dirname(path) or ".", "shards")
+        os.makedirs(self.shard_dir, exist_ok=True)
+        # bucket -> (filename, payload) of the shards the core references,
+        # for dirty detection at save time
+        self._cache: dict[str, dict[int, tuple[str, dict]]] = {
+            "keys": {}, "windows": {},
+        }
+
+    @staticmethod
+    def _empty_state() -> dict[str, Any]:
+        return {
+            "batch_id": 0,
+            "processed": [],
+            "max_event_us": None,
+            "seen_keys": {},  # key -> ts_us (pruned below watermark)
+            "open_windows": {},  # "key|wstart" -> partial agg
+            "metrics": {"rows_in": 0, "rows_valid": 0, "dropped_late": 0,
+                        "dropped_dup": 0, "bars_emitted": 0},
+        }
 
     def load(self) -> dict[str, Any]:
+        self._cache = {"keys": {}, "windows": {}}
         try:
             with open(self.path) as f:
-                return json.load(f)
+                core = json.load(f)
         except FileNotFoundError:
-            return {
-                "batch_id": 0,
-                "processed": [],
-                "max_event_us": None,
-                "seen_keys": {},  # key -> ts_us (pruned below watermark)
-                "open_windows": {},  # "key|wstart" -> partial agg
-                "metrics": {"rows_in": 0, "rows_valid": 0, "dropped_late": 0,
-                            "dropped_dup": 0, "bars_emitted": 0},
-            }
+            return self._empty_state()
+        if "seen_keys" in core:  # legacy single-file layout: read-through
+            return core
+        state = {
+            "batch_id": core["batch_id"],
+            "processed": core["processed"],
+            "max_event_us": core["max_event_us"],
+            "metrics": core["metrics"],
+            "seen_keys": {},
+            "open_windows": {},
+        }
+        for kind, target in (("keys", "seen_keys"), ("windows", "open_windows")):
+            for b_str, fname in core.get(f"{kind[:-1]}_shards", {}).items():
+                with open(os.path.join(self.shard_dir, fname)) as f:
+                    payload = json.load(f)
+                state[target].update(payload)
+                self._cache[kind][int(b_str)] = (fname, payload)
+        return state
+
+    def _bucketize(self, state: dict[str, Any]) -> dict[str, dict[int, dict]]:
+        bucket_us = self.bucket_us
+        keys: dict[int, dict] = {}
+        for k, t in state["seen_keys"].items():
+            keys.setdefault(int(t) // bucket_us, {})[k] = t
+        windows: dict[int, dict] = {}
+        for key, bar in state["open_windows"].items():
+            ws = int(key.rsplit("|", 1)[1])
+            windows.setdefault(ws // bucket_us, {})[key] = bar
+        return {"keys": keys, "windows": windows}
 
     def save(self, state: dict[str, Any]) -> None:
+        buckets = self._bucketize(state)
+        core: dict[str, Any] = {
+            "batch_id": state["batch_id"],
+            "processed": state["processed"],
+            "max_event_us": state["max_event_us"],
+            "metrics": state["metrics"],
+            "bucket_us": self.bucket_us,
+            "key_shards": {},
+            "window_shards": {},
+        }
+        new_cache: dict[str, dict[int, tuple[str, dict]]] = {
+            "keys": {}, "windows": {},
+        }
+        for kind, manifest in (("keys", "key_shards"), ("windows", "window_shards")):
+            for b, payload in buckets[kind].items():
+                cached = self._cache.get(kind, {}).get(b)
+                if cached is not None and cached[1] == payload:
+                    fname = cached[0]  # clean shard: reference, don't rewrite
+                else:
+                    fname = f"{kind}-{b}-{state['batch_id']}.json"
+                    _atomic_write_json(
+                        self.shard_dir,
+                        os.path.join(self.shard_dir, fname),
+                        payload,
+                    )
+                core[manifest][str(b)] = fname
+                new_cache[kind][b] = (fname, payload)
         _atomic_write_json(
-            os.path.dirname(self.path) or ".", self.path, state
+            os.path.dirname(self.path) or ".", self.path, core
         )
+        self._cache = new_cache
+        # prune shard files the new core no longer references (best-effort;
+        # a crash before this point only leaves harmless orphans)
+        live = set(core["key_shards"].values()) | set(core["window_shards"].values())
+        for name in os.listdir(self.shard_dir):
+            if name.endswith(".json") and name not in live:
+                try:
+                    os.remove(os.path.join(self.shard_dir, name))
+                except OSError:
+                    pass
 
 
 def _bar_from_group(g: pd.DataFrame) -> dict:
@@ -136,7 +239,12 @@ class StreamProcessor:
         self.dead.create()
         self.silver = TableLog(silver_root)
         self.silver.create()
-        self.ckpt = StreamCheckpoint(os.path.join(checkpoint_dir, "stream.json"))
+        self.ckpt = StreamCheckpoint(
+            os.path.join(checkpoint_dir, "stream.json"),
+            # shard granularity: at least one window per state shard — the
+            # watermark prune then drops whole shard FILES as it advances
+            bucket_us=max(window_us, 60_000_000),
+        )
         self.window_us = window_us
         self.delay_us = delay_us
         self.max_files = max_files_per_trigger

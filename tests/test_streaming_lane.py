@@ -378,3 +378,113 @@ def test_distributed_replayed_batch_metrics_match_clean_run(
             proc.run_available_now()
         metrics[mode] = proc.ckpt.load()["metrics"]
     assert metrics["clean"] == metrics["replay"]
+
+
+# ---------------------------------------------------------------------------
+# sharded checkpoint (round 4): dirty-only rewrites, whole-bucket prune,
+# legacy migration, crash consistency
+# ---------------------------------------------------------------------------
+
+
+def _shard_files(ckpt):
+    return sorted(os.listdir(ckpt.shard_dir))
+
+
+def test_sharded_checkpoint_roundtrip_and_dirty_only_rewrites(tmp_path):
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    ck = StreamCheckpoint(str(tmp_path / "stream.json"), bucket_us=MIN)
+    st = ck.load()
+    # two time buckets of keys + one open window
+    st["seen_keys"] = {"click:1": BASE, "click:2": BASE + MIN}
+    st["open_windows"] = {f"click|{BASE}": {"open": 1.0, "close": 1.0,
+                                            "high": 1.0, "low": 1.0,
+                                            "volume": 1.0, "n_events": 1,
+                                            "_first_key": [BASE, 1],
+                                            "_last_key": [BASE, 1]}}
+    st["batch_id"] = 1
+    ck.save(st)
+    files_v1 = _shard_files(ck)
+    assert len(files_v1) == 3  # 2 key buckets + 1 window bucket
+
+    # reload from disk: merged dicts identical
+    ck2 = StreamCheckpoint(str(tmp_path / "stream.json"), bucket_us=MIN)
+    st2 = ck2.load()
+    assert st2["seen_keys"] == st["seen_keys"]
+    assert st2["open_windows"] == st["open_windows"]
+
+    # insert into ONLY the second bucket: first key bucket + window shard
+    # must be referenced unchanged (same filename), not rewritten
+    st2["seen_keys"]["click:3"] = BASE + MIN + 1
+    st2["batch_id"] = 2
+    ck2.save(st2)
+    files_v2 = _shard_files(ck2)
+    stable = [f for f in files_v1 if f.startswith(("keys-28333333", "windows-"))]
+    # the untouched bucket-0 key shard and the window shard survive by name
+    untouched = set(files_v1) & set(files_v2)
+    assert any(f.startswith("keys-") for f in untouched)
+    assert any(f.startswith("windows-") for f in untouched)
+    del stable
+
+    # watermark prune: dropping the old bucket's keys deletes its file
+    st3 = ck2.load()
+    st3["seen_keys"] = {k: t for k, t in st3["seen_keys"].items()
+                        if t >= BASE + MIN}
+    st3["batch_id"] = 3
+    ck2.save(st3)
+    files_v3 = _shard_files(ck2)
+    assert not any(f.startswith(f"keys-{BASE // MIN}-") for f in files_v3)
+    assert StreamCheckpoint(str(tmp_path / "stream.json"),
+                            bucket_us=MIN).load()["seen_keys"] == st3["seen_keys"]
+
+
+def test_sharded_checkpoint_migrates_legacy_single_file(tmp_path):
+    import json
+
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    legacy = {
+        "batch_id": 5, "processed": ["a.parquet"], "max_event_us": BASE,
+        "seen_keys": {"click:9": BASE},
+        "open_windows": {},
+        "metrics": {"rows_in": 1, "rows_valid": 1, "dropped_late": 0,
+                    "dropped_dup": 0, "bars_emitted": 0},
+    }
+    p = tmp_path / "stream.json"
+    p.write_text(json.dumps(legacy))
+    ck = StreamCheckpoint(str(p), bucket_us=MIN)
+    st = ck.load()
+    assert st["seen_keys"] == {"click:9": BASE}
+    ck.save(st)  # rewrites as sharded core
+    core = json.loads(p.read_text())
+    assert "seen_keys" not in core and core["key_shards"]
+    assert StreamCheckpoint(str(p), bucket_us=MIN).load()["seen_keys"] == {
+        "click:9": BASE
+    }
+
+
+def test_sharded_checkpoint_crash_before_core_write_is_consistent(tmp_path):
+    """Shard files written but the core not yet replaced == the OLD state:
+    a restart must load the old state exactly (orphans are ignored and
+    pruned by the next successful save)."""
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    ck = StreamCheckpoint(str(tmp_path / "stream.json"), bucket_us=MIN)
+    st = ck.load()
+    st["seen_keys"] = {"click:1": BASE}
+    st["batch_id"] = 1
+    ck.save(st)
+
+    # simulate the crash: write a NEW shard file but leave the core alone
+    orphan = os.path.join(ck.shard_dir, f"keys-{(BASE + MIN) // MIN}-2.json")
+    with open(orphan, "w") as f:
+        f.write('{"click:999": 1}')
+
+    st2 = StreamCheckpoint(str(tmp_path / "stream.json"), bucket_us=MIN).load()
+    assert st2["seen_keys"] == {"click:1": BASE}  # orphan invisible
+    st2["batch_id"] = 2
+    ck3 = StreamCheckpoint(str(tmp_path / "stream.json"), bucket_us=MIN)
+    st3 = ck3.load()
+    st3["batch_id"] = 2
+    ck3.save(st3)
+    assert not os.path.exists(orphan)  # pruned by the successful save

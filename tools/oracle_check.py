@@ -22,22 +22,40 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def to_pandas(result) -> pd.DataFrame:
     import pyarrow as pa
+    import ray
     import ray.data as rd
 
     if isinstance(result, rd.Dataset):
-        return result.to_pandas()
+        refs = result.to_arrow_refs()
+        tabs = [t for t in ray.get(refs) if t.num_rows] or [ray.get(refs[0])]
+        result = pa.concat_tables(tabs, promote_options="default")
     if isinstance(result, pa.Table):
-        return result.to_pandas()
+        # keep native timestamp resolution — the default ns coercion would
+        # hide exactly the unit drift this mirror exists to catch
+        return result.to_pandas(coerce_temporal_nanoseconds=False)
     return result
 
 
+# Queries whose float columns may legitimately differ in the last ulp
+# between numpy and DuckDB arithmetic.  EMPTY by default: the driver's gate
+# hashes exact values, so the mirror must too.  Add a name here only with a
+# written justification — every entry weakens the mirror for that query.
+FLOAT_ATOL: dict[str, float] = {}
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize for a DRIVER-STRICT compare.
+
+    Deliberately does NOT coerce datetime resolution (a timestamp[s] vs
+    timestamp[us] drift must fail here like it fails the driver's
+    epoch-integer value hash — round-3's ``ev_ohlc_daily_rollup`` bug) and
+    does NOT round floats.  Integer width and tz-naive object-NaN noise are
+    normalized because the driver hashes values, not physical widths.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            pass  # keep native resolution — unit drift MUST mismatch
         elif df[c].dtype == object:
             df[c] = df[c].where(pd.notna(df[c]), None)
         elif pd.api.types.is_bool_dtype(df[c]):
@@ -45,6 +63,36 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    if len(got) != len(exp):
+        problems.append(f"rows ray={len(got)} sql={len(exp)}")
+    if list(got.columns) != list(exp.columns):
+        problems.append(f"cols ray={list(got.columns)} sql={list(exp.columns)}")
+    if problems:
+        return problems
+    for c in got.columns:
+        g, x = got[c], exp[c]
+        if str(g.dtype) != str(x.dtype):
+            # the driver hashes values; dtype drift matters when it changes
+            # the hashed value (datetime unit) — flag ALL dtype drift so the
+            # mirror is strictly stronger, not weaker, than the driver
+            problems.append(f"dtype[{c}] ray={g.dtype} sql={x.dtype}")
+            continue
+        atol = FLOAT_ATOL.get(name, 0.0)
+        try:
+            if pd.api.types.is_float_dtype(g) and atol > 0.0:
+                pd.testing.assert_series_equal(
+                    g, x, check_exact=False, atol=atol, rtol=0.0
+                )
+            else:
+                pd.testing.assert_series_equal(g, x, check_exact=True)
+        except AssertionError as ex:
+            problems.append(f"values[{c}]: " + str(ex).splitlines()[-1])
+    return problems
 
 
 def main() -> int:
@@ -90,25 +138,10 @@ def main() -> int:
             print(f"[{name}] ORACLE SQL ERROR: {ex}")
             failed.append(name)
             continue
-        ok_rows = len(got) == len(exp)
-        ok_cols = list(got.columns) == list(exp.columns)
-        ok_vals = False
-        if ok_rows and ok_cols:
-            try:
-                pd.testing.assert_frame_equal(
-                    got, exp, check_dtype=False, check_exact=False, atol=1e-6
-                )
-                ok_vals = True
-            except AssertionError as ex:
-                msg = str(ex).splitlines()[:6]
-                print(f"[{name}] VALUE MISMATCH: " + " | ".join(msg))
-        status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
-        if status == "FAIL":
+        problems = compare(name, got, exp)
+        if problems:
             failed.append(name)
-            print(
-                f"[{name}] {status}: rows ray={len(got)} sql={len(exp)} "
-                f"cols ray={list(got.columns)} sql={list(exp.columns)} ({elapsed:.1f}s)"
-            )
+            print(f"[{name}] FAIL ({elapsed:.1f}s): " + " | ".join(problems))
         else:
             print(f"[{name}] OK ({len(got)} rows, {elapsed:.1f}s)")
     ray.shutdown()
