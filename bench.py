@@ -122,7 +122,7 @@ def run_bench() -> dict:
                 ).repartition(n_files),
                 root,
                 job_id="bench-ingest",
-                summary={"keys_unique": True},
+                summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
             ),
         )
         timed("compact", lambda: compact(root, job_id="bench-compact",

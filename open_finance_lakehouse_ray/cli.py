@@ -83,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
                       "--to-version": {"type": int, "default": None},
                       "--granularity": {"default": "net",
                                         "choices": ["net", "commits", "auto"]},
+                      "--key-cols": {"nargs": "+", "default": None,
+                                     "help": "merge key for the net fold "
+                                             "(default: the log's recorded "
+                                             "key metadata)"},
                       "--dest": {"default": None,
                                  "help": "write the feed as parquet here"}})
     add("maintain", **{"--target-bytes": {"type": int, "default": 96 * 1024 * 1024},
@@ -214,6 +218,7 @@ def main(argv: list[str] | None = None) -> int:
         feed = change_feed(
             args.root, from_version=args.from_version,
             to_version=args.to_version, granularity=args.granularity,
+            key_cols=tuple(args.key_cols) if args.key_cols else None,
         )
         if args.dest:
             feed.write_parquet(args.dest)

@@ -340,7 +340,7 @@ def change_feed(
     *,
     from_version: int,
     to_version: int | None = None,
-    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    key_cols: tuple[str, ...] | None = None,
     num_partitions: int = 64,
     payload: str = "auto",
     granularity: str = "net",
@@ -370,6 +370,26 @@ def change_feed(
 
     if granularity not in ("net", "commits", "auto"):
         raise ValueError(f"unknown granularity={granularity!r}")
+
+    def resolve_keys() -> tuple[str, ...]:
+        # the net fold PAIRS rows on the table's merge key — resolve from
+        # the log's recorded key metadata rather than assuming a transcript
+        # default (round-4 advice: a table that merely carries
+        # conv_id/turn_idx but is keyed differently would fold on the wrong
+        # key, misclassifying updates as insert+delete pairs). Resolved
+        # LAZILY at the point of need so an expired-span StaleTableError is
+        # never masked; granularity="commits" never pairs and stays usable
+        # on tables without key metadata.
+        if key_cols is not None:
+            return tuple(key_cols)
+        kc = log.table_key_cols()
+        if kc is None:
+            raise ValueError(
+                f"table at {root} records no key_cols metadata; pass the "
+                "table's actual merge key (key_cols=...) for net/auto "
+                "granularity, or use granularity='commits'"
+            )
+        return kc
     if granularity in ("commits", "auto"):
         from open_finance_lakehouse_ray.state.txlog import StaleTableError
 
@@ -410,7 +430,8 @@ def change_feed(
                 # problem the computed path solves, reusing its kernel
                 # over the event set (O(changes) shuffle, zero file reads).
                 return _net_reduce_events(
-                    out, log.table_schema(head), list(key_cols), num_partitions
+                    out, log.table_schema(head), list(resolve_keys()),
+                    num_partitions,
                 )
             return out
         if granularity == "commits":
@@ -455,6 +476,10 @@ def change_feed(
 
     olds = side_reader(old_only, 0)
     news = side_reader(new_only, 1)
+    if olds is not None or news is not None:
+        # resolved here — after the span/staleness checks (which must win)
+        # and never for an empty diff, which pairs nothing
+        key_cols = resolve_keys()
     if olds is None and news is None:
         empty = (sch or log.table_schema(to_version) or pa.schema([])).empty_table()
         empty = empty.append_column(CHANGE_COL, pa.array([], pa.string()))
@@ -666,7 +691,7 @@ class ChangeStream:
         checkpoint_path: str,
         *,
         start_version: int | None = None,
-        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        key_cols: tuple[str, ...] | None = None,
     ):
         import json as _json
 
@@ -674,8 +699,11 @@ class ChangeStream:
         self.path = checkpoint_path
         # the merge key the auto-granularity net fold pairs on — MUST match
         # the table's actual key columns (a stream bronze table is keyed by
-        # event_id, not the transcript default)
-        self.key_cols = tuple(key_cols)
+        # event_id, not a transcript default). None = resolve from the
+        # table log's recorded key metadata at poll time; change_feed
+        # raises if the table records none (round-4 advice: never default
+        # to a transcript-specific key).
+        self.key_cols = tuple(key_cols) if key_cols is not None else None
         self._json = _json
         if not os.path.exists(checkpoint_path):
             if start_version is None:

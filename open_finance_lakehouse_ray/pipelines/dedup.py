@@ -41,13 +41,19 @@ def _force_scale() -> bool:
 def _shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
     """Per-doc array of distinct k-word shingle hashes (uint64).
 
+    TOKENIZATION CONTRACT (round-4 advice): the whole shingle family —
+    MinHash, n-gram Jaccard, cluster collapse, decontamination — splits on
+    a LITERAL SINGLE SPACE, bit-for-bit the ``string_split(text, ' ')``
+    the SQL oracles use (consecutive spaces/tabs/newlines produce empty
+    tokens on BOTH sides, never silently collapse on one side only).
+
     The per-doc Python loop is over DOCS, not tokens; token hashing is
     pandas' C siphash over the flattened shingle list.
     """
     all_shingles: list[str] = []
     offsets = [0]
     for t in texts:
-        w = t.split()
+        w = t.split(" ")
         sh = {" ".join(w[i : i + k]) for i in range(max(0, len(w) - k + 1))}
         all_shingles.extend(sh)
         offsets.append(len(all_shingles))
@@ -115,7 +121,8 @@ def band_rows(
 
 
 def exact_jaccard(a: str, b: str, k: int = 3) -> float:
-    wa, wb = a.split(), b.split()
+    # single-space split: the _shingle_hashes tokenization contract
+    wa, wb = a.split(" "), b.split(" ")
     sa = {" ".join(wa[i : i + k]) for i in range(max(0, len(wa) - k + 1))}
     sb = {" ".join(wb[i : i + k]) for i in range(max(0, len(wb) - k + 1))}
     if not sa and not sb:
@@ -153,11 +160,12 @@ def minhash_near_dup_pairs(
         )
         return band_rows(ids, sigs, bands=bands)
 
-    # materialize the (id, text) projection ONCE: it feeds the signature
-    # stage AND the verify stage (no second read of the source)
-    texts = docs.select_columns([id_col, text_col]).materialize()
+    # the (id, text) projection feeds the signature stage AND the verify
+    # stage: pinned once when small (no second source read), streamed with
+    # per-stage re-reads above the guard (_maybe_pin)
+    texts, tsize = _maybe_pin(docs.select_columns([id_col, text_col]))
     small = (not _force_scale()) and (
-        (texts.size_bytes() or 0) <= broadcast_max_bytes
+        tsize is not None and tsize <= broadcast_max_bytes
     )
 
     buckets = texts.map_batches(sig_stage, batch_format="pyarrow")
@@ -181,6 +189,36 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 
 NUM_SHUFFLE_PARTITIONS = 64
+
+# Pinning guard for the multi-consumer corpus projections (round-3 verdict):
+# a small (id, text) projection is materialized once and feeds two stages
+# (no second source read), but pinning a 100-TB corpus in the object store
+# just forces spill — above this bound the LAZY dataset is returned and each
+# consumer re-reads the pruned columns from the source instead.
+PIN_MAX_BYTES = int(os.environ.get("OFLR_PIN_MAX_BYTES", str(4 << 30)))
+
+
+def _maybe_pin(
+    projected: rd.Dataset, estimate_from: rd.Dataset | None = None
+) -> tuple[rd.Dataset, int | None]:
+    """(dataset, size-estimate) with the projection pinned only when small.
+
+    The estimate comes from ``size_bytes()`` on ``estimate_from`` (pass the
+    read-backed PRE-transform projection so the estimate is
+    metadata-derived, not an execution) or on ``projected`` itself; ``None``
+    means unknown and is treated as big.  ``OFLR_FORCE_SCALE_PATHS=1``
+    skips the pin unconditionally so the re-read scale path is testable
+    end to end.
+    """
+    if _force_scale():
+        return projected, None
+    try:
+        est = (estimate_from if estimate_from is not None else projected).size_bytes()
+    except Exception:  # noqa: BLE001 — unknown size: stream, don't pin
+        est = None
+    if est is not None and est <= PIN_MAX_BYTES:
+        return projected.materialize(), est
+    return projected, est
 
 
 def _pk_tagger(key_cols: tuple[str, ...], num_partitions: int):
@@ -413,9 +451,9 @@ def ngram_jaccard_pairs(
         return pa.table({"shingle": np.concatenate(out_hash),
                          "doc_id": np.concatenate(out_id)})
 
-    texts = docs.select_columns([id_col, text_col]).materialize()
+    texts, tsize = _maybe_pin(docs.select_columns([id_col, text_col]))
     small = (not _force_scale()) and (
-        (texts.size_bytes() or 0) <= broadcast_max_bytes
+        tsize is not None and tsize <= broadcast_max_bytes
     )
 
     cand = _collision_groups(
@@ -465,7 +503,7 @@ def simhash64(texts: list[str], k: int = 3) -> np.ndarray:
     all_tokens: list[str] = []
     offsets = [0]
     for t in texts:
-        w = t.split()
+        w = t.split(" ")  # the _shingle_hashes tokenization contract
         all_tokens.extend(
             " ".join(w[i : i + k]) for i in range(max(0, len(w) - k + 1))
         )
@@ -650,13 +688,22 @@ def embedding_near_dup_pairs(
     # band row (n_planes/8 bytes — vs the 8·d-byte vector it replaces), so
     # a hot bucket can discard its sub-threshold pairs locally by sketch
     # hamming distance instead of shipping O(m²) candidates through the
-    # dedup + join shuffles (review finding, round 3). The cutoff keeps
-    # every pair whose SKETCH cosine could be ≥ threshold − 0.2 — for a
-    # true pair at the threshold that is >5σ of sketch noise at 128
-    # planes, the same epistemic class as LSH band recall itself; exact
-    # verify still decides every surviving pair.
-    cut_cos = max(threshold - 0.2, -1.0)
-    ham_cut = int(np.ceil(np.arccos(np.clip(cut_cos, -1.0, 1.0)) / np.pi * n_planes))
+    # dedup + join shuffles (review finding, round 3). The cutoff is
+    # derived in SIGMA units of the sketch's hamming noise (round-4
+    # advice: a fixed cosine margin was only ~1.8σ at threshold 0.5, so a
+    # true at-threshold pair could be dropped before the exact verify
+    # with ~1-3% probability over plane draws): a true pair at cosine
+    # exactly `threshold` has expected hamming n·p, p = acos(t)/π, std
+    # sqrt(n·p·(1−p)); keep everything within C=6σ above the mean, so
+    # the prefilter's false-drop probability is ~1e-9 — beneath LSH band
+    # recall itself. Exact verify still decides every surviving pair.
+    p_mis = np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    ham_cut = min(
+        n_planes,
+        int(np.ceil(
+            n_planes * p_mis + 6.0 * np.sqrt(n_planes * p_mis * (1.0 - p_mis))
+        )),
+    )
     sig_words = (n_planes + 63) // 64
 
     class SignBander:

@@ -377,6 +377,7 @@ def _merge_attempt(
             "files_affected": len(affected),
             "files_untouched": len(entries) - len(affected),
             "keys_unique": log.keys_unique(base_version),
+            "key_cols": list(MERGE_KEY),
             **({"cdc": {"files": cdc_files}} if record_cdc else {}),
         },
     )
@@ -549,6 +550,7 @@ def _merge_broadcast(
             "files_affected": len(affected),
             "files_rewritten": len(removed),
             "keys_unique": log.keys_unique(base_version),
+            "key_cols": list(MERGE_KEY),
             "cdc": {"files": cdc_files, "insert_files": insert_files},
         },
     )

@@ -153,7 +153,7 @@ def q_tx_maintenance_roundtrip(sf_dir: str) -> pa.Table:
 
     root = _scratch_root("roundtrip")
     tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
-    ingest_dataset(tx.repartition(24), root, job_id="rt-ingest", summary={"keys_unique": True})
+    ingest_dataset(tx.repartition(24), root, job_id="rt-ingest", summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]})
     compact(root, job_id="rt-compact", target_bytes=8 * 1024 * 1024)
     zorder(root, job_id="rt-zorder")
     return _scan_and_cleanup(root)
@@ -257,7 +257,7 @@ def q_tx_merge_upsert(sf_dir: str) -> pa.Table:
 
     root = _scratch_root("merge")
     tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
-    ingest_dataset(tx.repartition(24), root, job_id="mg-ingest", summary={"keys_unique": True})
+    ingest_dataset(tx.repartition(24), root, job_id="mg-ingest", summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]})
     updates = _merge_updates(dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16))
     merge_into(root, updates, job_id="mg-merge", num_buckets=16)
     return _scan_and_cleanup(root)
@@ -290,7 +290,7 @@ def q_tx_expire_invariance(sf_dir: str) -> pa.Table:
 
     root = _scratch_root("expire")
     tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
-    ingest_dataset(tx.repartition(24), root, job_id="ex-ingest", summary={"keys_unique": True})
+    ingest_dataset(tx.repartition(24), root, job_id="ex-ingest", summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]})
     compact(root, job_id="ex-compact", target_bytes=8 * 1024 * 1024)
     expire(root, keep_last=1, force=True)
     return _scan_and_cleanup(root)
@@ -3355,7 +3355,7 @@ def q_tx_delete_where(sf_dir: str) -> pa.Table:
     root = _scratch_root("delete")
     tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
     ingest_dataset(
-        tx.repartition(24), root, job_id="dl-ingest", summary={"keys_unique": True}
+        tx.repartition(24), root, job_id="dl-ingest", summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]}
     )
     delete_where(
         root,
@@ -3408,7 +3408,7 @@ def q_tx_schema_evolution(sf_dir: str) -> pa.Table:
     root = _scratch_root("evolve")
     base = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
     ingest_dataset(
-        base.repartition(16), root, job_id="sv-base", summary={"keys_unique": True}
+        base.repartition(16), root, job_id="sv-base", summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]}
     )
 
     def to_ext(t: pa.Table) -> pa.Table:
@@ -3479,7 +3479,7 @@ def q_tx_change_feed(sf_dir: str) -> pa.Table:
         tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
         ingest_dataset(
             tx.repartition(24), root, job_id="cf-ingest",
-            summary={"keys_unique": True},
+            summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
         )
         v0 = TableLog(root).current_version()
         updates = _merge_updates(
@@ -3559,7 +3559,7 @@ def q_tx_update_where(sf_dir: str) -> pa.Table:
     root = _scratch_root("update")
     tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
     ingest_dataset(
-        tx.repartition(24), root, job_id="up-ingest", summary={"keys_unique": True}
+        tx.repartition(24), root, job_id="up-ingest", summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]}
     )
     update_where(
         root,
@@ -3670,7 +3670,7 @@ def q_tx_clone_divergence(sf_dir: str) -> pa.Table:
         tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
         ingest_dataset(
             tx.repartition(16), root, job_id="cl-ingest",
-            summary={"keys_unique": True},
+            summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
         )
         clone_table(root, dst, job_id="cl-clone")
         delete_where(
@@ -3732,7 +3732,7 @@ def q_tx_cdc_commits(sf_dir: str) -> pa.Table:
         tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
         ingest_dataset(
             tx.repartition(24), root, job_id="cc-ingest",
-            summary={"keys_unique": True},
+            summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
         )
         v0 = TableLog(root).current_version()
         delete_where(

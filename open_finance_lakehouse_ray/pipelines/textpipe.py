@@ -388,11 +388,14 @@ def tfidf_top_terms(
 
     from open_finance_lakehouse_ray.pipelines.dedup import (
         _force_scale,
+        _maybe_pin,
         _pk_tagger,
     )
     from open_finance_lakehouse_ray.pipelines.join import join as ds_join
 
-    mat = docs.select_columns([id_col, text_col]).materialize()
+    # pinned only when small (feeds the TF pass AND the DF-join pass);
+    # above the guard each pass re-reads the pruned columns
+    mat, _ = _maybe_pin(docs.select_columns([id_col, text_col]))
     n_docs = mat.count()
 
     def doc_token_tf(batch: pa.Table) -> pa.Table:
@@ -662,11 +665,14 @@ def unigram_logprob(
 
     from open_finance_lakehouse_ray.pipelines.dedup import (
         _force_scale,
+        _maybe_pin,
         _pk_tagger,
     )
     from open_finance_lakehouse_ray.pipelines.join import join as ds_join
 
-    mat = docs.select_columns([id_col, text_col]).materialize()
+    # pinned only when small (feeds the corpus-count pass AND the per-doc
+    # fold); above the guard each pass re-reads the pruned columns
+    mat, _ = _maybe_pin(docs.select_columns([id_col, text_col]))
 
     def occ_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -166,6 +166,15 @@ def ingest_table(
     summary = {}
     if keys_unique is not None:
         summary["keys_unique"] = keys_unique
+    # record the table's merge-key names (YAML `key_cols`) so key-pairing
+    # consumers (ChangeStream net fold) resolve from the log instead of
+    # assuming a transcript default; an attested-unique ingest of the
+    # builtin transcript contract implies the transcript key
+    key_cols = cfg.get("key_cols")
+    if key_cols is None and keys_unique and cfg.get("contract") == "builtin":
+        key_cols = ["conv_id", "turn_idx"]
+    if key_cols:
+        summary["key_cols"] = list(key_cols)
     return ingest_dataset(
         source, cfg["root"], job_id=job_id, mode=mode, validate=validate,
         # no implicit transcript sort: a YAML without sort_by means the
@@ -296,18 +305,22 @@ def freshness_report(reg: Registry, *, now: float | None = None) -> dict[str, An
             }
             continue
         rep = manifest_report(cfg["root"])
-        if rep["max_ts"] is not None:
-            # manifest ts stats are epoch ints in the COLUMN'S native unit
-            # (stages/writer.py:column_stats) — scale by the schema's unit,
-            # else an ms/s/ns table misreads by orders of magnitude
-            div = 1e6
-            sch = log.table_schema()
-            if sch is not None and "ts" in sch.names:
-                import pyarrow as _pa
+        # manifest ts stats are epoch ints in the COLUMN'S native unit
+        # (stages/writer.py:column_stats) — the data basis is only sound
+        # when the schema PROVES that unit (ts is an Arrow timestamp).  A
+        # raw int64/float epoch column has no recorded unit: guessing 1e6
+        # would misread an epoch-seconds table by orders of magnitude and
+        # silently flip the fresh/stale verdict (round-4 advice) — fall
+        # back to the commit basis instead.
+        div = None
+        sch = log.table_schema()
+        if sch is not None and "ts" in sch.names:
+            import pyarrow as _pa
 
-                t = sch.field("ts").type
-                if _pa.types.is_timestamp(t):
-                    div = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[t.unit]
+            t = sch.field("ts").type
+            if _pa.types.is_timestamp(t):
+                div = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[t.unit]
+        if rep["max_ts"] is not None and div is not None:
             age = now - rep["max_ts"] / div
             basis = "data"
         else:

@@ -302,6 +302,33 @@ class TableLog:
             except StaleTableError:
                 return None
 
+    def table_key_cols(self, version: int | None = None) -> tuple[str, ...] | None:
+        """The table's recorded merge-key column names, or None for tables
+        whose commits never recorded them.
+
+        The names travel in commit summaries (``key_cols``) — MERGE writes
+        its key, ingest callers write theirs alongside the ``keys_unique``
+        attestation; the latest commit that recorded one wins (walks the
+        parent chain like :meth:`table_schema`).  Consumers that must pair
+        rows on the table's key (the change feed's net fold) resolve here
+        instead of assuming a transcript-specific default (round-4 advice:
+        a table that merely CARRIES conv_id/turn_idx but is keyed
+        differently would silently fold on the wrong key)."""
+        try:
+            snap = self.snapshot(version)
+        except (StaleTableError, FileNotFoundError):
+            return None
+        while True:
+            kc = snap.summary.get("key_cols")
+            if kc is not None:
+                return tuple(kc)
+            if snap.parent is None:
+                return None
+            try:
+                snap = self.snapshot(snap.parent)
+            except StaleTableError:
+                return None
+
     def schema_is_evolved(self, version: int | None = None) -> bool:
         """True iff any commit in the chain actually CHANGED the schema
         (``schema_evolved`` summary flag) — the scan only pays the
@@ -727,6 +754,13 @@ class TableLog:
                     dead_files.add(e.path)
 
         if not dry_run:
+            # carry table-identity metadata forward before the chain below
+            # the oldest retained snapshot is cut: the walkers
+            # (table_key_cols / keys_unique / table_schema / constraints)
+            # resolve through parent links, and expiry would otherwise
+            # erase metadata recorded only by an old ingest/merge commit
+            # (round 4: ChangeStream key resolution must survive VACUUM).
+            self._carry_forward_metadata(min(retained))
             for p in sorted(dead_files):
                 try:
                     os.unlink(os.path.join(self.root, p))
@@ -747,6 +781,50 @@ class TableLog:
             "deleted_files": sorted(dead_files),
             "deleted_manifests": sorted(dead_manifests),
         }
+
+    def _carry_forward_metadata(self, oldest_retained: int) -> None:
+        """Stamp inherited table metadata into the oldest retained snapshot
+        before its parent chain is expired.
+
+        Each value is computed by its own SEMANTIC walker while the chain is
+        still intact (``keys_unique`` respects its preserving-operation
+        rule; a blind copy from below a non-preserving commit would
+        overclaim), then written into the snapshot's summary so the walkers
+        keep resolving after the parents are gone.  Rewrites only summary
+        metadata — no data/manifest references change."""
+        try:
+            snap = self.snapshot(oldest_retained)
+        except (StaleTableError, FileNotFoundError):
+            return
+        found: dict[str, Any] = {}
+        if "key_cols" not in snap.summary:
+            kc = self.table_key_cols(oldest_retained)
+            if kc is not None:
+                found["key_cols"] = list(kc)
+        if "keys_unique" not in snap.summary and self.keys_unique(oldest_retained):
+            found["keys_unique"] = True
+        if "schema_b64" not in snap.summary:
+            cur = snap
+            while cur.parent is not None and "schema_b64" not in cur.summary:
+                try:
+                    cur = self.snapshot(cur.parent)
+                except (StaleTableError, FileNotFoundError):
+                    break
+            if "schema_b64" in cur.summary:
+                found["schema_b64"] = cur.summary["schema_b64"]
+        if "schema_evolved" not in snap.summary and self.schema_is_evolved(
+            oldest_retained
+        ):
+            found["schema_evolved"] = True
+        if "constraints" not in snap.summary:
+            cons = self.table_constraints(oldest_retained)
+            if cons:
+                found["constraints"] = cons
+        if not found:
+            return
+        snap.summary.update(found)
+        path = self._snapshot_path(oldest_retained)
+        _atomic_write_json(os.path.dirname(path), path, snap.to_json())
 
     def sweep_orphans(self, *, grace_seconds: float = 3600.0, dry_run: bool = False) -> list[str]:
         """Delete data files not referenced by ANY snapshot's manifests and

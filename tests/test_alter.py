@@ -93,7 +93,7 @@ def test_run_checks_catches_constraint_breach(ray_session, table_root):
 
     tx = build_transcripts(n_convs=8)
     ingest_dataset(rd.from_arrow(tx), table_root, job_id="rc-base",
-                   summary={"keys_unique": True})
+                   summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]})
     # plant the constraint WITHOUT validating, simulating the race
     alter_constraints(
         table_root, job_id="rc-add", validate_existing=False,

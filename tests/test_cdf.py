@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
 import ray.data as rd
 
 from open_finance_lakehouse_ray.pipelines.cdf import change_feed
@@ -19,7 +21,7 @@ from open_finance_lakehouse_ray.state.txlog import TableLog
 def test_rewrite_noise_cancels(ray_session, table_root):
     """Compaction moves every row to new files; the feed must be empty."""
     tx = build_transcripts(n_convs=30)
-    ingest_dataset(rd.from_arrow(tx).repartition(8), table_root, job_id="c-base")
+    ingest_dataset(rd.from_arrow(tx).repartition(8), table_root, job_id="c-base", summary={"key_cols": ["conv_id", "turn_idx"]})
     log = TableLog(table_root)
     v0 = log.current_version()
     assert compact(table_root, job_id="c-compact", target_bytes=64 * 1024 * 1024)
@@ -29,7 +31,7 @@ def test_rewrite_noise_cancels(ray_session, table_root):
 
 def test_append_and_delete_classify(ray_session, table_root):
     tx = build_transcripts(n_convs=30)
-    ingest_dataset(rd.from_arrow(tx), table_root, job_id="a-base")
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="a-base", summary={"key_cols": ["conv_id", "turn_idx"]})
     log = TableLog(table_root)
     v0 = log.current_version()
     import pyarrow.compute as pc
@@ -70,7 +72,8 @@ def test_update_pairing_and_dup_surplus(ray_session, table_root):
         )
 
     e0 = write_table_file(table_root, row("a"), presorted=True)
-    log.commit(operation="ingest", job_id="v0", added=[e0])
+    log.commit(operation="ingest", job_id="v0", added=[e0],
+               summary={"key_cols": ["conv_id", "turn_idx"]})
     v0 = log.current_version()
     e1 = write_table_file(
         table_root, pa.concat_tables([row("b"), row("c")]), presorted=True
@@ -98,7 +101,7 @@ def test_change_stream_incremental(ray_session, table_root, tmp_path):
     from open_finance_lakehouse_ray.pipelines.cdf import ChangeStream
 
     tx = build_transcripts(n_convs=20)
-    ingest_dataset(rd.from_arrow(tx), table_root, job_id="cs-base")
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="cs-base", summary={"key_cols": ["conv_id", "turn_idx"]})
     ckpt = str(tmp_path / "cdc.json")
     cs = ChangeStream(table_root, ckpt)
     assert cs.poll() is None  # caught up at creation
@@ -140,7 +143,7 @@ def test_feed_preserves_dtypes_and_relative_root(ray_session, tmp_path):
     # the relative root — the double-prefix bug lived in the read plan
     abs_root = str(tmp_path / "rel-table")
     tx = build_transcripts(n_convs=10)
-    ingest_dataset(rd.from_arrow(tx), abs_root, job_id="rr-base")
+    ingest_dataset(rd.from_arrow(tx), abs_root, job_id="rr-base", summary={"key_cols": ["conv_id", "turn_idx"]})
     log = TableLog(abs_root)
     v0 = log.current_version()
     f0 = log.files()[0]
@@ -171,7 +174,7 @@ def test_hash_payload_parity(ray_session, table_root):
     tx = build_transcripts(n_convs=40)
     ingest_dataset(
         rd.from_arrow(tx).repartition(8), table_root, job_id="hp-base",
-        summary={"keys_unique": True},
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
     )
     log = TableLog(table_root)
     v0 = log.current_version()
@@ -213,7 +216,7 @@ def test_commit_granularity_matches_net(ray_session, table_root):
     tx = build_transcripts(n_convs=40)
     ingest_dataset(
         rd.from_arrow(tx).repartition(6), table_root, job_id="wc-base",
-        summary={"keys_unique": True},
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
     )
     log = TableLog(table_root)
     v0 = log.current_version()
@@ -244,7 +247,7 @@ def test_commit_granularity_matches_net(ray_session, table_root):
 
 def test_commits_granularity_covers_ingest_and_falls_back(ray_session, table_root):
     tx = build_transcripts(n_convs=10)
-    ingest_dataset(rd.from_arrow(tx), table_root, job_id="wf-base")
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="wf-base", summary={"key_cols": ["conv_id", "turn_idx"]})
     log = TableLog(table_root)
     v0 = log.current_version()
     extra = build_transcripts(seed=13, n_convs=3)
@@ -277,7 +280,7 @@ def test_cdc_artifact_and_dependency_lifecycle(ray_session, table_root):
     tx = build_transcripts(n_convs=30)
     ingest_dataset(
         rd.from_arrow(tx).repartition(3), table_root, job_id="lc-base",
-        summary={"keys_unique": True},
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
     )
     log = TableLog(table_root)
     f1 = log.files()[1]
@@ -322,7 +325,7 @@ def test_expired_span_raises_not_silently_truncates(ray_session, table_root, tmp
 
     tx = build_transcripts(n_convs=12)
     ingest_dataset(rd.from_arrow(tx), table_root, job_id="ex-base",
-                   summary={"keys_unique": True})
+                   summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]})
     log = TableLog(table_root)
     cs = ChangeStream(table_root, str(tmp_path / "c.json"))  # cursor = v1
     f0 = log.files()[0]
@@ -351,7 +354,7 @@ def test_cdc_replica_replay_converges(ray_session, table_root, tmp_path):
     tx = build_transcripts(n_convs=25)
     ingest_dataset(
         rd.from_arrow(tx).repartition(4), table_root, job_id="rp-base",
-        summary={"keys_unique": True},
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
     )
     log = TableLog(table_root)
     replica = tx.to_pandas().set_index(["conv_id", "turn_idx"])  # snapshot at cursor
@@ -403,7 +406,7 @@ def test_merge_records_cdc_both_strategies(ray_session, table_root, tmp_path):
         tx = build_transcripts(n_convs=25)
         ingest_dataset(
             rd.from_arrow(tx).repartition(4), root, job_id="mb-base",
-            summary={"keys_unique": True},
+            summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
         )
         log = TableLog(root)
         v0 = log.current_version()
@@ -448,7 +451,7 @@ def test_auto_multi_touch_reduces_to_net(ray_session, table_root):
     tx = build_transcripts(n_convs=30)
     ingest_dataset(
         rd.from_arrow(tx).repartition(4), table_root, job_id="mt-base",
-        summary={"keys_unique": True},
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
     )
     log = TableLog(table_root)
     v0 = log.current_version()
@@ -508,7 +511,7 @@ def test_auto_update_roundtrip_cancels(ray_session, table_root):
     )
     e = write_table_file(table_root, t)
     log.commit(operation="ingest", job_id="rt-base", added=[e],
-               summary={"keys_unique": True, "cdc": {"derive": "commit-paths"}})
+               summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"], "cdc": {"derive": "commit-paths"}})
     v0 = log.current_version()
     update_where(table_root, job_id="rt-u1",
                  match=lambda b: pc.equal(b["conv_id"], "c1"),
@@ -544,3 +547,65 @@ def test_change_stream_non_default_keys(ray_session, table_root, tmp_path):
     feed = got[0].to_pandas()
     assert list(feed["event_id"]) == [4]
     assert set(feed["_change_type"]) == {"insert"}
+
+
+def test_key_resolution_from_log_and_strictness(ray_session, table_root, tmp_path):
+    """Round-4 advice: the net fold must never assume a transcript key.
+    (a) a table with recorded key metadata resolves automatically;
+    (b) a table without metadata raises for net/auto instead of silently
+    pairing on conv_id/turn_idx; (c) commits granularity stays usable."""
+    from open_finance_lakehouse_ray.pipelines.cdf import ChangeStream
+
+    tx = build_transcripts(n_convs=12)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="kr-base",
+                   summary={"key_cols": ["conv_id", "turn_idx"]})
+    log = TableLog(table_root)
+    assert log.table_key_cols() == ("conv_id", "turn_idx")
+    v0 = log.current_version()
+    extra = build_transcripts(seed=9, n_convs=2)
+    extra = extra.set_column(
+        0, "conv_id", pc.utf8_replace_slice(extra["conv_id"], 0, 4, "convQ")
+    )
+    ingest_dataset(rd.from_arrow(extra), table_root, job_id="kr-a",
+                   validate=False)
+    # (a) no key_cols passed anywhere: resolves from the log
+    feed = change_feed(table_root, from_version=v0).to_pandas()
+    assert set(feed["_change_type"]) == {"insert"}
+    cs = ChangeStream(table_root, str(tmp_path / "kr.json"), start_version=v0)
+    polled = cs.poll()
+    assert polled is not None
+
+    # (b)/(c) a metadata-less table: net raises, commits still works
+    root2 = str(tmp_path / "nometa")
+    ingest_dataset(rd.from_arrow(tx), root2, job_id="n-base")
+    v0b = TableLog(root2).current_version()
+    ingest_dataset(rd.from_arrow(extra), root2, job_id="n-a", validate=False)
+    with pytest.raises(ValueError, match="key_cols"):
+        change_feed(root2, from_version=v0b).to_pandas()
+    # explicit key always accepted
+    ok = change_feed(root2, from_version=v0b,
+                     key_cols=("conv_id", "turn_idx")).to_pandas()
+    assert set(ok["_change_type"]) == {"insert"}
+
+
+def test_key_metadata_survives_expire(ray_session, table_root):
+    """VACUUM cuts the parent chain; the oldest retained snapshot must
+    inherit key/schema metadata so ChangeStream keeps resolving."""
+    tx = build_transcripts(n_convs=10)
+    ingest_dataset(
+        rd.from_arrow(tx), table_root, job_id="me-base",
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
+    )
+    ingest_dataset(
+        rd.from_arrow(build_transcripts(seed=13, n_convs=2)), table_root,
+        job_id="me-a", validate=False,
+    )
+    log = TableLog(table_root)
+    from open_finance_lakehouse_ray.pipelines.compact import compact
+
+    compact(table_root, job_id="me-c", target_bytes=64 * 1024 * 1024)
+    log.expire_snapshots(keep_last=1, retain_seconds=0.0)
+    log2 = TableLog(table_root)
+    assert len(log2.versions()) == 1
+    assert log2.table_key_cols() == ("conv_id", "turn_idx")
+    assert log2.table_schema() is not None

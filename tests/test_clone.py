@@ -25,7 +25,7 @@ def seeded(ray_session, tmp_path):
     tx = build_transcripts(n_convs=40)
     ingest_dataset(
         rd.from_arrow(tx).repartition(6), src, job_id="cl-base",
-        summary={"keys_unique": True},
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
     )
     return src, tx, str(tmp_path / "dst")
 

@@ -35,7 +35,7 @@ def _seed_table(root: str, n_files: int = 3):
         entries.append(write_table_file(root, chunk, presorted=True))
     log.commit(
         operation="ingest", job_id="seed", added=entries,
-        summary={"keys_unique": True},
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
     )
     return log, tx, entries
 

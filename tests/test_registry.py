@@ -180,7 +180,7 @@ def test_export_table_roundtrip(ray_session, tmp_path):
     dest = str(tmp_path / "out")
     tab = build_transcripts(seed=41, n_convs=20)
     ingest_dataset(rd.from_arrow(tab).repartition(4), root, job_id="i",
-                   summary={"keys_unique": True})
+                   summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]})
 
     m1 = export_table(root, dest)
     assert m1["status"] == "complete"
@@ -321,7 +321,7 @@ def test_registry_scrubs_are_declarative_and_idempotent(ray_session, tmp_path):
     tx = build_transcripts(n_convs=20)
     # several conv-contiguous files so the purge range leaves rows behind
     ingest_dataset(rd.from_arrow(tx).repartition(4), root, job_id="sc-base",
-                   summary={"keys_unique": True})
+                   summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]})
     log = TableLog(root)
     f0 = log.files()[0].stats["conv_id"]
     reg_path = str(tmp_path / "reg.yml")
@@ -420,3 +420,48 @@ def test_freshness_report_trips_on_stale_table(ray_session, tmp_path):
     assert rep["missing_t"]["status"] == "missing"
     assert rep["nosla_t"]["status"] == "unconfigured"
     assert rep["nosla_t"]["age_s"] is not None
+
+
+def test_freshness_falls_back_to_commit_basis_for_non_timestamp_ts(
+    ray_session, tmp_path
+):
+    """A raw int64 epoch-SECONDS ts column has no recorded unit: assuming
+    microseconds would misread age by ~1e6x and flip the verdict (round-4
+    advice). The report must use the commit basis instead — and a
+    just-committed table therefore reads fresh."""
+    import textwrap as tw
+    import time
+
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.registry import (
+        freshness_report,
+        load_registry,
+    )
+
+    path = tmp_path / "registry.yml"
+    path.write_text(tw.dedent(f"""
+        base: {tmp_path}
+        tables:
+          rawts_t:
+            root: "{{base}}/rawts"
+            freshness_sla: 1h
+    """))
+    reg = load_registry(str(path))
+
+    now = time.time()
+    t = build_transcripts(n_convs=4)
+    # epoch SECONDS as plain int64 — "old" if misread as microseconds
+    t = t.set_column(
+        t.column_names.index("ts"), "ts",
+        pa.array([int(now - 60)] * t.num_rows, pa.int64()),
+    )
+    # validate=False keeps the raw int64 ts (the conforming cast would
+    # canonicalize it to timestamp[us] and defeat the scenario)
+    ingest_dataset(rd.from_arrow(t), reg.table_root("rawts_t"),
+                   job_id="fr-raw", validate=False)
+
+    rep = freshness_report(reg, now=time.time())
+    assert rep["rawts_t"]["basis"] == "commit"
+    assert rep["rawts_t"]["status"] == "fresh"

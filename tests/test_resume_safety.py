@@ -29,7 +29,7 @@ def _ingest(root: str, table: pa.Table, *, job_id: str = "ingest", n_files: int 
             unique: bool = True):
     import ray.data as rd
 
-    summary = {"keys_unique": True} if unique else None
+    summary = {"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]} if unique else None
     return ingest_dataset(
         rd.from_arrow(table).repartition(n_files), root, job_id=job_id,
         summary=summary,
@@ -305,6 +305,6 @@ def test_rebase_downgrades_stale_keys_unique(ray_session, table_root):
 
     snap = log.commit(
         operation="test", job_id="ku-c", added=[],
-        base_version=v1, summary={"keys_unique": True},
+        base_version=v1, summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
     )
     assert snap.summary["keys_unique"] is False

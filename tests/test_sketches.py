@@ -55,3 +55,37 @@ def test_approx_distinct_over_dataset(ray_session):
         "select count(distinct user_id) from '/root/testdata/sf0.001/events.parquet'"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.1
+
+
+def test_shingle_tokenization_matches_sql_single_space_contract():
+    """Texts with consecutive spaces / tabs / newlines must shingle
+    identically to the oracles' string_split(text, ' ') — the round-4
+    advice: any-whitespace split silently collapsed runs on the Python
+    side only."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from open_finance_lakehouse_ray.pipelines.dedup import _shingle_hashes
+
+    texts = [
+        "alpha  beta gamma delta",        # double space
+        "alpha\tbeta gamma delta",        # tab is NOT a separator
+        "alpha beta\ngamma delta",        # newline is NOT a separator
+        "plain single space text here",
+    ]
+    con = duckdb.connect()
+    for t in texts:
+        sql_shingles = con.execute(
+            "SELECT list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+            "for i in range(1, len(w) - 1)]) FROM "
+            "(SELECT string_split($1, ' ') w)", [t]
+        ).fetchone()[0]
+        got = _shingle_hashes([t], k=3)[0]
+        exp = (
+            np.sort(pd.util.hash_array(np.asarray(sorted(set(sql_shingles)),
+                                                  dtype=object)))
+            if sql_shingles else np.empty(0, dtype=np.uint64)
+        )
+        assert np.array_equal(np.sort(got), exp), t
+    con.close()

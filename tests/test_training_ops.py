@@ -37,7 +37,8 @@ def test_simhash_matches_bitwise_reference():
     def ref(text, k=3):
         import duckdb
 
-        w = text.split()
+        # single-space split: the _shingle_hashes tokenization contract
+        w = text.split(" ")
         votes = np.zeros(64)
         for i in range(max(0, len(w) - k + 1)):
             h = int(duckdb.execute(

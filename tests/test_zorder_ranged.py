@@ -30,7 +30,7 @@ def small_table(ray_session, table_root):
     tab = build_transcripts(seed=21, n_convs=60)
     ingest_dataset(
         rd.from_arrow(tab).repartition(12), table_root, job_id="zr-ingest",
-        summary={"keys_unique": True},
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
     )
     return table_root, tab
 
@@ -67,7 +67,7 @@ def test_ranged_equals_global_sort_clustering(ray_session, tmp_path):
     for i, fn in enumerate((zorder, zorder_ranged)):
         root = str(tmp_path / f"t{i}")
         ingest_dataset(rd.from_arrow(tab).repartition(8), root, job_id="i",
-                       summary={"keys_unique": True})
+                       summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]})
         fn(root, job_id="z")
         roots.append(root)
     a = validation_scan(roots[0])
@@ -185,7 +185,7 @@ def test_compact_preserves_clustering(ray_session, table_root):
 
     tab = build_transcripts(seed=33, n_convs=80)
     ingest_dataset(rd.from_arrow(tab).repartition(10), table_root,
-                   job_id="i", summary={"keys_unique": True})
+                   job_id="i", summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]})
     zorder(table_root, job_id="z")  # many small clustered files
     log = TableLog(table_root)
     assert all(e.z_range is not None for e in log.files())

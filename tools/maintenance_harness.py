@@ -82,7 +82,7 @@ if cmd == "ingest":
     from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
     tab = build_transcripts(seed=42, n_convs=int(sys.argv[3]))
     ds = rd.from_arrow(tab).repartition(32)
-    snap = ingest_dataset(ds, root, job_id="harness-ingest", summary={"keys_unique": True})
+    snap = ingest_dataset(ds, root, job_id="harness-ingest", summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]})
     print(json.dumps({"version": snap.version, "rows": snap.summary["rows"]}))
 elif cmd == "compact":
     from open_finance_lakehouse_ray.pipelines.compact import compact

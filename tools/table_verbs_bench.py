@@ -76,7 +76,7 @@ def main() -> int:
         )
         snap = ingest_dataset(
             tx.repartition(128), root, job_id="vb-ingest",
-            summary={"keys_unique": True},
+            summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
         )
         out["ingest_sec"] = round(time.perf_counter() - t0, 3)
         out["rows"] = snap.summary.get("rows")
