@@ -46,6 +46,32 @@ def _ray_session(num_cpus: int | None):
 
 
 def main(argv: list[str] | None = None) -> int:
+    """Entry point, wrapped in the observability run seam: every CLI verb
+    (ingest/compact/zorder/merge/delete/update/maintain/…) emits
+    START/COMPLETE/FAIL OpenLineage events when ``OFLR_OPENLINEAGE_URL``
+    is set — a no-op otherwise (``ofl/platform/lineage.py:19-45``)."""
+    import sys as _sys
+
+    from open_finance_lakehouse_ray import observability as obs
+
+    av = list(_sys.argv[1:] if argv is None else argv)
+    cmd = "unknown"
+    skip = False
+    for a in av:
+        if skip:
+            skip = False
+            continue
+        if a == "--num-cpus":  # the only pre-command option taking a value
+            skip = True
+            continue
+        if not a.startswith("-"):
+            cmd = a
+            break
+    with obs.emit_run(f"cli/{cmd}"):
+        return _main(av)
+
+
+def _main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ofl-ray")
     p.add_argument("--num-cpus", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)

@@ -113,7 +113,14 @@ def _check_suite(names: list[str] | None) -> dict | None:
 
 def maintain_table(reg: Registry, table: str, *, job_id: str) -> dict[str, Any]:
     """Run maintain() on one registered table with its YAML knobs and its
-    named check suite (the per-table config of §2.10)."""
+    named check suite (the per-table config of §2.10).
+
+    Wrapped in the observability seam: an OpenLineage run event pair and a
+    per-table gauge push (rows / files / dq verdict / freshness), both
+    env-gated no-ops locally — the analog of the reference's Pushgateway +
+    OL emission (``ofl/platform/metrics.py:58-117``, ``lineage.py:19-45``).
+    """
+    from open_finance_lakehouse_ray import observability as obs
     from open_finance_lakehouse_ray.pipelines.maintain import maintain
 
     cfg = reg.tables[table]
@@ -127,22 +134,50 @@ def maintain_table(reg: Registry, table: str, *, job_id: str) -> dict[str, Any]:
 
         suite = dict(suite or {})
         suite["expectations"] = expectation_check(list(exp_specs))
-    return maintain(
-        cfg["root"],
-        job_id=job_id,
-        target_bytes=int(m.get("target_bytes", 96 * 1024 * 1024)),
-        curve=m.get("curve", "morton"),
-        recluster_overlap_threshold=float(
-            m.get("recluster_overlap_threshold", 0.2)
+    labels = {"table": table, "job": job_id}
+    try:
+        with obs.emit_run(f"maintain/{table}"):
+            out = maintain(
+                cfg["root"],
+                job_id=job_id,
+                target_bytes=int(m.get("target_bytes", 96 * 1024 * 1024)),
+                curve=m.get("curve", "morton"),
+                recluster_overlap_threshold=float(
+                    m.get("recluster_overlap_threshold", 0.2)
+                ),
+                retain_seconds=float(m.get("retain_hours", 168.0)) * 3600.0,
+                keep_last=int(m.get("keep_last", 1)),
+                # the custom suite (named checks + YAML expectations) runs
+                # INSIDE maintain(), so its rollback-on-breach contract
+                # covers it: a violated expectation withdraws this run's
+                # maintenance snapshots
+                with_checks=suite is None,
+                checks=suite,
+            )
+    except Exception:
+        obs.push_table_metrics(table, labels=labels, failed=True,
+                               dq_passed=False)
+        raise
+    checks_out = out.get("checks") or {}
+    report = out.get("report") or {}
+    max_ts = report.get("max_ts")
+    div = _ts_unit_div(cfg["root"])
+    obs.push_table_metrics(
+        table,
+        labels=labels,
+        rows=report.get("rows"),
+        files=report.get("files"),
+        dq_passed=all(v == 0 for v in checks_out.values()) if checks_out else None,
+        # freshness on the DATA date when the ts unit is provable (same
+        # rule as freshness_report); omitted otherwise
+        last_data_epoch=(
+            max_ts / div if max_ts is not None and div is not None else None
         ),
-        retain_seconds=float(m.get("retain_hours", 168.0)) * 3600.0,
-        keep_last=int(m.get("keep_last", 1)),
-        # the custom suite (named checks + YAML expectations) runs INSIDE
-        # maintain(), so its rollback-on-breach contract covers it: a
-        # violated expectation withdraws this run's maintenance snapshots
-        with_checks=suite is None,
-        checks=suite,
+        extra_gauges={
+            "oflr_cluster_overlap": float(out.get("cluster_overlap") or 0.0)
+        },
     )
+    return out
 
 
 def ingest_table(
@@ -194,22 +229,35 @@ def build_registry_marts(
 ) -> dict[str, Any]:
     """Build every registered mart (or the named subset) from the query
     registry, check-gated, with per-mart lineage."""
+    from open_finance_lakehouse_ray import observability as obs
+    from open_finance_lakehouse_ray.pipelines.checks import CheckError
     from open_finance_lakehouse_ray.pipelines.marts import build_mart
     from open_finance_lakehouse_ray.pipelines.queries import QUERIES
 
     out: dict[str, Any] = {}
     for name in names or list(reg.marts):
         cfg = reg.marts[name]
-        result = QUERIES[cfg["query"]](sf_dir)
-        snap = build_mart(
-            cfg["root"],
-            result,
-            name=name,
-            job_id=f"{job_prefix}/{name}",
-            checks=tuple(cfg.get("checks") or ("non_empty",)),
-            sort_by=tuple(cfg.get("sort_by") or ()),
-            lineage={"query": cfg["query"], "source": sf_dir},
-        )
+        labels = {"mart": name, "query": cfg["query"]}
+        try:
+            with obs.emit_run(f"mart/{name}"):
+                result = QUERIES[cfg["query"]](sf_dir)
+                snap = build_mart(
+                    cfg["root"],
+                    result,
+                    name=name,
+                    job_id=f"{job_prefix}/{name}",
+                    checks=tuple(cfg.get("checks") or ("non_empty",)),
+                    sort_by=tuple(cfg.get("sort_by") or ()),
+                    lineage={"query": cfg["query"], "source": sf_dir},
+                )
+        except CheckError:
+            # the reference's gold-check failure gauge
+            # (metrics.py:record_gold_check_failure): publication withheld,
+            # the breach pushed, the error still raised
+            obs.push_table_metrics(name, labels=labels, dq_passed=False,
+                                   failed=True)
+            raise
+        obs.push_table_metrics(name, labels=labels, dq_passed=True)
         out[name] = snap.version
     return out
 
@@ -275,6 +323,23 @@ def _parse_sla_seconds(spec) -> float:
     return float(s)
 
 
+def _ts_unit_div(root: str) -> float | None:
+    """Epoch divisor for the table's ``ts`` manifest stats, or None when
+    the schema cannot PROVE the unit (no schema, no ts field, or a raw
+    int/float epoch column) — callers must then fall back to the commit
+    basis rather than guess (round-4 advice)."""
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    sch = TableLog(root).table_schema()
+    if sch is not None and "ts" in sch.names:
+        import pyarrow as _pa
+
+        t = sch.field("ts").type
+        if _pa.types.is_timestamp(t):
+            return {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[t.unit]
+    return None
+
+
 def freshness_report(reg: Registry, *, now: float | None = None) -> dict[str, Any]:
     """Per-table freshness-vs-SLA gauge from manifest stats alone — the
     analog of the reference's per-series freshness metric
@@ -312,14 +377,7 @@ def freshness_report(reg: Registry, *, now: float | None = None) -> dict[str, An
         # would misread an epoch-seconds table by orders of magnitude and
         # silently flip the fresh/stale verdict (round-4 advice) — fall
         # back to the commit basis instead.
-        div = None
-        sch = log.table_schema()
-        if sch is not None and "ts" in sch.names:
-            import pyarrow as _pa
-
-            t = sch.field("ts").type
-            if _pa.types.is_timestamp(t):
-                div = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[t.unit]
+        div = _ts_unit_div(cfg["root"])
         if rep["max_ts"] is not None and div is not None:
             age = now - rep["max_ts"] / div
             basis = "data"
