@@ -76,8 +76,16 @@ def _http_post(url: str, body: bytes, headers: dict[str, str]) -> None:
 
 # ---------------------------------------------------------- metric push
 
+def _escape_label(v: str) -> str:
+    """Prometheus exposition label-value escaping (backslash, quote,
+    newline) — label values come from user YAML names and job ids."""
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _render(name: str, value: float, labels: dict[str, str]) -> str:
-    rendered = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    rendered = ",".join(
+        f'{k}="{_escape_label(v)}"' for k, v in sorted(labels.items())
+    )
     return f"{name}{{{rendered}}} {value}\n"
 
 
@@ -117,7 +125,11 @@ def push_table_metrics(
         )
     for k, v in (extra_gauges or {}).items():
         body += _render(k, v, lbl)
-    url = f"{base.rstrip('/')}/metrics/job/{_JOB}/table/{table_key}"
+    from urllib.parse import quote
+
+    # quote the grouping key: a '/' in a table name must not change the
+    # Pushgateway group path (review finding, round 4)
+    url = f"{base.rstrip('/')}/metrics/job/{_JOB}/table/{quote(table_key, safe='')}"
     try:
         _http_post(url, body.encode("utf-8"),
                    {"Content-Type": "text/plain; version=0.0.4"})
@@ -167,7 +179,10 @@ def emit_run(job: str, *, namespace: str = "oflr"):
     emit("START")
     try:
         yield
-    except Exception:
+    except BaseException:
+        # BaseException: SystemExit (argparse, --help) and KeyboardInterrupt
+        # must still terminate the run — a START with no terminal event
+        # shows RUNNING forever in the lineage UI (review finding, round 4)
         emit("FAIL")
         raise
     emit("COMPLETE")

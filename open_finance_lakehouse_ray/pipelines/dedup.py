@@ -198,22 +198,18 @@ NUM_SHUFFLE_PARTITIONS = 64
 PIN_MAX_BYTES = int(os.environ.get("OFLR_PIN_MAX_BYTES", str(4 << 30)))
 
 
-def _maybe_pin(
-    projected: rd.Dataset, estimate_from: rd.Dataset | None = None
-) -> tuple[rd.Dataset, int | None]:
+def _maybe_pin(projected: rd.Dataset) -> tuple[rd.Dataset, int | None]:
     """(dataset, size-estimate) with the projection pinned only when small.
 
-    The estimate comes from ``size_bytes()`` on ``estimate_from`` (pass the
-    read-backed PRE-transform projection so the estimate is
-    metadata-derived, not an execution) or on ``projected`` itself; ``None``
-    means unknown and is treated as big.  ``OFLR_FORCE_SCALE_PATHS=1``
-    skips the pin unconditionally so the re-read scale path is testable
-    end to end.
+    The estimate comes from ``size_bytes()`` — metadata-derived (cheap) on
+    the read-backed projections every caller passes; ``None`` means unknown
+    and is treated as big.  ``OFLR_FORCE_SCALE_PATHS=1`` skips the pin
+    unconditionally so the re-read scale path is testable end to end.
     """
     if _force_scale():
         return projected, None
     try:
-        est = (estimate_from if estimate_from is not None else projected).size_bytes()
+        est = projected.size_bytes()
     except Exception:  # noqa: BLE001 — unknown size: stream, don't pin
         est = None
     if est is not None and est <= PIN_MAX_BYTES:

@@ -77,11 +77,21 @@ class StreamCheckpoint:
     def __init__(self, path: str, *, bucket_us: int = 60_000_000):
         self.path = path
         self.bucket_us = int(bucket_us)
-        self.shard_dir = os.path.join(os.path.dirname(path) or ".", "shards")
+        # shard dir is NAMESPACED by the checkpoint name: two checkpoints
+        # sharing one directory ("one checkpoint per query" — bronze.json +
+        # silver.json) must never prune each other's live shards
+        stem = os.path.splitext(os.path.basename(path))[0]
+        self.shard_dir = os.path.join(
+            os.path.dirname(path) or ".", f"{stem}.shards"
+        )
         os.makedirs(self.shard_dir, exist_ok=True)
-        # bucket -> (filename, payload) of the shards the core references,
-        # for dirty detection at save time
-        self._cache: dict[str, dict[int, tuple[str, dict]]] = {
+        # bucket -> (filename, canonical-JSON payload) of the shards the
+        # core references.  The SERIALIZED form is cached (not the dict):
+        # load()/save() hand out live references to the same bar dicts the
+        # processor mutates, so an object-identity or dict-equality cache
+        # would compare the mutated state against itself and skip the
+        # rewrite (review finding, round 4).
+        self._cache: dict[str, dict[int, tuple[str, str]]] = {
             "keys": {}, "windows": {},
         }
 
@@ -119,7 +129,9 @@ class StreamCheckpoint:
                 with open(os.path.join(self.shard_dir, fname)) as f:
                     payload = json.load(f)
                 state[target].update(payload)
-                self._cache[kind][int(b_str)] = (fname, payload)
+                self._cache[kind][int(b_str)] = (
+                    fname, json.dumps(payload, sort_keys=True),
+                )
         return state
 
     def _bucketize(self, state: dict[str, Any]) -> dict[str, dict[int, dict]]:
@@ -144,13 +156,14 @@ class StreamCheckpoint:
             "key_shards": {},
             "window_shards": {},
         }
-        new_cache: dict[str, dict[int, tuple[str, dict]]] = {
+        new_cache: dict[str, dict[int, tuple[str, str]]] = {
             "keys": {}, "windows": {},
         }
         for kind, manifest in (("keys", "key_shards"), ("windows", "window_shards")):
             for b, payload in buckets[kind].items():
+                canon = json.dumps(payload, sort_keys=True)
                 cached = self._cache.get(kind, {}).get(b)
-                if cached is not None and cached[1] == payload:
+                if cached is not None and cached[1] == canon:
                     fname = cached[0]  # clean shard: reference, don't rewrite
                 else:
                     fname = f"{kind}-{b}-{state['batch_id']}.json"
@@ -160,7 +173,7 @@ class StreamCheckpoint:
                         payload,
                     )
                 core[manifest][str(b)] = fname
-                new_cache[kind][b] = (fname, payload)
+                new_cache[kind][b] = (fname, canon)
         _atomic_write_json(
             os.path.dirname(self.path) or ".", self.path, core
         )

@@ -154,9 +154,16 @@ def maintain_table(reg: Registry, table: str, *, job_id: str) -> dict[str, Any]:
                 with_checks=suite is None,
                 checks=suite,
             )
-    except Exception:
+    except Exception as e:
+        # only a DATA-QUALITY breach sets the dq gauges — an infrastructure
+        # failure (disk full, worker OOM, stale log) must not page the DQ
+        # alert route (review finding, round 4)
+        from open_finance_lakehouse_ray.pipelines.checks import CheckError
+        from open_finance_lakehouse_ray.stages.validate import ContractViolation
+
+        is_dq = isinstance(e, (CheckError, ContractViolation))
         obs.push_table_metrics(table, labels=labels, failed=True,
-                               dq_passed=False)
+                               dq_passed=False if is_dq else None)
         raise
     checks_out = out.get("checks") or {}
     report = out.get("report") or {}

@@ -488,3 +488,51 @@ def test_sharded_checkpoint_crash_before_core_write_is_consistent(tmp_path):
     st3["batch_id"] = 2
     ck3.save(st3)
     assert not os.path.exists(orphan)  # pruned by the successful save
+
+
+def test_sharded_checkpoint_detects_in_place_mutation(tmp_path):
+    """Dirty detection must compare against the PERSISTED payload, not a
+    live reference: a bar mutated in place between saves is dirty (round-4
+    review: an aliased dict cache compared the mutated state to itself and
+    skipped the rewrite)."""
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    ck = StreamCheckpoint(str(tmp_path / "stream.json"), bucket_us=MIN)
+    st = ck.load()
+    bar = {"open": 1.0, "close": 1.0, "high": 1.0, "low": 1.0,
+           "volume": 1.0, "n_events": 1,
+           "_first_key": [BASE, 1], "_last_key": [BASE, 1]}
+    st["open_windows"] = {f"click|{BASE}": bar}
+    st["batch_id"] = 1
+    ck.save(st)
+    bar["high"] = 99.0  # in-place mutation of the SAME dict object
+    st["batch_id"] = 2
+    ck.save(st)
+    st2 = StreamCheckpoint(str(tmp_path / "stream.json"), bucket_us=MIN).load()
+    assert st2["open_windows"][f"click|{BASE}"]["high"] == 99.0
+
+
+def test_two_checkpoints_share_a_directory_without_pruning_each_other(tmp_path):
+    """One checkpoint per query in ONE directory (bronze.json +
+    silver.json): a save on one must never delete the other's live shards
+    (round-4 review: the prune swept every unreferenced .json in a shared
+    shards/ dir)."""
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    a = StreamCheckpoint(str(tmp_path / "bronze.json"), bucket_us=MIN)
+    b = StreamCheckpoint(str(tmp_path / "silver.json"), bucket_us=MIN)
+    sa = a.load()
+    sa["seen_keys"] = {"click:1": BASE}
+    sa["batch_id"] = 1
+    a.save(sa)
+    sb = b.load()
+    sb["seen_keys"] = {"view:7": BASE}
+    sb["batch_id"] = 1
+    b.save(sb)
+    # a second save on A prunes only A's namespace
+    sa2 = a.load()
+    sa2["seen_keys"]["click:2"] = BASE + 1
+    sa2["batch_id"] = 2
+    a.save(sa2)
+    assert StreamCheckpoint(str(tmp_path / "silver.json"),
+                            bucket_us=MIN).load()["seen_keys"] == {"view:7": BASE}

@@ -27,8 +27,16 @@ def to_pandas(result) -> pd.DataFrame:
 
     if isinstance(result, rd.Dataset):
         refs = result.to_arrow_refs()
-        tabs = [t for t in ray.get(refs) if t.num_rows] or [ray.get(refs[0])]
-        result = pa.concat_tables(tabs, promote_options="default")
+        got = [t for t in ray.get(refs) if t.num_rows] if refs else []
+        if got:
+            result = pa.concat_tables(got, promote_options="default")
+        elif refs:  # non-empty plan, zero rows: keep the real schema
+            result = ray.get(refs[0])
+        else:  # zero blocks: synthesize the empty table from the schema
+            sch = result.schema()
+            result = pa.schema(
+                list(zip(sch.names, sch.types))
+            ).empty_table()
     if isinstance(result, pa.Table):
         # keep native timestamp resolution — the default ns coercion would
         # hide exactly the unit drift this mirror exists to catch
