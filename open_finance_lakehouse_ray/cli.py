@@ -67,8 +67,11 @@ def main(argv: list[str] | None = None) -> int:
         if not a.startswith("-"):
             cmd = a
             break
-    with obs.emit_run(f"cli/{cmd}"):
-        return _main(av)
+    with obs.emit_run(f"cli/{cmd}") as status:
+        rc = _main(av)
+        if rc:  # nonzero exit (failed check / stale freshness) is a FAIL
+            status["failed"] = True
+        return rc
 
 
 def _main(argv: list[str] | None = None) -> int:

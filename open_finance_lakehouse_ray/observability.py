@@ -158,10 +158,16 @@ def _run_event(state: str, run_id: str, job: str, namespace: str) -> dict[str, A
 @contextlib.contextmanager
 def emit_run(job: str, *, namespace: str = "oflr"):
     """START/COMPLETE/FAIL run events around a job body — env-gated on
-    ``OFLR_OPENLINEAGE_URL``; a no-op without it; never fails the job."""
+    ``OFLR_OPENLINEAGE_URL``; a no-op without it; never fails the job.
+
+    Yields a status dict: set ``status["failed"] = True`` for a run that
+    ends via a nonzero return code rather than an exception (the CLI check
+    verbs), so the terminal event is FAIL, not COMPLETE.
+    """
+    status: dict[str, Any] = {"failed": False}
     url = os.environ.get(_LINEAGE_ENV)
     if not url:
-        yield
+        yield status
         return
     run_id = str(uuid.uuid4())
 
@@ -178,11 +184,13 @@ def emit_run(job: str, *, namespace: str = "oflr"):
 
     emit("START")
     try:
-        yield
-    except BaseException:
-        # BaseException: SystemExit (argparse, --help) and KeyboardInterrupt
-        # must still terminate the run — a START with no terminal event
-        # shows RUNNING forever in the lineage UI (review finding, round 4)
-        emit("FAIL")
+        yield status
+    except BaseException as e:
+        # BaseException: SystemExit and KeyboardInterrupt must still
+        # terminate the run — a START with no terminal event shows RUNNING
+        # forever in the lineage UI.  A CLEAN SystemExit (--help, exit 0)
+        # is a success, not a failure (review findings, round 4).
+        clean_exit = isinstance(e, SystemExit) and e.code in (0, None)
+        emit("COMPLETE" if clean_exit else "FAIL")
         raise
-    emit("COMPLETE")
+    emit("FAIL" if status.get("failed") else "COMPLETE")

@@ -382,7 +382,10 @@ def change_feed(
         # on tables without key metadata.
         if key_cols is not None:
             return tuple(key_cols)
-        kc = log.table_key_cols()
+        # resolve at the SPAN END, not the current head — a later
+        # re-keying overwrite must not leak its key into a historical
+        # span's fold (review finding, round 4)
+        kc = log.table_key_cols(to_version)
         if kc is None:
             raise ValueError(
                 f"table at {root} records no key_cols metadata; pass the "

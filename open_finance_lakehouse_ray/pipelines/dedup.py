@@ -163,7 +163,8 @@ def minhash_near_dup_pairs(
     # the (id, text) projection feeds the signature stage AND the verify
     # stage: pinned once when small (no second source read), streamed with
     # per-stage re-reads above the guard (_maybe_pin)
-    texts, tsize = _maybe_pin(docs.select_columns([id_col, text_col]))
+    texts, tsize = _maybe_pin(docs.select_columns([id_col, text_col]),
+                           estimate_from=docs)
     small = (not _force_scale()) and (
         tsize is not None and tsize <= broadcast_max_bytes
     )
@@ -198,18 +199,28 @@ NUM_SHUFFLE_PARTITIONS = 64
 PIN_MAX_BYTES = int(os.environ.get("OFLR_PIN_MAX_BYTES", str(4 << 30)))
 
 
-def _maybe_pin(projected: rd.Dataset) -> tuple[rd.Dataset, int | None]:
+def _maybe_pin(
+    projected: rd.Dataset, estimate_from: rd.Dataset | None = None
+) -> tuple[rd.Dataset, int | None]:
     """(dataset, size-estimate) with the projection pinned only when small.
 
-    The estimate comes from ``size_bytes()`` — metadata-derived (cheap) on
-    the read-backed projections every caller passes; ``None`` means unknown
-    and is treated as big.  ``OFLR_FORCE_SCALE_PATHS=1`` skips the pin
-    unconditionally so the re-read scale path is testable end to end.
+    The size probe runs on ``estimate_from`` — callers pass the RAW
+    read-backed dataset, whose ``size_bytes()`` answers from parquet
+    metadata without executing anything.  Probing the ``select_columns``
+    projection itself would be wrong twice over (review finding, round 4,
+    verified on Ray 2.49): select_columns is a map op, so its
+    ``size_bytes()`` EXECUTES the full pipeline — a wasted corpus pass on
+    the too-big-to-pin path, and a doubled read below the guard.  The raw
+    estimate over-counts (all columns, not just the projection), which
+    only errs toward streaming — never toward pinning too much.  ``None``
+    means unknown and is treated as big.  ``OFLR_FORCE_SCALE_PATHS=1``
+    skips the pin unconditionally so the re-read scale path is testable
+    end to end.
     """
     if _force_scale():
         return projected, None
     try:
-        est = projected.size_bytes()
+        est = (estimate_from if estimate_from is not None else projected).size_bytes()
     except Exception:  # noqa: BLE001 — unknown size: stream, don't pin
         est = None
     if est is not None and est <= PIN_MAX_BYTES:
@@ -447,7 +458,8 @@ def ngram_jaccard_pairs(
         return pa.table({"shingle": np.concatenate(out_hash),
                          "doc_id": np.concatenate(out_id)})
 
-    texts, tsize = _maybe_pin(docs.select_columns([id_col, text_col]))
+    texts, tsize = _maybe_pin(docs.select_columns([id_col, text_col]),
+                           estimate_from=docs)
     small = (not _force_scale()) and (
         tsize is not None and tsize <= broadcast_max_bytes
     )

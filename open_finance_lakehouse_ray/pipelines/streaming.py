@@ -145,7 +145,41 @@ class StreamCheckpoint:
             windows.setdefault(ws // bucket_us, {})[key] = bar
         return {"keys": keys, "windows": windows}
 
-    def save(self, state: dict[str, Any]) -> None:
+    def save(
+        self,
+        state: dict[str, Any],
+        *,
+        dirty_key_ts: "list[int] | None" = None,
+        dirty_window_keys: "list[str] | None" = None,
+        watermark_us: int | None = None,
+    ) -> None:
+        """Persist ``state``; rewrite only dirty shards.
+
+        Without hints, dirtiness is detected by canonical-JSON compare —
+        sound for any caller but O(total state) CPU per save.  The
+        processor passes HINTS (this batch's inserted key timestamps,
+        touched/finalized window keys, and the watermark whose prune may
+        have filtered the boundary bucket): hinted-clean cached buckets are
+        referenced without re-serialization, so per-batch checkpoint CPU is
+        O(batch), not O(retained state) (review finding, round 4 — write
+        BYTES were flat at 10x cardinality but save CPU grew 6.7x).
+        Incomplete hints would persist stale state; the processor derives
+        them from the same loops that mutate the state.
+        """
+        hints: dict[str, set[int]] | None = None
+        if dirty_key_ts is not None or dirty_window_keys is not None:
+            hints = {
+                "keys": {int(t) // self.bucket_us for t in (dirty_key_ts or ())},
+                "windows": {
+                    int(k.rsplit("|", 1)[1]) // self.bucket_us
+                    for k in (dirty_window_keys or ())
+                },
+            }
+            if watermark_us is not None:
+                # the prune `t >= watermark` may have filtered the
+                # watermark's own (boundary) bucket without any insert
+                hints["keys"].add(int(watermark_us) // self.bucket_us)
+                hints["windows"].add(int(watermark_us) // self.bucket_us)
         buckets = self._bucketize(state)
         core: dict[str, Any] = {
             "batch_id": state["batch_id"],
@@ -161,17 +195,20 @@ class StreamCheckpoint:
         }
         for kind, manifest in (("keys", "key_shards"), ("windows", "window_shards")):
             for b, payload in buckets[kind].items():
-                canon = json.dumps(payload, sort_keys=True)
                 cached = self._cache.get(kind, {}).get(b)
-                if cached is not None and cached[1] == canon:
-                    fname = cached[0]  # clean shard: reference, don't rewrite
+                if cached is not None and hints is not None and b not in hints[kind]:
+                    fname, canon = cached  # hinted clean: no serialization
                 else:
-                    fname = f"{kind}-{b}-{state['batch_id']}.json"
-                    _atomic_write_json(
-                        self.shard_dir,
-                        os.path.join(self.shard_dir, fname),
-                        payload,
-                    )
+                    canon = json.dumps(payload, sort_keys=True)
+                    if cached is not None and cached[1] == canon:
+                        fname = cached[0]  # clean shard: reference only
+                    else:
+                        fname = f"{kind}-{b}-{state['batch_id']}.json"
+                        _atomic_write_json(
+                            self.shard_dir,
+                            os.path.join(self.shard_dir, fname),
+                            payload,
+                        )
                 core[manifest][str(b)] = fname
                 new_cache[kind][b] = (fname, canon)
         _atomic_write_json(
@@ -283,14 +320,19 @@ class StreamProcessor:
         return names[: self.max_files]
 
     def run_available_now(self) -> dict[str, Any]:
-        """Drain-then-exit: process micro-batches until no new files."""
+        """Drain-then-exit: process micro-batches until no new files.
+
+        State is loaded ONCE per drain and carried through the loop —
+        after a successful save the in-memory dict equals the persisted
+        one, so a per-batch reload would be an O(retained state) read for
+        nothing (a crash resumes from the last save either way)."""
+        state = self.ckpt.load()
         while True:
-            state = self.ckpt.load()
             files = self._pending_files(state)
             if not files:
                 break
             self._process_batch(state, files)
-        return self.ckpt.load()["metrics"]
+        return state["metrics"]
 
     # ------------------------------------------------------------------
 
@@ -346,6 +388,7 @@ class StreamProcessor:
             state["seen_keys"] = {k: t for k, t in seen.items() if t >= watermark}
 
         # fold into open windows
+        touched_windows: list[str] = []
         if len(good):
             g = good.copy()
             g["wstart"] = (g["ts_us"] // self.window_us) * self.window_us
@@ -355,6 +398,7 @@ class StreamProcessor:
                 state["open_windows"][key] = _merge_bar(
                     state["open_windows"].get(key), grp
                 )
+                touched_windows.append(key)
 
         # finalize windows whose end the watermark passed (append-once)
         emitted = []
@@ -363,6 +407,7 @@ class StreamProcessor:
             wend = window_end(int(ws), self.window_us)
             if watermark is not None and watermark >= wend:
                 bar = state["open_windows"].pop(key)
+                touched_windows.append(key)
                 emitted.append(
                     {
                         "event_type": etype,
@@ -377,11 +422,17 @@ class StreamProcessor:
                          ("event_type", "window_start"))
             state["metrics"]["bars_emitted"] += len(emitted)
 
-        # checkpoint: claim offsets + state AFTER the idempotent writes
+        # checkpoint: claim offsets + state AFTER the idempotent writes;
+        # dirty hints = exactly the buckets this batch's loops mutated
         state["processed"] = sorted(set(state["processed"]) | set(files))
         state["batch_id"] = batch_id + 1
         state["max_event_us"] = wm.max_event_us
-        self.ckpt.save(state)
+        self.ckpt.save(
+            state,
+            dirty_key_ts=[int(t) for t in good["ts_us"]],
+            dirty_window_keys=touched_windows,
+            watermark_us=watermark,
+        )
 
     def _process_batch_distributed(self, state: dict[str, Any], files: list[str]) -> None:
         """Ray-Data micro-batch: the same pipeline as the single-process
@@ -503,9 +554,11 @@ class StreamProcessor:
         )
         seen = state["seen_keys"]
         n_survivors = 0
+        dirty_key_ts: list[int] = []
         for row in partials:
             for k, t_us in json.loads(row["keys_json"]):
                 seen[k] = t_us
+                dirty_key_ts.append(int(t_us))
                 n_survivors += 1
         # late-filtered count = valid minus (survivors + dups); dups are the
         # keys that fell to state/batch dedup AFTER the late filter — derive
@@ -529,11 +582,13 @@ class StreamProcessor:
         state["metrics"]["dropped_dup"] += n_ontime - n_survivors
         if watermark is not None:
             state["seen_keys"] = {k: t for k, t in seen.items() if t >= watermark}
+        touched_windows: list[str] = []
         for row in partials:
             key = f"{row['event_type']}|{row['wstart']}"
             state["open_windows"][key] = _combine_bars(
                 state["open_windows"].get(key), json.loads(row["bar_json"])
             )
+            touched_windows.append(key)
 
         # --- finalize + checkpoint: identical to the single-process path ---
         emitted = []
@@ -542,6 +597,7 @@ class StreamProcessor:
             wend = window_end(int(ws), self.window_us)
             if watermark is not None and watermark >= wend:
                 bar = state["open_windows"].pop(key)
+                touched_windows.append(key)
                 emitted.append({
                     "event_type": etype,
                     "window_start": int(ws),
@@ -557,7 +613,12 @@ class StreamProcessor:
         state["processed"] = sorted(set(state["processed"]) | set(files))
         state["batch_id"] = batch_id + 1
         state["max_event_us"] = wm.max_event_us
-        self.ckpt.save(state)
+        self.ckpt.save(
+            state,
+            dirty_key_ts=dirty_key_ts,
+            dirty_window_keys=touched_windows,
+            watermark_us=watermark,
+        )
 
     def _append_ds(
         self, log: TableLog, ds, job_id: str, sort_by: tuple[str, ...],

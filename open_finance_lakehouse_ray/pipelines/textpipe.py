@@ -395,7 +395,8 @@ def tfidf_top_terms(
 
     # pinned only when small (feeds the TF pass AND the DF-join pass);
     # above the guard each pass re-reads the pruned columns
-    mat, _ = _maybe_pin(docs.select_columns([id_col, text_col]))
+    mat, _ = _maybe_pin(docs.select_columns([id_col, text_col]),
+                           estimate_from=docs)
     n_docs = mat.count()
 
     def doc_token_tf(batch: pa.Table) -> pa.Table:
@@ -672,7 +673,8 @@ def unigram_logprob(
 
     # pinned only when small (feeds the corpus-count pass AND the per-doc
     # fold); above the guard each pass re-reads the pruned columns
-    mat, _ = _maybe_pin(docs.select_columns([id_col, text_col]))
+    mat, _ = _maybe_pin(docs.select_columns([id_col, text_col]),
+                           estimate_from=docs)
 
     def occ_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

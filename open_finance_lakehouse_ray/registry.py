@@ -213,7 +213,10 @@ def ingest_table(
     # assuming a transcript default; an attested-unique ingest of the
     # builtin transcript contract implies the transcript key
     key_cols = cfg.get("key_cols")
-    if key_cols is None and keys_unique and cfg.get("contract") == "builtin":
+    # an OMITTED contract key takes the same builtin-validation path as the
+    # literal "builtin" (contract_for returns None, validate=True) — both
+    # imply the transcript key (review finding, round 4)
+    if key_cols is None and keys_unique and cfg.get("contract") in (None, "builtin"):
         key_cols = ["conv_id", "turn_idx"]
     if key_cols:
         summary["key_cols"] = list(key_cols)

@@ -322,6 +322,11 @@ class TableLog:
             kc = snap.summary.get("key_cols")
             if kc is not None:
                 return tuple(kc)
+            if snap.summary.get("mode") == "overwrite":
+                # an overwrite REPLACES the table: key identity recorded
+                # below it belongs to the old data — never inherit across
+                # it (review finding, round 4)
+                return None
             if snap.parent is None:
                 return None
             try:

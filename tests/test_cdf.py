@@ -609,3 +609,30 @@ def test_key_metadata_survives_expire(ray_session, table_root):
     assert len(log2.versions()) == 1
     assert log2.table_key_cols() == ("conv_id", "turn_idx")
     assert log2.table_schema() is not None
+
+
+def test_overwrite_is_a_key_identity_barrier(ray_session, table_root):
+    """A re-keying OVERWRITE resets table identity: key metadata recorded
+    below it must not leak through the walker, and a historical span still
+    resolves its own (pre-overwrite) key (round-4 review)."""
+    tx = build_transcripts(n_convs=8)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="ob-base",
+                   summary={"key_cols": ["conv_id", "turn_idx"]})
+    log = TableLog(table_root)
+    v1 = log.current_version()
+    ingest_dataset(rd.from_arrow(build_transcripts(seed=3, n_convs=2)),
+                   table_root, job_id="ob-a", validate=False)
+    v2 = TableLog(table_root).current_version()
+    # overwrite WITHOUT key metadata: identity unknown from here up
+    ingest_dataset(rd.from_arrow(build_transcripts(seed=4, n_convs=3)),
+                   table_root, job_id="ob-ow", mode="overwrite",
+                   validate=False)
+    log = TableLog(table_root)
+    assert log.table_key_cols() is None  # barrier: no inheritance
+    assert log.table_key_cols(v2) == ("conv_id", "turn_idx")  # history intact
+    # historical span (v1, v2] resolves at the SPAN END, so it still folds
+    feed = change_feed(table_root, from_version=v1, to_version=v2).to_pandas()
+    assert set(feed["_change_type"]) == {"insert"}
+    # head span has no key identity: net/auto must refuse
+    with pytest.raises(ValueError, match="key_cols"):
+        change_feed(table_root, from_version=v2).to_pandas()

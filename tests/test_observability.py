@@ -174,3 +174,29 @@ def test_structured_logger_json_lines(capsys):
     assert rec["event"] == "compact_done"
     assert rec["files"] == 3 and rec["table"] == "t1"
     assert rec["level"] == "info"
+
+
+def test_emit_run_exit_code_semantics(captured, monkeypatch):
+    """SystemExit(0) (--help / clean exit) is COMPLETE; a run body that
+    flags status['failed'] (nonzero CLI rc) is FAIL (round-4 review)."""
+    import json
+
+    monkeypatch.setenv("OFLR_OPENLINEAGE_URL", "http://ol:5000/lineage")
+    with pytest.raises(SystemExit):
+        with obs.emit_run("cli/help"):
+            raise SystemExit(0)
+    assert [json.loads(b)["eventType"] for _, b, _ in captured] == [
+        "START", "COMPLETE"]
+
+    captured.clear()
+    with pytest.raises(SystemExit):
+        with obs.emit_run("cli/bad"):
+            raise SystemExit(2)
+    assert [json.loads(b)["eventType"] for _, b, _ in captured] == [
+        "START", "FAIL"]
+
+    captured.clear()
+    with obs.emit_run("cli/check") as status:
+        status["failed"] = True  # nonzero rc path
+    assert [json.loads(b)["eventType"] for _, b, _ in captured] == [
+        "START", "FAIL"]

@@ -34,11 +34,13 @@ BASE = 1_700_000_000_000_000
 BATCH_KEYS = 10_000
 
 
-def run(retained_buckets: int) -> dict:
+def run(retained_buckets: int, *, hints: bool) -> dict:
     """Simulate steady state: each batch adds BATCH_KEYS keys in a fresh
     minute bucket and prunes buckets older than ``retained_buckets``
     (watermark semantics). Retained cardinality ~= retained_buckets *
-    BATCH_KEYS."""
+    BATCH_KEYS.  ``hints=True`` exercises the processor's dirty-hint path
+    (O(batch) save CPU); ``hints=False`` the full canonical compare any
+    external caller gets (O(state) CPU, still flat write bytes)."""
     root = tempfile.mkdtemp(prefix="ckpt-bench-")
     ck = StreamCheckpoint(os.path.join(root, "stream.json"), bucket_us=MIN)
     state = ck.load()
@@ -59,15 +61,21 @@ def run(retained_buckets: int) -> dict:
                   for n in os.listdir(ck.shard_dir)}
         b = retained_buckets + step
         t0 = BASE + b * MIN
+        inserted = []
         for i in range(BATCH_KEYS):
             state["seen_keys"][f"click:{b}:{i}"] = t0 + i
+            inserted.append(t0 + i)
         watermark = BASE + (b - retained_buckets + 1) * MIN
         state["seen_keys"] = {
             k: t for k, t in state["seen_keys"].items() if t >= watermark
         }
         state["batch_id"] += 1
         t_start = time.perf_counter()
-        ck.save(state)
+        if hints:
+            ck.save(state, dirty_key_ts=inserted, dirty_window_keys=[],
+                    watermark_us=watermark)
+        else:
+            ck.save(state)
         wall.append(time.perf_counter() - t_start)
         new = 0
         nbytes = 0
@@ -89,14 +97,21 @@ def run(retained_buckets: int) -> dict:
 
 
 def main() -> None:
-    small = run(retained_buckets=4)  # ~40k retained keys
-    large = run(retained_buckets=40)  # ~400k retained keys (10x)
+    small = run(retained_buckets=4, hints=True)  # ~40k retained keys
+    large = run(retained_buckets=40, hints=True)  # ~400k retained keys (10x)
+    small_nh = run(retained_buckets=4, hints=False)
+    large_nh = run(retained_buckets=40, hints=False)
     ratio = (large["avg_bytes_written_per_batch"]
              / small["avg_bytes_written_per_batch"])
+    cpu_ratio = large["avg_save_sec"] / max(small["avg_save_sec"], 1e-9)
     print(json.dumps({
         "small": small,
         "large_10x": large,
         "write_bytes_ratio_10x_cardinality": round(ratio, 3),
+        "save_cpu_ratio_10x_cardinality_hinted": round(cpu_ratio, 3),
+        "save_cpu_ratio_10x_cardinality_unhinted": round(
+            large_nh["avg_save_sec"] / max(small_nh["avg_save_sec"], 1e-9), 3
+        ),
         "flat_if_close_to_1": ratio < 1.5,
     }, indent=2))
 
