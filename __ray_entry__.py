@@ -31,11 +31,11 @@ def entry() -> Any:
 # The driver's correctness gate samples the FIRST 50 ``queries()`` entries
 # in dict order.  Registration order in ``pipelines/queries.py`` follows the
 # build history, which left the table verbs and late-round text ops past the
-# window for three rounds (VERDICT r3 item 2).  Order the gate view so:
-#   1. never-driver-gated + this-round-fixed queries come first,
-#   2. any NEW query (not listed here) lands before long-green entries,
-#   3. one representative per family stays inside the window,
-#   4. long-green trivial entries rotate to the tail.
+# window for three rounds (VERDICT r3 item 2).  The PRIMARY ordering is now
+# self-balancing from the recorded gate history (``_gate_history``): a
+# static list would permanently park whatever lands past position 50
+# (round-4 review).  The lists below survive as the cold-start order (no
+# CORRECTNESS files yet) and the tie-break preference within equal history.
 _GATE_FRONT = [
     # all six table verbs (the engine's signature surface), never gated r1-r3
     "tx_delete_where",
@@ -122,15 +122,66 @@ _GATE_TAIL = [
 ]
 
 
+def _gate_history() -> "dict[str, tuple[int, int, bool]]":
+    """Per-query driver-gate history from the recorded ``CORRECTNESS_r*.json``
+    files: name -> (last_round_gated, times_gated, last_row_green).
+
+    A row is green when the exact value hash matched (or, for the weaker
+    rows-only checks, when a row count came back without error)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, tuple[int, int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as f:
+                rows = json.load(f)
+        except Exception:  # noqa: BLE001 — a corrupt record never breaks the gate
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(row.get("hash_match")) or (
+                row.get("hash_match") is None
+                and row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            last, n, last_green = hist.get(name, (-1, 0, True))
+            if rnd >= last:
+                last, last_green = rnd, green
+            hist[name] = (last, n + 1, last_green)
+    return hist
+
+
 def _gate_order(keys: list[str]) -> list[str]:
-    known = set(_GATE_FRONT) | set(_GATE_KEEP) | set(_GATE_TAIL)
-    new = [k for k in keys if k not in known]
-    listed = set(keys)
-    ordered = [k for k in _GATE_FRONT if k in listed]
-    ordered += new  # unlisted (new) queries gate before long-green ones
-    ordered += [k for k in _GATE_KEEP if k in listed]
-    ordered += [k for k in keys if k not in set(ordered)]
-    return ordered
+    """Order the gate view so the driver's 50-entry window self-balances.
+
+    Sort key per query, ascending: (last row red?, never/least-recently
+    gated, fewest total driver rows, cold-start list position).  A query
+    whose most recent driver row was RED — or which has never had one —
+    always enters the window; otherwise the least-recently-gated rotate in,
+    so over rounds every query keeps collecting driver evidence instead of
+    a static tail parking 21 entries forever (round-4 review)."""
+    hist = _gate_history()
+    static = _GATE_FRONT + _GATE_KEEP + _GATE_TAIL
+    static_pos = {k: i for i, k in enumerate(static)}
+
+    def key(name: str) -> tuple:
+        last, n, green = hist.get(name, (-1, 0, False))
+        needs_row = last < 0 or not green
+        return (0 if needs_row else 1, last, n,
+                static_pos.get(name, -1), name)
+
+    return sorted(keys, key=key)
 
 
 def _ts_us(result: Any) -> Any:

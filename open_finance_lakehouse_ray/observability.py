@@ -89,6 +89,24 @@ def _render(name: str, value: float, labels: dict[str, str]) -> str:
     return f"{name}{{{rendered}}} {value}\n"
 
 
+def _group_segment(label: str, value: str) -> str:
+    """One Pushgateway grouping-key path segment (``<label>/<value>``).
+
+    Values containing ``/`` — and empty values — must use the gateway's
+    documented ``<label>@base64/<urlsafe-b64>`` form: percent-encoding a
+    slash is NOT enough because Go's HTTP router un-escapes and cleans the
+    path before route matching, splitting the value into extra segments
+    (review finding, round 4). An empty value encodes as a single ``=``."""
+    if value and "/" not in value:
+        from urllib.parse import quote
+
+        return f"{label}/{quote(value, safe='')}"
+    import base64
+
+    b64 = base64.urlsafe_b64encode(value.encode("utf-8")).decode().rstrip("=")
+    return f"{label}@base64/{b64 or '='}"
+
+
 def push_table_metrics(
     table_key: str,
     *,
@@ -125,11 +143,8 @@ def push_table_metrics(
         )
     for k, v in (extra_gauges or {}).items():
         body += _render(k, v, lbl)
-    from urllib.parse import quote
-
-    # quote the grouping key: a '/' in a table name must not change the
-    # Pushgateway group path (review finding, round 4)
-    url = f"{base.rstrip('/')}/metrics/job/{_JOB}/table/{quote(table_key, safe='')}"
+    url = (f"{base.rstrip('/')}/metrics/job/{_JOB}/"
+           f"{_group_segment('table', table_key)}")
     try:
         _http_post(url, body.encode("utf-8"),
                    {"Content-Type": "text/plain; version=0.0.4"})

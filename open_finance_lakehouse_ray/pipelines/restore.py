@@ -32,6 +32,7 @@ def restore(root: str, *, to_version: int, job_id: str) -> Snapshot:
     if existing is not None:
         return existing
     head = log.current_version()
+    target_key_cols = log.table_key_cols(to_version)
     target = {e.path: e for e in log.files(to_version)}
     head_paths = {e.path for e in log.files(head)}
     added = [e for p, e in target.items() if p not in head_paths]
@@ -47,5 +48,16 @@ def restore(root: str, *, to_version: int, job_id: str) -> Snapshot:
         summary={
             "restored_to": to_version,
             "keys_unique": log.keys_unique(to_version),
+            # mirror the target's key identity like keys_unique: the live
+            # data IS to_version's, so consumers must not resolve key_cols
+            # from commits between to_version and head (a re-keying
+            # overwrite there would win the walk) — review finding, round 4.
+            # When the target has no identity the walker's restore barrier
+            # (txlog.table_key_cols) keeps the answer None.
+            **(
+                {"key_cols": list(target_key_cols)}
+                if target_key_cols is not None
+                else {}
+            ),
         },
     )

@@ -94,6 +94,16 @@ class StreamCheckpoint:
         self._cache: dict[str, dict[int, tuple[str, str]]] = {
             "keys": {}, "windows": {},
         }
+        # incremental per-bucket mirror of seen_keys, maintained by
+        # record_inserts / prune_keys: dedup semantics guarantee a seen key
+        # is never re-inserted, so bucket membership is stable and the
+        # mirror makes save() and the watermark prune O(batch), not
+        # O(retained keys) (round-4 review: even with dirty hints, the
+        # per-save _bucketize scan kept checkpoint CPU linear in state).
+        # None = mirror unavailable; save() then falls back to the scan.
+        self._kbuckets: dict[int, dict[str, int]] | None = None
+        self._kdirty: set[int] = set()
+        self._incremental = False
 
     @staticmethod
     def _empty_state() -> dict[str, Any]:
@@ -109,12 +119,14 @@ class StreamCheckpoint:
 
     def load(self) -> dict[str, Any]:
         self._cache = {"keys": {}, "windows": {}}
+        self._kbuckets, self._kdirty, self._incremental = {}, set(), False
         try:
             with open(self.path) as f:
                 core = json.load(f)
         except FileNotFoundError:
             return self._empty_state()
         if "seen_keys" in core:  # legacy single-file layout: read-through
+            self._kbuckets = self._bucketize(core)["keys"]
             return core
         state = {
             "batch_id": core["batch_id"],
@@ -132,7 +144,62 @@ class StreamCheckpoint:
                 self._cache[kind][int(b_str)] = (
                     fname, json.dumps(payload, sort_keys=True),
                 )
+                if kind == "keys":
+                    # the freshly-parsed payload dict seeds the mirror (a
+                    # distinct object from state["seen_keys"]; values are
+                    # immutable ints, so sharing them is safe)
+                    self._kbuckets[int(b_str)] = payload
         return state
+
+    # ------------------------------------------------- incremental mirror
+
+    def record_inserts(self, pairs: "list[tuple[str, int]]") -> None:
+        """Mirror this batch's newly-seen dedup keys into the per-bucket
+        index. Only NEW keys may be recorded (the processor's dedup drops
+        re-occurrences before insert), so a key never changes bucket."""
+        if self._kbuckets is None:
+            return  # mirror was invalidated: stay on the scan path
+        self._incremental = True
+        bu = self.bucket_us
+        for k, t in pairs:
+            b = int(t) // bu
+            self._kbuckets.setdefault(b, {})[k] = int(t)
+            self._kdirty.add(b)
+
+    def prune_keys(self, state: dict[str, Any], watermark_us: int | None) -> None:
+        """Drop ``seen_keys`` entries below the watermark — from the flat
+        dict AND the mirror, bucket-wise: whole buckets strictly below the
+        boundary drop wholesale (O(pruned), amortized O(inserted)); only
+        the boundary bucket is filtered key-by-key. Falls back to the flat
+        O(state) comprehension when the mirror is out of sync (an external
+        caller mutated seen_keys directly)."""
+        if watermark_us is None:
+            return
+        seen = state["seen_keys"]
+        kb = self._kbuckets
+        if kb is None or sum(map(len, kb.values())) != len(seen):
+            state["seen_keys"] = {
+                k: t for k, t in seen.items() if t >= watermark_us
+            }
+            self._kbuckets = None  # mirror unusable until the next load()
+            return
+        self._incremental = True
+        wb = int(watermark_us) // self.bucket_us
+        for b in [b for b in kb if b < wb]:
+            for k in kb.pop(b):
+                seen.pop(k, None)
+            self._kdirty.discard(b)
+        boundary = kb.get(wb)
+        if boundary is not None:
+            drop = [k for k, t in boundary.items() if t < watermark_us]
+            if drop:
+                for k in drop:
+                    del boundary[k]
+                    seen.pop(k, None)
+                self._kdirty.add(wb)
+            if not boundary:
+                del kb[wb]
+                self._kdirty.discard(wb)
 
     def _bucketize(self, state: dict[str, Any]) -> dict[str, dict[int, dict]]:
         bucket_us = self.bucket_us
@@ -155,32 +222,60 @@ class StreamCheckpoint:
     ) -> None:
         """Persist ``state``; rewrite only dirty shards.
 
-        Without hints, dirtiness is detected by canonical-JSON compare —
-        sound for any caller but O(total state) CPU per save.  The
-        processor passes HINTS (this batch's inserted key timestamps,
-        touched/finalized window keys, and the watermark whose prune may
-        have filtered the boundary bucket): hinted-clean cached buckets are
-        referenced without re-serialization, so per-batch checkpoint CPU is
-        O(batch), not O(retained state) (review finding, round 4 — write
-        BYTES were flat at 10x cardinality but save CPU grew 6.7x).
-        Incomplete hints would persist stale state; the processor derives
-        them from the same loops that mutate the state.
+        Three regimes, cheapest first:
+
+        - The processor lane (record_inserts / prune_keys): the key shards
+          serialize straight from the incremental bucket mirror and the
+          mirror's own dirty set — no scan of seen_keys at all, so per-batch
+          checkpoint CPU is O(batch inserts + open windows).
+        - Hinted external callers (this batch's inserted key timestamps,
+          touched/finalized window keys, the watermark whose prune may have
+          filtered the boundary bucket): one O(state) bucketize scan, but
+          hinted-clean buckets skip re-serialization.
+        - No hints: O(state) canonical-JSON compare per bucket — sound for
+          any caller (review finding, round 4: write BYTES were already
+          flat at 10x cardinality, but save CPU grew with retained state).
+
+        The mirror is trusted only while its size matches ``seen_keys``
+        (an external mutation desyncs it → automatic scan fallback).
         """
-        hints: dict[str, set[int]] | None = None
-        if dirty_key_ts is not None or dirty_window_keys is not None:
-            hints = {
-                "keys": {int(t) // self.bucket_us for t in (dirty_key_ts or ())},
-                "windows": {
-                    int(k.rsplit("|", 1)[1]) // self.bucket_us
-                    for k in (dirty_window_keys or ())
-                },
+        mirror_ok = (
+            self._incremental
+            and self._kbuckets is not None
+            and sum(map(len, self._kbuckets.values())) == len(state["seen_keys"])
+        )
+        # windows are always bucketized by scan: open_windows holds only
+        # the not-yet-finalized windows (watermark-bounded, tiny), unlike
+        # the retained dedup-key set
+        win_buckets: dict[int, dict] = {}
+        for key, bar in state["open_windows"].items():
+            ws = int(key.rsplit("|", 1)[1])
+            win_buckets.setdefault(ws // self.bucket_us, {})[key] = bar
+        wm_bucket = (
+            None if watermark_us is None else int(watermark_us) // self.bucket_us
+        )
+        if mirror_ok:
+            key_buckets: dict[int, dict] = self._kbuckets
+            key_hints: set[int] | None = set(self._kdirty)
+        else:
+            key_buckets = self._bucketize(state)["keys"]
+            key_hints = None
+            if dirty_key_ts is not None:
+                key_hints = {int(t) // self.bucket_us for t in dirty_key_ts}
+                if wm_bucket is not None:
+                    # the prune `t >= watermark` may have filtered the
+                    # watermark's own (boundary) bucket without any insert
+                    key_hints.add(wm_bucket)
+        win_hints: set[int] | None = None
+        if dirty_window_keys is not None:
+            win_hints = {
+                int(k.rsplit("|", 1)[1]) // self.bucket_us
+                for k in dirty_window_keys
             }
-            if watermark_us is not None:
-                # the prune `t >= watermark` may have filtered the
-                # watermark's own (boundary) bucket without any insert
-                hints["keys"].add(int(watermark_us) // self.bucket_us)
-                hints["windows"].add(int(watermark_us) // self.bucket_us)
-        buckets = self._bucketize(state)
+            if wm_bucket is not None:
+                win_hints.add(wm_bucket)
+        buckets = {"keys": key_buckets, "windows": win_buckets}
+        hints = {"keys": key_hints, "windows": win_hints}
         core: dict[str, Any] = {
             "batch_id": state["batch_id"],
             "processed": state["processed"],
@@ -194,9 +289,10 @@ class StreamCheckpoint:
             "keys": {}, "windows": {},
         }
         for kind, manifest in (("keys", "key_shards"), ("windows", "window_shards")):
+            kind_hints = hints[kind]
             for b, payload in buckets[kind].items():
                 cached = self._cache.get(kind, {}).get(b)
-                if cached is not None and hints is not None and b not in hints[kind]:
+                if cached is not None and kind_hints is not None and b not in kind_hints:
                     fname, canon = cached  # hinted clean: no serialization
                 else:
                     canon = json.dumps(payload, sort_keys=True)
@@ -215,6 +311,7 @@ class StreamCheckpoint:
             os.path.dirname(self.path) or ".", self.path, core
         )
         self._cache = new_cache
+        self._kdirty.clear()
         # prune shard files the new core no longer references (best-effort;
         # a crash before this point only leaves harmless orphans)
         live = set(core["key_shards"].values()) | set(core["window_shards"].values())
@@ -382,10 +479,12 @@ class StreamProcessor:
         )
         state["metrics"]["dropped_dup"] += int(dup.sum())
         good = good[~dup.to_numpy()]
-        for k, t in zip(good["event_key"], good["ts_us"]):
-            seen[k] = int(t)
-        if watermark is not None:
-            state["seen_keys"] = {k: t for k, t in seen.items() if t >= watermark}
+        inserted = [(k, int(t)) for k, t in zip(good["event_key"], good["ts_us"])]
+        seen.update(inserted)
+        # mirror inserts + bucket-wise prune: keeps checkpoint save AND the
+        # watermark prune O(batch), not O(retained keys)
+        self.ckpt.record_inserts(inserted)
+        self.ckpt.prune_keys(state, watermark)
 
         # fold into open windows
         touched_windows: list[str] = []
@@ -553,13 +652,13 @@ class StreamProcessor:
             .take_all()
         )
         seen = state["seen_keys"]
-        n_survivors = 0
-        dirty_key_ts: list[int] = []
+        inserted: list[tuple[str, int]] = []
         for row in partials:
             for k, t_us in json.loads(row["keys_json"]):
-                seen[k] = t_us
-                dirty_key_ts.append(int(t_us))
-                n_survivors += 1
+                inserted.append((k, int(t_us)))
+        n_survivors = len(inserted)
+        seen.update(inserted)
+        self.ckpt.record_inserts(inserted)
         # late-filtered count = valid minus (survivors + dups); dups are the
         # keys that fell to state/batch dedup AFTER the late filter — derive
         # both metrics from ONE pipeline execution:
@@ -580,8 +679,7 @@ class StreamProcessor:
             state["metrics"]["dropped_late"] += n_late
             n_ontime = n_valid - n_late
         state["metrics"]["dropped_dup"] += n_ontime - n_survivors
-        if watermark is not None:
-            state["seen_keys"] = {k: t for k, t in seen.items() if t >= watermark}
+        self.ckpt.prune_keys(state, watermark)
         touched_windows: list[str] = []
         for row in partials:
             key = f"{row['event_type']}|{row['wstart']}"
@@ -615,7 +713,7 @@ class StreamProcessor:
         state["max_event_us"] = wm.max_event_us
         self.ckpt.save(
             state,
-            dirty_key_ts=dirty_key_ts,
+            dirty_key_ts=[t for _, t in inserted],
             dirty_window_keys=touched_windows,
             watermark_us=watermark,
         )

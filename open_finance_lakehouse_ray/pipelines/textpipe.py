@@ -397,7 +397,10 @@ def tfidf_top_terms(
     # above the guard each pass re-reads the pruned columns
     mat, _ = _maybe_pin(docs.select_columns([id_col, text_col]),
                            estimate_from=docs)
-    n_docs = mat.count()
+    # count the RAW read-backed dataset (parquet-footer metadata, free):
+    # counting the projection on the unpinned path would execute the whole
+    # read+project pipeline just for a row count (review finding, round 4)
+    n_docs = docs.count()
 
     def doc_token_tf(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

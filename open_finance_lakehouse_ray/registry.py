@@ -134,7 +134,11 @@ def maintain_table(reg: Registry, table: str, *, job_id: str) -> dict[str, Any]:
 
         suite = dict(suite or {})
         suite["expectations"] = expectation_check(list(exp_specs))
-    labels = {"table": table, "job": job_id}
+    # label name `job_id`, NOT `job`: the Pushgateway grouping key already
+    # carries job=<group>, and grouping labels override (or 400-reject)
+    # conflicting body labels — a `job` body label would silently vanish
+    # (review finding, round 4)
+    labels = {"table": table, "job_id": job_id}
     try:
         with obs.emit_run(f"maintain/{table}"):
             out = maintain(
@@ -266,6 +270,14 @@ def build_registry_marts(
             # the breach pushed, the error still raised
             obs.push_table_metrics(name, labels=labels, dq_passed=False,
                                    failed=True)
+            raise
+        except Exception:
+            # infra failure (typo'd query name, disk full, worker OOM): push
+            # run_failed WITHOUT touching the dq gauges, mirroring
+            # maintain_table — otherwise the gateway serves the last
+            # success's gauges forever while the mart silently stops
+            # updating (review finding, round 4)
+            obs.push_table_metrics(name, labels=labels, failed=True)
             raise
         obs.push_table_metrics(name, labels=labels, dq_passed=True)
         out[name] = snap.version

@@ -322,10 +322,13 @@ class TableLog:
             kc = snap.summary.get("key_cols")
             if kc is not None:
                 return tuple(kc)
-            if snap.summary.get("mode") == "overwrite":
+            if snap.summary.get("mode") == "overwrite" or snap.operation == "restore":
                 # an overwrite REPLACES the table: key identity recorded
                 # below it belongs to the old data — never inherit across
-                # it (review finding, round 4)
+                # it (review finding, round 4).  A restore likewise swaps
+                # the live content wholesale; it mirrors the target's
+                # key_cols when known (restore.py), so reaching here means
+                # the restored-to version had no identity either.
                 return None
             if snap.parent is None:
                 return None

@@ -636,3 +636,36 @@ def test_overwrite_is_a_key_identity_barrier(ray_session, table_root):
     # head span has no key identity: net/auto must refuse
     with pytest.raises(ValueError, match="key_cols"):
         change_feed(table_root, from_version=v2).to_pandas()
+
+
+def test_restore_mirrors_key_identity(ray_session, table_root):
+    """RESTORE swaps live content wholesale: it must mirror the target's
+    key_cols (like keys_unique) so the walker never resolves a key recorded
+    by commits between the target and the old head (round-4 review)."""
+    from open_finance_lakehouse_ray.pipelines.restore import restore
+
+    ingest_dataset(rd.from_arrow(build_transcripts(n_convs=6)), table_root,
+                   job_id="rs-base",
+                   summary={"key_cols": ["conv_id", "turn_idx"]})
+    v1 = TableLog(table_root).current_version()
+    # a later re-keying overwrite records a DIFFERENT key
+    ingest_dataset(rd.from_arrow(build_transcripts(seed=5, n_convs=2)),
+                   table_root, job_id="rs-ow", mode="overwrite",
+                   validate=False, summary={"key_cols": ["turn_id"]})
+    assert TableLog(table_root).table_key_cols() == ("turn_id",)
+    restore(table_root, to_version=v1, job_id="rs-undo")
+    # live data is v1's again: identity must be v1's, not the overwrite's
+    assert TableLog(table_root).table_key_cols() == ("conv_id", "turn_idx")
+
+    # restore to a version with NO identity acts as a barrier (never walks
+    # past itself into the overwrite's turn_id)
+    ingest_dataset(rd.from_arrow(build_transcripts(seed=6, n_convs=2)),
+                   table_root, job_id="rs-ow2", mode="overwrite",
+                   validate=False)
+    v_noid = TableLog(table_root).current_version()
+    assert TableLog(table_root).table_key_cols() is None
+    ingest_dataset(rd.from_arrow(build_transcripts(seed=7, n_convs=2)),
+                   table_root, job_id="rs-app", validate=False,
+                   summary={"key_cols": ["other_key"]})
+    restore(table_root, to_version=v_noid, job_id="rs-undo2")
+    assert TableLog(table_root).table_key_cols() is None

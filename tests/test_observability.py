@@ -37,7 +37,7 @@ def test_metric_push_payload(captured, monkeypatch):
     monkeypatch.setenv("OFLR_PUSHGATEWAY_URL", "http://gw:9091")
     ok = obs.push_table_metrics(
         "transcripts_a",
-        labels={"table": "transcripts_a", "job": "m-1"},
+        labels={"table": "transcripts_a", "job_id": "m-1"},
         rows=123,
         files=4,
         dq_passed=True,
@@ -47,11 +47,25 @@ def test_metric_push_payload(captured, monkeypatch):
     (url, body, headers), = captured
     assert url == "http://gw:9091/metrics/job/oflr_maintenance/table/transcripts_a"
     assert headers["Content-Type"].startswith("text/plain")
-    assert 'oflr_dq_passed{job="m-1",table="transcripts_a"} 1' in body
-    assert 'oflr_dq_failed{job="m-1",table="transcripts_a"} 0' in body
-    assert 'oflr_run_failed{job="m-1",table="transcripts_a"} 0' in body
-    assert 'oflr_table_rows{job="m-1",table="transcripts_a"} 123' in body
+    assert 'oflr_dq_passed{job_id="m-1",table="transcripts_a"} 1' in body
+    assert 'oflr_dq_failed{job_id="m-1",table="transcripts_a"} 0' in body
+    assert 'oflr_run_failed{job_id="m-1",table="transcripts_a"} 0' in body
+    assert 'oflr_table_rows{job_id="m-1",table="transcripts_a"} 123' in body
     assert "oflr_table_last_success_timestamp_seconds" in body
+
+
+def test_grouping_segment_base64_for_slash_and_empty(captured, monkeypatch):
+    """A '/' in a grouping value must use the Pushgateway @base64 segment
+    form (percent-encoding is un-escaped by Go's router); empty value
+    encodes as a lone '=' (round-4 review)."""
+    monkeypatch.setenv("OFLR_PUSHGATEWAY_URL", "http://gw:9091")
+    assert obs.push_table_metrics("gold/daily", rows=1) is True
+    (url, _, _), = captured
+    assert url == ("http://gw:9091/metrics/job/oflr_maintenance/"
+                   "table@base64/Z29sZC9kYWlseQ")
+    assert obs._group_segment("table", "") == "table@base64/="
+    # plain values keep the readable percent-encoded form
+    assert obs._group_segment("table", "a b") == "table/a%20b"
 
 
 def test_metric_push_survives_gateway_error(monkeypatch):
@@ -129,7 +143,7 @@ def test_maintain_table_emits_metrics_and_lineage(
     url, body = pushes[0]
     assert url.endswith("/table/t1")
     assert f"oflr_table_rows" in body
-    assert 'oflr_dq_passed{job="obs-m",table="t1"} 1' in body
+    assert 'oflr_dq_passed{job_id="obs-m",table="t1"} 1' in body
     assert "oflr_table_last_success_timestamp_seconds" in body
     assert "oflr_run_failed" in body and "} 0" in body
 
@@ -162,6 +176,34 @@ def test_mart_check_failure_pushes_dq_gauge(ray_session, tmp_path, captured,
     assert url.endswith("/table/pricing")
     assert 'oflr_dq_failed{mart="pricing",query="li_pricing_summary"} 1' in body
     assert "oflr_run_failed" in body
+
+
+def test_mart_infra_failure_pushes_run_failed(tmp_path, captured, monkeypatch):
+    """A non-CheckError mart failure (typo'd query name) must still push
+    run_failed=1 — WITHOUT touching the dq gauges — or the gateway keeps
+    serving the last success forever (round-4 review)."""
+    from open_finance_lakehouse_ray.registry import (
+        build_registry_marts,
+        load_registry,
+    )
+
+    monkeypatch.setenv("OFLR_PUSHGATEWAY_URL", "http://gw:9091")
+    path = tmp_path / "registry.yml"
+    path.write_text(textwrap.dedent(f"""
+        base: {tmp_path}
+        tables: {{}}
+        marts:
+          broken:
+            root: "{{base}}/marts/broken"
+            query: no_such_query
+    """))
+    reg = load_registry(str(path))
+    with pytest.raises(KeyError):
+        build_registry_marts(reg, "/root/testdata/sf0.001", job_prefix="obs")
+    (url, body, _), = captured
+    assert url.endswith("/table/broken")
+    assert "oflr_run_failed" in body and "} 1" in body
+    assert "oflr_dq" not in body  # infra failure is not a DQ breach
 
 
 def test_structured_logger_json_lines(capsys):

@@ -536,3 +536,52 @@ def test_two_checkpoints_share_a_directory_without_pruning_each_other(tmp_path):
     a.save(sa2)
     assert StreamCheckpoint(str(tmp_path / "silver.json"),
                             bucket_us=MIN).load()["seen_keys"] == {"view:7": BASE}
+
+
+def test_checkpoint_incremental_mirror_equivalence(tmp_path):
+    """The processor lane (record_inserts + prune_keys) must persist
+    byte-identical state to the external scan lane, with bucket-wise prune
+    semantics identical to the flat `t >= watermark` comprehension, and
+    fall back safely when an external mutation desyncs the mirror
+    (round-4 review: mirror makes save+prune O(batch))."""
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    def run(lane: str) -> dict:
+        ck = StreamCheckpoint(str(tmp_path / f"{lane}.json"), bucket_us=MIN)
+        st = ck.load()
+        for step in range(5):
+            t0 = BASE + step * MIN
+            pairs = [(f"k:{step}:{i}", t0 + i) for i in range(100)]
+            wm = BASE + max(0, step - 1) * MIN + 30  # mid-bucket boundary
+            if lane == "mirror":
+                st["seen_keys"].update(pairs)
+                ck.record_inserts(pairs)
+                ck.prune_keys(st, wm)
+            else:
+                for k, t in pairs:
+                    st["seen_keys"][k] = t
+                st["seen_keys"] = {k: t for k, t in st["seen_keys"].items()
+                                   if t >= wm}
+            st["batch_id"] += 1
+            ck.save(st)
+        return StreamCheckpoint(str(tmp_path / f"{lane}.json"),
+                                bucket_us=MIN).load()
+
+    mirror, scan = run("mirror"), run("scan")
+    assert mirror["seen_keys"] == scan["seen_keys"]
+    assert len(mirror["seen_keys"]) > 0
+
+    # desync fallback: external rebind of seen_keys after record_inserts —
+    # prune_keys must fall back to the flat comprehension and the next
+    # save must still persist the truth (scan path)
+    ck = StreamCheckpoint(str(tmp_path / "desync.json"), bucket_us=MIN)
+    st = ck.load()
+    ck.record_inserts([("a", BASE)])
+    st["seen_keys"] = {"a": BASE, "b": BASE + MIN}  # external rebind
+    ck.prune_keys(st, BASE + 1)  # mirror len (1) != flat len (2) -> fallback
+    assert st["seen_keys"] == {"b": BASE + MIN}
+    st["batch_id"] += 1
+    ck.save(st)
+    assert StreamCheckpoint(str(tmp_path / "desync.json"),
+                            bucket_us=MIN).load()["seen_keys"] == {
+        "b": BASE + MIN}

@@ -34,17 +34,25 @@ BASE = 1_700_000_000_000_000
 BATCH_KEYS = 10_000
 
 
-def run(retained_buckets: int, *, hints: bool) -> dict:
+def run(retained_buckets: int, *, mode: str) -> dict:
     """Simulate steady state: each batch adds BATCH_KEYS keys in a fresh
     minute bucket and prunes buckets older than ``retained_buckets``
     (watermark semantics). Retained cardinality ~= retained_buckets *
-    BATCH_KEYS.  ``hints=True`` exercises the processor's dirty-hint path
-    (O(batch) save CPU); ``hints=False`` the full canonical compare any
-    external caller gets (O(state) CPU, still flat write bytes)."""
+    BATCH_KEYS.
+
+    ``mode``:
+    - ``"mirror"`` — the processor lane (``record_inserts`` +
+      ``prune_keys``): save AND prune are O(batch), no state scan at all.
+    - ``"hinted"`` — external caller with dirty-ts hints: one O(state)
+      bucketize scan per save, hinted-clean buckets skip serialization.
+    - ``"scan"`` — no hints: O(state) canonical-JSON compare per save.
+    The prune+save pair is timed together: the mirror lane's win includes
+    replacing the O(state) watermark dict-comprehension."""
     root = tempfile.mkdtemp(prefix="ckpt-bench-")
     ck = StreamCheckpoint(os.path.join(root, "stream.json"), bucket_us=MIN)
     state = ck.load()
-    # pre-fill to steady-state cardinality
+    # pre-fill to steady-state cardinality (external-style bulk fill, then
+    # reload so the mirror is rebuilt from the shards like a real resume)
     for b in range(retained_buckets):
         t0 = BASE + b * MIN
         for i in range(BATCH_KEYS):
@@ -55,27 +63,33 @@ def run(retained_buckets: int, *, hints: bool) -> dict:
     bytes_written = []
     files_rewritten = []
     wall = []
+    state = ck.load()  # one load per drain, like the processor
     for step in range(8):
-        state = ck.load()
         before = {n: os.path.getmtime(os.path.join(ck.shard_dir, n))
                   for n in os.listdir(ck.shard_dir)}
         b = retained_buckets + step
         t0 = BASE + b * MIN
-        inserted = []
-        for i in range(BATCH_KEYS):
-            state["seen_keys"][f"click:{b}:{i}"] = t0 + i
-            inserted.append(t0 + i)
+        pairs = [(f"click:{b}:{i}", t0 + i) for i in range(BATCH_KEYS)]
         watermark = BASE + (b - retained_buckets + 1) * MIN
-        state["seen_keys"] = {
-            k: t for k, t in state["seen_keys"].items() if t >= watermark
-        }
         state["batch_id"] += 1
         t_start = time.perf_counter()
-        if hints:
-            ck.save(state, dirty_key_ts=inserted, dirty_window_keys=[],
-                    watermark_us=watermark)
+        if mode == "mirror":
+            state["seen_keys"].update(pairs)
+            ck.record_inserts(pairs)
+            ck.prune_keys(state, watermark)
+            ck.save(state, dirty_key_ts=[t for _, t in pairs],
+                    dirty_window_keys=[], watermark_us=watermark)
         else:
-            ck.save(state)
+            for k, t in pairs:
+                state["seen_keys"][k] = t
+            state["seen_keys"] = {
+                k: t for k, t in state["seen_keys"].items() if t >= watermark
+            }
+            if mode == "hinted":
+                ck.save(state, dirty_key_ts=[t for _, t in pairs],
+                        dirty_window_keys=[], watermark_us=watermark)
+            else:
+                ck.save(state)
         wall.append(time.perf_counter() - t_start)
         new = 0
         nbytes = 0
@@ -97,22 +111,25 @@ def run(retained_buckets: int, *, hints: bool) -> dict:
 
 
 def main() -> None:
-    small = run(retained_buckets=4, hints=True)  # ~40k retained keys
-    large = run(retained_buckets=40, hints=True)  # ~400k retained keys (10x)
-    small_nh = run(retained_buckets=4, hints=False)
-    large_nh = run(retained_buckets=40, hints=False)
-    ratio = (large["avg_bytes_written_per_batch"]
-             / small["avg_bytes_written_per_batch"])
-    cpu_ratio = large["avg_save_sec"] / max(small["avg_save_sec"], 1e-9)
+    out: dict = {}
+    ratios: dict = {}
+    for mode in ("mirror", "hinted", "scan"):
+        small = run(retained_buckets=4, mode=mode)  # ~40k retained keys
+        large = run(retained_buckets=40, mode=mode)  # ~400k (10x)
+        out[mode] = {"small": small, "large_10x": large}
+        ratios[f"save_cpu_ratio_10x_{mode}"] = round(
+            large["avg_save_sec"] / max(small["avg_save_sec"], 1e-9), 3
+        )
+    bytes_ratio = (
+        out["mirror"]["large_10x"]["avg_bytes_written_per_batch"]
+        / out["mirror"]["small"]["avg_bytes_written_per_batch"]
+    )
     print(json.dumps({
-        "small": small,
-        "large_10x": large,
-        "write_bytes_ratio_10x_cardinality": round(ratio, 3),
-        "save_cpu_ratio_10x_cardinality_hinted": round(cpu_ratio, 3),
-        "save_cpu_ratio_10x_cardinality_unhinted": round(
-            large_nh["avg_save_sec"] / max(small_nh["avg_save_sec"], 1e-9), 3
-        ),
-        "flat_if_close_to_1": ratio < 1.5,
+        **out,
+        "write_bytes_ratio_10x_cardinality": round(bytes_ratio, 3),
+        **ratios,
+        "flat_if_close_to_1": bytes_ratio < 1.5,
+        "mirror_cpu_flat": ratios["save_cpu_ratio_10x_mirror"] < 1.5,
     }, indent=2))
 
 
