@@ -96,8 +96,10 @@ def _group_segment(label: str, value: str) -> str:
     documented ``<label>@base64/<urlsafe-b64>`` form: percent-encoding a
     slash is NOT enough because Go's HTTP router un-escapes and cleans the
     path before route matching, splitting the value into extra segments
-    (review finding, round 4). An empty value encodes as a single ``=``."""
-    if value and "/" not in value:
+    (review finding, round 4). ``.`` / ``..`` values take the base64 form
+    too — quote() leaves dots un-escaped and Go's path cleaning collapses
+    dot segments. An empty value encodes as a single ``=``."""
+    if value and "/" not in value and value not in (".", ".."):
         from urllib.parse import quote
 
         return f"{label}/{quote(value, safe='')}"

@@ -236,14 +236,27 @@ class StreamCheckpoint:
           any caller (review finding, round 4: write BYTES were already
           flat at 10x cardinality, but save CPU grew with retained state).
 
-        The mirror is trusted only while its size matches ``seen_keys``
-        (an external mutation desyncs it → automatic scan fallback).
+        Mirror contract: once the processor lane is active (record_inserts
+        called), EVERY seen_keys mutation must go through record_inserts /
+        prune_keys.  A size-changing outside mutation is detected (the
+        save falls back to the scan AND permanently voids the mirror until
+        the next load()); an equal-size swap is not detectable in O(1) —
+        it would persist stale state — which is why the mirror methods are
+        the only supported mutation path on this lane.
         """
         mirror_ok = (
             self._incremental
             and self._kbuckets is not None
             and sum(map(len, self._kbuckets.values())) == len(state["seen_keys"])
         )
+        if self._incremental and not mirror_ok:
+            # outside mutation detected after the lane went incremental:
+            # the mirror (and its dirty set) can no longer be trusted —
+            # void it so no later coincidental size match resurrects it
+            # (review finding, round 4)
+            self._kbuckets = None
+            self._kdirty.clear()
+            self._incremental = False
         # windows are always bucketized by scan: open_windows holds only
         # the not-yet-finalized windows (watermark-bounded, tiny), unlike
         # the retained dedup-key set
@@ -311,7 +324,10 @@ class StreamCheckpoint:
             os.path.dirname(self.path) or ".", self.path, core
         )
         self._cache = new_cache
-        self._kdirty.clear()
+        if mirror_ok:
+            # only a mirror-lane save consumes the dirty set; a fallback
+            # save must not discard pending dirty marks (review finding)
+            self._kdirty.clear()
         # prune shard files the new core no longer references (best-effort;
         # a crash before this point only leaves harmless orphans)
         live = set(core["key_shards"].values()) | set(core["window_shards"].values())

@@ -387,6 +387,7 @@ def tfidf_top_terms(
     import pandas as pd
 
     from open_finance_lakehouse_ray.pipelines.dedup import (
+        PIN_MAX_BYTES,
         _force_scale,
         _maybe_pin,
         _pk_tagger,
@@ -395,12 +396,16 @@ def tfidf_top_terms(
 
     # pinned only when small (feeds the TF pass AND the DF-join pass);
     # above the guard each pass re-reads the pruned columns
-    mat, _ = _maybe_pin(docs.select_columns([id_col, text_col]),
-                           estimate_from=docs)
-    # count the RAW read-backed dataset (parquet-footer metadata, free):
-    # counting the projection on the unpinned path would execute the whole
-    # read+project pipeline just for a row count (review finding, round 4)
-    n_docs = docs.count()
+    mat, tsize = _maybe_pin(docs.select_columns([id_col, text_col]),
+                            estimate_from=docs)
+    # row count source follows the pin decision (review findings, round 4):
+    # pinned -> mat is already materialized, counting it is free; unpinned
+    # -> mat is a lazy projection whose count() would EXECUTE the whole
+    # pipeline, while docs.count() on a read-backed input answers from
+    # parquet footers (and on a derived input costs one pass, same as any
+    # alternative)
+    pinned = tsize is not None and tsize <= PIN_MAX_BYTES and not _force_scale()
+    n_docs = mat.count() if pinned else docs.count()
 
     def doc_token_tf(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -64,6 +64,10 @@ def test_grouping_segment_base64_for_slash_and_empty(captured, monkeypatch):
     assert url == ("http://gw:9091/metrics/job/oflr_maintenance/"
                    "table@base64/Z29sZC9kYWlseQ")
     assert obs._group_segment("table", "") == "table@base64/="
+    # '.'/'..' would survive quote() un-escaped and be collapsed by Go's
+    # path cleaning — they must take the base64 form too
+    assert obs._group_segment("table", ".") == "table@base64/Lg"
+    assert obs._group_segment("table", "..") == "table@base64/Li4"
     # plain values keep the readable percent-encoded form
     assert obs._group_segment("table", "a b") == "table/a%20b"
 

@@ -585,3 +585,33 @@ def test_checkpoint_incremental_mirror_equivalence(tmp_path):
     assert StreamCheckpoint(str(tmp_path / "desync.json"),
                             bucket_us=MIN).load()["seen_keys"] == {
         "b": BASE + MIN}
+
+
+def test_checkpoint_fallback_voids_mirror_and_keeps_dirty(tmp_path):
+    """A save that detects an outside mutation must (a) persist the truth
+    via the scan path and (b) permanently void the mirror — a later
+    coincidental size match must never resurrect stale shard references
+    (round-4 review)."""
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    ck = StreamCheckpoint(str(tmp_path / "s.json"), bucket_us=MIN)
+    st = ck.load()
+    st["seen_keys"]["a"] = BASE
+    ck.record_inserts([("a", BASE)])
+    st["batch_id"] += 1
+    ck.save(st)
+
+    # outside mutation: add one key directly, then remove another — the
+    # FIRST save sees a size mismatch and must void the mirror
+    st["seen_keys"]["b"] = BASE + 1
+    st["batch_id"] += 1
+    ck.save(st)  # fallback save (scan)
+    assert ck._kbuckets is None and not ck._incremental
+    # size returns to the mirror's last-known sum — without the voiding,
+    # a stale-mirror save would reference the pre-'c' shard
+    del st["seen_keys"]["b"]
+    st["seen_keys"]["c"] = BASE + 2
+    st["batch_id"] += 1
+    ck.save(st)
+    reloaded = StreamCheckpoint(str(tmp_path / "s.json"), bucket_us=MIN).load()
+    assert reloaded["seen_keys"] == {"a": BASE, "c": BASE + 2}
