@@ -45,6 +45,29 @@ def _ray_session(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _command_name(av: list[str]) -> str:
+    """First non-option token = the subcommand, for the lineage job name.
+
+    argparse accepts unambiguous prefix abbreviations ("--num 4") and the
+    attached form ("--num-cpus=4"); --num-cpus is the only pre-command
+    option taking a value, so any prefix of it consumes the NEXT token
+    unless the value came via "=" (round-4 review finding: "--num 4" made
+    the job "cli/4")."""
+    skip = False
+    for a in av:
+        if skip:
+            skip = False
+            continue
+        if a.startswith("--"):
+            opt = a.split("=", 1)[0]
+            if "--num-cpus".startswith(opt) and len(opt) > 2 and "=" not in a:
+                skip = True
+            continue
+        if not a.startswith("-"):
+            return a
+    return "unknown"
+
+
 def main(argv: list[str] | None = None) -> int:
     """Entry point, wrapped in the observability run seam: every CLI verb
     (ingest/compact/zorder/merge/delete/update/maintain/…) emits
@@ -55,19 +78,7 @@ def main(argv: list[str] | None = None) -> int:
     from open_finance_lakehouse_ray import observability as obs
 
     av = list(_sys.argv[1:] if argv is None else argv)
-    cmd = "unknown"
-    skip = False
-    for a in av:
-        if skip:
-            skip = False
-            continue
-        if a == "--num-cpus":  # the only pre-command option taking a value
-            skip = True
-            continue
-        if not a.startswith("-"):
-            cmd = a
-            break
-    with obs.emit_run(f"cli/{cmd}") as status:
+    with obs.emit_run(f"cli/{_command_name(av)}") as status:
         rc = _main(av)
         if rc:  # nonzero exit (failed check / stale freshness) is a FAIL
             status["failed"] = True

@@ -51,6 +51,14 @@ class _JsonFormatter(logging.Formatter):
         return json.dumps(out, default=str)
 
 
+def metrics_enabled() -> bool:
+    """True when a Pushgateway is configured — callers use this to skip
+    building EXPENSIVE payload inputs (e.g. the snapshot-chain walk behind
+    ``last_data_epoch``) that :func:`push_table_metrics` would immediately
+    discard (round-4 review finding)."""
+    return bool(os.environ.get(_PUSH_ENV))
+
+
 def get_logger(name: str = "oflr") -> logging.Logger:
     """Structured logger: ``log.info("compact_done", extra={"fields":
     {...}})`` renders one JSON line. Configured once, stderr, INFO."""

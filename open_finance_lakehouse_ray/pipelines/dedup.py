@@ -163,8 +163,8 @@ def minhash_near_dup_pairs(
     # the (id, text) projection feeds the signature stage AND the verify
     # stage: pinned once when small (no second source read), streamed with
     # per-stage re-reads above the guard (_maybe_pin)
-    texts, tsize = _maybe_pin(docs.select_columns([id_col, text_col]),
-                           estimate_from=docs)
+    texts, tsize, _ = _maybe_pin(docs.select_columns([id_col, text_col]),
+                                 estimate_from=docs)
     small = (not _force_scale()) and (
         tsize is not None and tsize <= broadcast_max_bytes
     )
@@ -199,33 +199,69 @@ NUM_SHUFFLE_PARTITIONS = 64
 PIN_MAX_BYTES = int(os.environ.get("OFLR_PIN_MAX_BYTES", str(4 << 30)))
 
 
+def _is_bare_read(ds: rd.Dataset) -> bool:
+    """True iff the dataset's logical plan is a single source ``Read`` —
+    the only shape whose ``size_bytes()`` answers from parquet metadata
+    without executing anything (verified on Ray 2.49)."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        dag = ds._logical_plan.dag
+        return isinstance(dag, Read) and not dag.input_dependencies
+    except Exception:  # noqa: BLE001 — internals moved: assume derived
+        return False
+
+
 def _maybe_pin(
     projected: rd.Dataset, estimate_from: rd.Dataset | None = None
-) -> tuple[rd.Dataset, int | None]:
-    """(dataset, size-estimate) with the projection pinned only when small.
+) -> tuple[rd.Dataset, int | None, bool]:
+    """(dataset, size-estimate, pinned) — projection pinned only when small.
 
-    The size probe runs on ``estimate_from`` — callers pass the RAW
-    read-backed dataset, whose ``size_bytes()`` answers from parquet
-    metadata without executing anything.  Probing the ``select_columns``
-    projection itself would be wrong twice over (review finding, round 4,
-    verified on Ray 2.49): select_columns is a map op, so its
-    ``size_bytes()`` EXECUTES the full pipeline — a wasted corpus pass on
-    the too-big-to-pin path, and a doubled read below the guard.  The raw
-    estimate over-counts (all columns, not just the projection), which
-    only errs toward streaming — never toward pinning too much.  ``None``
-    means unknown and is treated as big.  ``OFLR_FORCE_SCALE_PATHS=1``
-    skips the pin unconditionally so the re-read scale path is testable
-    end to end.
+    The pin decision is RETURNED, never re-derived by callers from the
+    size estimate (round-4 review finding: the derived-input path pins at
+    any size, so ``est <= PIN_MAX_BYTES`` is not equivalent and a caller's
+    copy of the guard silently drifts).
+
+    Read-backed corpus (``estimate_from`` is a bare source read): the size
+    probe answers from parquet metadata without executing anything.
+    Probing the ``select_columns`` projection itself would be wrong twice
+    over (review finding, round 4, verified on Ray 2.49): select_columns
+    is a map op, so its ``size_bytes()`` EXECUTES the full pipeline — a
+    wasted corpus pass on the too-big-to-pin path, and a doubled read
+    below the guard.  The raw estimate over-counts (all columns, not just
+    the projection), which only errs toward streaming — never toward
+    pinning too much.
+
+    Derived corpus (any non-Read plan — e.g. the output of another
+    pipeline stage): there is no free metadata probe AND no source to
+    re-read, so the lazy "scale path" would re-execute the whole upstream
+    pipeline once per consumer.  The projection is materialized
+    unconditionally — one execution, shared by every consumer, with Ray
+    spilling past memory — and the ACTUAL materialized size is returned
+    (free on a materialized dataset).  This is the round-4 review fix for
+    probing a derived input: the probe itself was a full hidden execution.
+
+    ``None`` means unknown and is treated as big.
+    ``OFLR_FORCE_SCALE_PATHS=1`` skips the pin unconditionally so the
+    re-read scale path is testable end to end.
     """
     if _force_scale():
-        return projected, None
+        return projected, None, False
+    src = estimate_from if estimate_from is not None else projected
+    if not _is_bare_read(src):
+        pinned = projected.materialize()
+        try:
+            est = pinned.size_bytes()
+        except Exception:  # noqa: BLE001
+            est = None
+        return pinned, est, True
     try:
-        est = (estimate_from if estimate_from is not None else projected).size_bytes()
+        est = src.size_bytes()
     except Exception:  # noqa: BLE001 — unknown size: stream, don't pin
         est = None
     if est is not None and est <= PIN_MAX_BYTES:
-        return projected.materialize(), est
-    return projected, est
+        return projected.materialize(), est, True
+    return projected, est, False
 
 
 def _pk_tagger(key_cols: tuple[str, ...], num_partitions: int):
@@ -458,8 +494,8 @@ def ngram_jaccard_pairs(
         return pa.table({"shingle": np.concatenate(out_hash),
                          "doc_id": np.concatenate(out_id)})
 
-    texts, tsize = _maybe_pin(docs.select_columns([id_col, text_col]),
-                           estimate_from=docs)
+    texts, tsize, _ = _maybe_pin(docs.select_columns([id_col, text_col]),
+                                 estimate_from=docs)
     small = (not _force_scale()) and (
         tsize is not None and tsize <= broadcast_max_bytes
     )

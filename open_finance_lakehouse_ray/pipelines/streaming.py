@@ -61,7 +61,9 @@ class StreamCheckpoint:
       recent buckets — checkpoint write I/O stays flat as key cardinality
       grows (see ``tools/checkpoint_scale_bench.py``).
     - Per batch, only shards whose payload changed are rewritten (to a NEW
-      ``<kind>-<bucket>-<batch>.json`` name), then the core manifest is
+      ``<kind>-<bucket>-<seq>.json`` name — ``seq`` is a monotone save
+      counter persisted in the core, so no save can ever overwrite a file
+      an earlier committed core references), then the core manifest is
       atomically replaced; a crash between the two leaves the old core
       pointing at the old files — consistent, and the idempotent appends
       make the batch replay a no-op.  Unreferenced shard files are pruned
@@ -104,6 +106,18 @@ class StreamCheckpoint:
         self._kbuckets: dict[int, dict[str, int]] | None = None
         self._kdirty: set[int] = set()
         self._incremental = False
+        # monotone save counter, embedded in shard filenames so a re-save
+        # of the same batch_id never overwrites a shard file the on-disk
+        # core still references (round-4 review finding: (kind, bucket,
+        # batch) alone collides when a public-API caller saves twice
+        # without bumping batch_id).  Seeded from the existing core here —
+        # not only in load() — so save-without-load can't reuse names.
+        self._save_seq = 0
+        try:
+            with open(self.path) as f:
+                self._save_seq = int(json.load(f).get("save_seq", 0))
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            pass
 
     @staticmethod
     def _empty_state() -> dict[str, Any]:
@@ -125,9 +139,19 @@ class StreamCheckpoint:
                 core = json.load(f)
         except FileNotFoundError:
             return self._empty_state()
+        self._save_seq = int(core.get("save_seq", 0))
         if "seen_keys" in core:  # legacy single-file layout: read-through
             self._kbuckets = self._bucketize(core)["keys"]
             return core
+        # shard bucket ids on disk were computed under the unit the core
+        # records; reopening with a different bucket_us must not mix units
+        # (round-4 review finding: prune/save under the new unit against
+        # cache/mirror entries keyed under the old unit wholesale-drops or
+        # never prunes retained keys).  The merged flat state is
+        # unit-agnostic, so on mismatch we leave the shard cache empty and
+        # rebucketize the mirror below — the next save() rewrites every
+        # shard under the current unit.
+        unit_match = int(core.get("bucket_us", self.bucket_us)) == self.bucket_us
         state = {
             "batch_id": core["batch_id"],
             "processed": core["processed"],
@@ -141,6 +165,8 @@ class StreamCheckpoint:
                 with open(os.path.join(self.shard_dir, fname)) as f:
                     payload = json.load(f)
                 state[target].update(payload)
+                if not unit_match:
+                    continue
                 self._cache[kind][int(b_str)] = (
                     fname, json.dumps(payload, sort_keys=True),
                 )
@@ -149,6 +175,8 @@ class StreamCheckpoint:
                     # distinct object from state["seen_keys"]; values are
                     # immutable ints, so sharing them is safe)
                     self._kbuckets[int(b_str)] = payload
+        if not unit_match:
+            self._kbuckets = self._bucketize(state)["keys"]
         return state
 
     # ------------------------------------------------- incremental mirror
@@ -289,12 +317,14 @@ class StreamCheckpoint:
                 win_hints.add(wm_bucket)
         buckets = {"keys": key_buckets, "windows": win_buckets}
         hints = {"keys": key_hints, "windows": win_hints}
+        self._save_seq += 1
         core: dict[str, Any] = {
             "batch_id": state["batch_id"],
             "processed": state["processed"],
             "max_event_us": state["max_event_us"],
             "metrics": state["metrics"],
             "bucket_us": self.bucket_us,
+            "save_seq": self._save_seq,
             "key_shards": {},
             "window_shards": {},
         }
@@ -312,7 +342,11 @@ class StreamCheckpoint:
                     if cached is not None and cached[1] == canon:
                         fname = cached[0]  # clean shard: reference only
                     else:
-                        fname = f"{kind}-{b}-{state['batch_id']}.json"
+                        # the save counter (not batch_id) makes the name
+                        # unique per save: a dirty shard is always written
+                        # to a FRESH file, never over one the committed
+                        # core still references
+                        fname = f"{kind}-{b}-{self._save_seq}.json"
                         _atomic_write_json(
                             self.shard_dir,
                             os.path.join(self.shard_dir, fname),

@@ -387,7 +387,6 @@ def tfidf_top_terms(
     import pandas as pd
 
     from open_finance_lakehouse_ray.pipelines.dedup import (
-        PIN_MAX_BYTES,
         _force_scale,
         _maybe_pin,
         _pk_tagger,
@@ -396,15 +395,14 @@ def tfidf_top_terms(
 
     # pinned only when small (feeds the TF pass AND the DF-join pass);
     # above the guard each pass re-reads the pruned columns
-    mat, tsize = _maybe_pin(docs.select_columns([id_col, text_col]),
-                            estimate_from=docs)
-    # row count source follows the pin decision (review findings, round 4):
-    # pinned -> mat is already materialized, counting it is free; unpinned
-    # -> mat is a lazy projection whose count() would EXECUTE the whole
-    # pipeline, while docs.count() on a read-backed input answers from
-    # parquet footers (and on a derived input costs one pass, same as any
-    # alternative)
-    pinned = tsize is not None and tsize <= PIN_MAX_BYTES and not _force_scale()
+    mat, _tsize, pinned = _maybe_pin(docs.select_columns([id_col, text_col]),
+                                     estimate_from=docs)
+    # row count source follows the RETURNED pin decision (review findings,
+    # round 4 — re-deriving it from the size estimate drifts: the
+    # derived-input path pins at any size): pinned -> mat is already
+    # materialized, counting it is free; unpinned -> mat is a lazy
+    # projection whose count() would EXECUTE the whole pipeline, while
+    # docs.count() on a read-backed input answers from parquet footers
     n_docs = mat.count() if pinned else docs.count()
 
     def doc_token_tf(batch: pa.Table) -> pa.Table:
@@ -681,7 +679,7 @@ def unigram_logprob(
 
     # pinned only when small (feeds the corpus-count pass AND the per-doc
     # fold); above the guard each pass re-reads the pruned columns
-    mat, _ = _maybe_pin(docs.select_columns([id_col, text_col]),
+    mat, _, _ = _maybe_pin(docs.select_columns([id_col, text_col]),
                            estimate_from=docs)
 
     def occ_partial(batch: pa.Table) -> pa.Table:

@@ -172,7 +172,9 @@ def maintain_table(reg: Registry, table: str, *, job_id: str) -> dict[str, Any]:
     checks_out = out.get("checks") or {}
     report = out.get("report") or {}
     max_ts = report.get("max_ts")
-    div = _ts_unit_div(cfg["root"])
+    # the unit probe walks the snapshot chain + parses the schema — only
+    # worth it when a gateway will actually receive the payload
+    div = _ts_unit_div(cfg["root"]) if obs.metrics_enabled() else None
     obs.push_table_metrics(
         table,
         labels=labels,

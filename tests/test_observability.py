@@ -246,3 +246,14 @@ def test_emit_run_exit_code_semantics(captured, monkeypatch):
         status["failed"] = True  # nonzero rc path
     assert [json.loads(b)["eventType"] for _, b, _ in captured] == [
         "START", "FAIL"]
+
+
+def test_metrics_enabled_gates_expensive_payload_inputs(monkeypatch):
+    """metrics_enabled() mirrors the push env guard so callers (e.g.
+    registry.maintain_table's snapshot-chain ts-unit probe) can skip
+    building payload inputs that push_table_metrics would discard
+    (round-4 review finding)."""
+    monkeypatch.delenv("OFLR_PUSHGATEWAY_URL", raising=False)
+    assert obs.metrics_enabled() is False
+    monkeypatch.setenv("OFLR_PUSHGATEWAY_URL", "http://gw:9091")
+    assert obs.metrics_enabled() is True

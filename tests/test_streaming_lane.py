@@ -615,3 +615,76 @@ def test_checkpoint_fallback_voids_mirror_and_keeps_dirty(tmp_path):
     ck.save(st)
     reloaded = StreamCheckpoint(str(tmp_path / "s.json"), bucket_us=MIN).load()
     assert reloaded["seen_keys"] == {"a": BASE, "c": BASE + 2}
+
+
+def test_checkpoint_reopen_with_different_bucket_unit(tmp_path):
+    """Reopening a checkpoint with a different bucket_us must not mix
+    shard-bucket units (round-4 review finding: prune under the new unit
+    against mirror entries keyed under the old unit wholesale-dropped
+    retained keys — or never pruned them)."""
+    import json
+
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    ck = StreamCheckpoint(str(tmp_path / "s.json"), bucket_us=5 * MIN)
+    st = ck.load()
+    st["seen_keys"] = {"a": BASE, "b": BASE + MIN, "c": BASE + 10 * MIN}
+    st["batch_id"] = 1
+    ck.save(st)
+
+    # reopen at the default 1-minute unit (e.g. the window shrank)
+    ck2 = StreamCheckpoint(str(tmp_path / "s.json"), bucket_us=MIN)
+    st2 = ck2.load()
+    assert st2["seen_keys"] == st["seen_keys"]
+    # prune at a watermark that retains b and c: under the old mixed-unit
+    # bug EVERY bucket id (computed at 5-min granularity) sat below the
+    # 1-min watermark bucket and the whole state was evicted
+    ck2.prune_keys(st2, BASE + MIN)
+    assert st2["seen_keys"] == {"b": BASE + MIN, "c": BASE + 10 * MIN}
+    st2["batch_id"] = 2
+    ck2.save(st2)
+    core = json.loads((tmp_path / "s.json").read_text())
+    assert core["bucket_us"] == MIN  # rewritten under the current unit
+    st3 = StreamCheckpoint(str(tmp_path / "s.json"), bucket_us=MIN).load()
+    assert st3["seen_keys"] == {"b": BASE + MIN, "c": BASE + 10 * MIN}
+
+
+def test_checkpoint_same_batch_resave_never_overwrites_referenced_shard(
+    tmp_path,
+):
+    """Two save() calls with the SAME batch_id and a changed payload must
+    write the dirty shard to a fresh file (round-4 review finding: the
+    (kind, bucket, batch) name collided, so the second save overwrote a
+    file the committed core still referenced — a crash between the shard
+    replace and the core replace broke crash consistency)."""
+    import json
+
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    ck = StreamCheckpoint(str(tmp_path / "s.json"), bucket_us=MIN)
+    st = ck.load()
+    st["seen_keys"] = {"a": BASE}
+    st["batch_id"] = 1
+    ck.save(st)
+    core1 = json.loads((tmp_path / "s.json").read_text())
+    (bucket, fname1), = core1["key_shards"].items()
+    payload1 = json.loads((tmp_path / "s.shards" / fname1).read_text())
+
+    # same batch_id, mutated bucket payload (public-API caller pattern)
+    st["seen_keys"]["b"] = BASE + 1
+    ck.save(st)
+    core2 = json.loads((tmp_path / "s.json").read_text())
+    fname2 = core2["key_shards"][bucket]
+    assert fname2 != fname1  # fresh file, not an in-place overwrite
+    # had the first core survived a crash mid-save, its shard content is
+    # exactly what it referenced at commit time
+    assert payload1 == {"a": BASE}
+    assert core2["save_seq"] > core1["save_seq"]
+
+    # a NEW instance constructed without load() must also not reuse names
+    ck3 = StreamCheckpoint(str(tmp_path / "s.json"), bucket_us=MIN)
+    st3 = ck3.load()
+    st3["seen_keys"]["c"] = BASE + 2
+    ck3.save(st3)
+    core3 = json.loads((tmp_path / "s.json").read_text())
+    assert core3["key_shards"][bucket] not in (fname1, fname2)

@@ -745,3 +745,61 @@ def test_pq_topk_recall_on_clustered_vectors(ray_session):
         assert set(e // 1000) == {qid}  # sanity: brute agrees on cluster
         assert set(a // 1000) == {qid}, (qid, list(a))
         assert len(a) == 3
+
+
+def test_maybe_pin_read_backed_vs_derived(ray_session, tmp_path):
+    """_maybe_pin: read-backed input -> free metadata probe decides the
+    pin; derived input -> materialize ONCE and report pinned=True (round-4
+    review finding: probing a derived dataset's size_bytes() was a full
+    hidden execution, then the pin executed the pipeline again)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ray.data.dataset import MaterializedDataset
+
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": pa.array([f"doc {i}" for i in range(100)])})
+    pq.write_table(t, tmp_path / "docs.parquet")
+    docs = rd.read_parquet(str(tmp_path / "docs.parquet"))
+
+    # read-backed small corpus: metadata probe -> pinned
+    out, est, pinned = dd._maybe_pin(
+        docs.select_columns(["doc_id", "text"]), estimate_from=docs
+    )
+    assert pinned and est is not None and isinstance(out, MaterializedDataset)
+
+    # derived corpus (map stage upstream): pinned unconditionally, size
+    # reported from the materialized result
+    derived = docs.map_batches(lambda b: b, batch_format="pyarrow")
+    out2, est2, pinned2 = dd._maybe_pin(
+        derived.select_columns(["doc_id", "text"]), estimate_from=derived
+    )
+    assert pinned2 and isinstance(out2, MaterializedDataset)
+    assert out2.count() == 100 and est2 is not None
+
+    # forced scale path: never pins, flag says so
+    import os as _os
+    _os.environ["OFLR_FORCE_SCALE_PATHS"] = "1"
+    try:
+        out3, est3, pinned3 = dd._maybe_pin(
+            docs.select_columns(["doc_id", "text"]), estimate_from=docs
+        )
+        assert not pinned3 and est3 is None
+        assert not isinstance(out3, MaterializedDataset)
+    finally:
+        del _os.environ["OFLR_FORCE_SCALE_PATHS"]
+
+
+def test_cli_command_name_scanner():
+    """Lineage job naming survives argparse prefix abbreviation and the
+    attached --opt=value form (round-4 review finding: '--num 4 compact'
+    emitted the run as job 'cli/4')."""
+    from open_finance_lakehouse_ray.cli import _command_name
+
+    assert _command_name(["compact", "--root", "t"]) == "compact"
+    assert _command_name(["--num-cpus", "4", "compact"]) == "compact"
+    assert _command_name(["--num", "4", "compact"]) == "compact"
+    assert _command_name(["--num-cpus=4", "compact"]) == "compact"
+    assert _command_name(["--num=4", "compact"]) == "compact"
+    assert _command_name([]) == "unknown"
+    assert _command_name(["--num-cpus", "4"]) == "unknown"
