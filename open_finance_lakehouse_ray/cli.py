@@ -45,14 +45,21 @@ def _ray_session(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+# pre-command options that TAKE A VALUE — the single source of truth for
+# both the argparse definition in _main and the lineage job-name scanner
+# below (round-4 review finding: maintaining the inventory in two places
+# silently reintroduces the "cli/<value>" mislabeling when a new option is
+# added to only one of them)
+_PRE_COMMAND_VALUE_OPTS = ("--num-cpus",)
+
+
 def _command_name(av: list[str]) -> str:
     """First non-option token = the subcommand, for the lineage job name.
 
     argparse accepts unambiguous prefix abbreviations ("--num 4") and the
-    attached form ("--num-cpus=4"); --num-cpus is the only pre-command
-    option taking a value, so any prefix of it consumes the NEXT token
-    unless the value came via "=" (round-4 review finding: "--num 4" made
-    the job "cli/4")."""
+    attached form ("--num-cpus=4"); any prefix of a value-taking
+    pre-command option consumes the NEXT token unless the value came via
+    "=" (round-4 review finding: "--num 4" made the job "cli/4")."""
     skip = False
     for a in av:
         if skip:
@@ -60,7 +67,10 @@ def _command_name(av: list[str]) -> str:
             continue
         if a.startswith("--"):
             opt = a.split("=", 1)[0]
-            if "--num-cpus".startswith(opt) and len(opt) > 2 and "=" not in a:
+            if "=" not in a and any(
+                o.startswith(opt) and len(opt) > 2
+                for o in _PRE_COMMAND_VALUE_OPTS
+            ):
                 skip = True
             continue
         if not a.startswith("-"):
@@ -87,7 +97,8 @@ def main(argv: list[str] | None = None) -> int:
 
 def _main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ofl-ray")
-    p.add_argument("--num-cpus", type=int, default=None)
+    # keep in lockstep with _PRE_COMMAND_VALUE_OPTS (lineage job naming)
+    p.add_argument(_PRE_COMMAND_VALUE_OPTS[0], type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add(name, **flags):

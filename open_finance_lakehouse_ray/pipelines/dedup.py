@@ -199,17 +199,45 @@ NUM_SHUFFLE_PARTITIONS = 64
 PIN_MAX_BYTES = int(os.environ.get("OFLR_PIN_MAX_BYTES", str(4 << 30)))
 
 
-def _is_bare_read(ds: rd.Dataset) -> bool:
-    """True iff the dataset's logical plan is a single source ``Read`` —
-    the only shape whose ``size_bytes()`` answers from parquet metadata
-    without executing anything (verified on Ray 2.49)."""
+def _plan_kind(ds: rd.Dataset) -> str:
+    """Classify a dataset's logical plan for the pin decision.
+
+    - ``"cheap"``: pure ``Read`` (optionally under ``RandomizeBlocks``) —
+      ``size_bytes()`` answers from parquet metadata without executing
+      anything (verified on Ray 2.49; a union, by contrast, EXECUTES).
+    - ``"source"``: every leaf is a ``Read`` but the probe would execute
+      (e.g. ``Union`` of reads) — re-readable from the source, so the
+      lazy per-consumer re-read scale path works; just no free estimate.
+    - ``"derived"``: contains a computing op — there is NO source to
+      re-read, so laziness means re-executing the upstream pipeline once
+      per consumer.
+
+    Unknown shapes and moved Ray internals classify as ``"source"`` — the
+    conservative failure mode (round-4 review finding): never an
+    unbounded materialize, never a hidden full execution in the probe.
+    """
     try:
+        from ray.data._internal.logical.operators.all_to_all_operator import (
+            RandomizeBlocks,
+        )
+        from ray.data._internal.logical.operators.n_ary_operator import Union
         from ray.data._internal.logical.operators.read_operator import Read
 
-        dag = ds._logical_plan.dag
-        return isinstance(dag, Read) and not dag.input_dependencies
-    except Exception:  # noqa: BLE001 — internals moved: assume derived
-        return False
+        def walk(op) -> str:
+            if isinstance(op, Read):
+                return "cheap"
+            if isinstance(op, (RandomizeBlocks, Union)):
+                kinds = {walk(d) for d in op.input_dependencies}
+                if "derived" in kinds:
+                    return "derived"
+                if isinstance(op, Union):
+                    return "source"
+                return "cheap" if kinds == {"cheap"} else "source"
+            return "derived"
+
+        return walk(ds._logical_plan.dag)
+    except Exception:  # noqa: BLE001 — internals moved: conservative
+        return "source"
 
 
 def _maybe_pin(
@@ -232,11 +260,17 @@ def _maybe_pin(
     the projection), which only errs toward streaming — never toward
     pinning too much.
 
-    Derived corpus (any non-Read plan — e.g. the output of another
-    pipeline stage): there is no free metadata probe AND no source to
-    re-read, so the lazy "scale path" would re-execute the whole upstream
-    pipeline once per consumer.  The projection is materialized
-    unconditionally — one execution, shared by every consumer, with Ray
+    Source-backed but not metadata-cheap (e.g. a union of reads, or any
+    unrecognized/future plan shape): the probe would silently execute, so
+    no probe runs and no pin happens — every consumer re-reads from the
+    source, which is exactly the documented scale path.  PIN_MAX_BYTES is
+    therefore a TRUE bound: nothing can materialize above it by
+    misclassification (round-4 review finding).
+
+    Derived corpus (a computing op in the plan): there is no free
+    metadata probe AND no source to re-read, so the lazy "scale path"
+    would re-execute the whole upstream pipeline once per consumer.  The
+    projection is materialized once — shared by every consumer, with Ray
     spilling past memory — and the ACTUAL materialized size is returned
     (free on a materialized dataset).  This is the round-4 review fix for
     probing a derived input: the probe itself was a full hidden execution.
@@ -248,7 +282,10 @@ def _maybe_pin(
     if _force_scale():
         return projected, None, False
     src = estimate_from if estimate_from is not None else projected
-    if not _is_bare_read(src):
+    kind = _plan_kind(src)
+    if kind == "source":
+        return projected, None, False
+    if kind == "derived":
         pinned = projected.materialize()
         try:
             est = pinned.size_bytes()

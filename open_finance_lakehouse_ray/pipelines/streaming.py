@@ -110,14 +110,12 @@ class StreamCheckpoint:
         # of the same batch_id never overwrites a shard file the on-disk
         # core still references (round-4 review finding: (kind, bucket,
         # batch) alone collides when a public-API caller saves twice
-        # without bumping batch_id).  Seeded from the existing core here —
-        # not only in load() — so save-without-load can't reuse names.
-        self._save_seq = 0
-        try:
-            with open(self.path) as f:
-                self._save_seq = int(json.load(f).get("save_seq", 0))
-        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
-            pass
+        # without bumping batch_id).  None = not yet seeded; load() seeds
+        # it from the core, and a save() WITHOUT a prior load() seeds it
+        # lazily — never in the constructor, which would re-parse the
+        # whole core (O(retained state) on a legacy single-file layout)
+        # just to read one integer that load() parses again anyway.
+        self._save_seq: int | None = None
 
     @staticmethod
     def _empty_state() -> dict[str, Any]:
@@ -138,8 +136,9 @@ class StreamCheckpoint:
             with open(self.path) as f:
                 core = json.load(f)
         except FileNotFoundError:
+            self._save_seq = 0
             return self._empty_state()
-        self._save_seq = int(core.get("save_seq", 0))
+        self._save_seq = int(core.get("save_seq", 0) or 0)
         if "seen_keys" in core:  # legacy single-file layout: read-through
             self._kbuckets = self._bucketize(core)["keys"]
             return core
@@ -317,6 +316,16 @@ class StreamCheckpoint:
                 win_hints.add(wm_bucket)
         buckets = {"keys": key_buckets, "windows": win_buckets}
         hints = {"keys": key_hints, "windows": win_hints}
+        if self._save_seq is None:
+            # save without a prior load(): seed the counter from the
+            # existing core, best-effort — any unreadable/foreign content
+            # degrades to 0 rather than crashing (the constructor never
+            # touches the file)
+            try:
+                with open(self.path) as f:
+                    self._save_seq = int(json.load(f).get("save_seq", 0) or 0)
+            except Exception:  # noqa: BLE001
+                self._save_seq = 0
         self._save_seq += 1
         core: dict[str, Any] = {
             "batch_id": state["batch_id"],

@@ -681,10 +681,20 @@ def test_checkpoint_same_batch_resave_never_overwrites_referenced_shard(
     assert payload1 == {"a": BASE}
     assert core2["save_seq"] > core1["save_seq"]
 
-    # a NEW instance constructed without load() must also not reuse names
+    # a NEW instance that saves WITHOUT a prior load() must also not reuse
+    # names: the counter seeds lazily from the existing core on first save
+    # (no load() call here — that would re-seed it and mask a regression)
     ck3 = StreamCheckpoint(str(tmp_path / "s.json"), bucket_us=MIN)
-    st3 = ck3.load()
-    st3["seen_keys"]["c"] = BASE + 2
+    st3 = dict(st)
+    st3["seen_keys"] = {"a": BASE, "b": BASE + 1, "c": BASE + 2}
     ck3.save(st3)
     core3 = json.loads((tmp_path / "s.json").read_text())
+    assert core3["save_seq"] > core2["save_seq"]
     assert core3["key_shards"][bucket] not in (fname1, fname2)
+    # and a corrupt/foreign core must degrade to seq 0, not crash the save
+    (tmp_path / "x.json").write_text("null")
+    ck4 = StreamCheckpoint(str(tmp_path / "x.json"), bucket_us=MIN)
+    st4 = ck4._empty_state()
+    st4["seen_keys"] = {"z": BASE}
+    ck4.save(st4)
+    assert json.loads((tmp_path / "x.json").read_text())["save_seq"] == 1

@@ -777,6 +777,21 @@ def test_maybe_pin_read_backed_vs_derived(ray_session, tmp_path):
     assert pinned2 and isinstance(out2, MaterializedDataset)
     assert out2.count() == 100 and est2 is not None
 
+    # union of reads: source-backed but size_bytes() would EXECUTE — no
+    # probe, no pin (PIN_MAX_BYTES stays a true bound; the per-consumer
+    # source re-read is the documented scale path)
+    both = docs.union(rd.read_parquet(str(tmp_path / "docs.parquet")))
+    out_u, est_u, pinned_u = dd._maybe_pin(
+        both.select_columns(["doc_id", "text"]), estimate_from=both
+    )
+    assert not pinned_u and est_u is None
+    assert not isinstance(out_u, MaterializedDataset)
+    assert dd._plan_kind(both) == "source"
+
+    # block-order ops keep the free metadata probe
+    assert dd._plan_kind(docs.randomize_block_order()) == "cheap"
+    assert dd._plan_kind(derived) == "derived"
+
     # forced scale path: never pins, flag says so
     import os as _os
     _os.environ["OFLR_FORCE_SCALE_PATHS"] = "1"
