@@ -45,12 +45,15 @@ def _ray_session(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
-# pre-command options that TAKE A VALUE — the single source of truth for
-# both the argparse definition in _main and the lineage job-name scanner
-# below (round-4 review finding: maintaining the inventory in two places
-# silently reintroduces the "cli/<value>" mislabeling when a new option is
-# added to only one of them)
-_PRE_COMMAND_VALUE_OPTS = ("--num-cpus",)
+# pre-command options that TAKE A VALUE, with their argparse kwargs — the
+# single source of truth for both the argparse definition in _main (which
+# registers every entry) and the lineage job-name scanner below (round-4
+# review finding: maintaining the inventory in two places silently
+# reintroduces the "cli/<value>" mislabeling when a new option is added
+# to only one of them)
+_PRE_COMMAND_VALUE_OPTS: dict[str, dict] = {
+    "--num-cpus": {"type": int, "default": None},
+}
 
 
 def _command_name(av: list[str]) -> str:
@@ -67,9 +70,8 @@ def _command_name(av: list[str]) -> str:
             continue
         if a.startswith("--"):
             opt = a.split("=", 1)[0]
-            if "=" not in a and any(
-                o.startswith(opt) and len(opt) > 2
-                for o in _PRE_COMMAND_VALUE_OPTS
+            if "=" not in a and len(opt) > 2 and any(
+                o.startswith(opt) for o in _PRE_COMMAND_VALUE_OPTS
             ):
                 skip = True
             continue
@@ -97,8 +99,8 @@ def main(argv: list[str] | None = None) -> int:
 
 def _main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ofl-ray")
-    # keep in lockstep with _PRE_COMMAND_VALUE_OPTS (lineage job naming)
-    p.add_argument(_PRE_COMMAND_VALUE_OPTS[0], type=int, default=None)
+    for _opt, _kw in _PRE_COMMAND_VALUE_OPTS.items():
+        p.add_argument(_opt, **_kw)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add(name, **flags):

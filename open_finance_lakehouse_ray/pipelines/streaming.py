@@ -118,6 +118,17 @@ class StreamCheckpoint:
         self._save_seq: int | None = None
 
     @staticmethod
+    def _core_save_seq(core: Any) -> int:
+        """Seed value from a parsed core — shared by load() and the lazy
+        save() seed so the two paths can't drift.  Foreign/legacy content
+        (non-dict, null/absent field) degrades to 0: the references in
+        such a core are unusable anyway."""
+        try:
+            return int(core.get("save_seq", 0) or 0)
+        except (AttributeError, TypeError, ValueError):
+            return 0
+
+    @staticmethod
     def _empty_state() -> dict[str, Any]:
         return {
             "batch_id": 0,
@@ -138,7 +149,7 @@ class StreamCheckpoint:
         except FileNotFoundError:
             self._save_seq = 0
             return self._empty_state()
-        self._save_seq = int(core.get("save_seq", 0) or 0)
+        self._save_seq = self._core_save_seq(core)
         if "seen_keys" in core:  # legacy single-file layout: read-through
             self._kbuckets = self._bucketize(core)["keys"]
             return core
@@ -318,13 +329,18 @@ class StreamCheckpoint:
         hints = {"keys": key_hints, "windows": win_hints}
         if self._save_seq is None:
             # save without a prior load(): seed the counter from the
-            # existing core, best-effort — any unreadable/foreign content
-            # degrades to 0 rather than crashing (the constructor never
-            # touches the file)
+            # existing core.  Only a MISSING file or unparseable/foreign
+            # content degrades to 0 — a transient I/O error on a valid
+            # core must propagate (review finding: swallowing it would
+            # reset the counter and let this save overwrite a shard file
+            # the committed core still references, the exact invariant
+            # the counter protects)
             try:
                 with open(self.path) as f:
-                    self._save_seq = int(json.load(f).get("save_seq", 0) or 0)
-            except Exception:  # noqa: BLE001
+                    self._save_seq = self._core_save_seq(json.load(f))
+            except FileNotFoundError:
+                self._save_seq = 0
+            except json.JSONDecodeError:
                 self._save_seq = 0
         self._save_seq += 1
         core: dict[str, Any] = {

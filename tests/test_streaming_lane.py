@@ -698,3 +698,26 @@ def test_checkpoint_same_batch_resave_never_overwrites_referenced_shard(
     st4["seen_keys"] = {"z": BASE}
     ck4.save(st4)
     assert json.loads((tmp_path / "x.json").read_text())["save_seq"] == 1
+
+
+def test_checkpoint_lazy_seed_propagates_io_errors(tmp_path):
+    """The lazy save-seq seed degrades to 0 only for a MISSING or
+    unparseable core; a genuine I/O error on the core path must propagate
+    (review finding: swallowing it resets the counter and can overwrite a
+    shard the committed core references)."""
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    # IsADirectoryError (an OSError) stands in for the transient-EIO class
+    bad = tmp_path / "core.json"
+    bad.mkdir()
+    ck = StreamCheckpoint(str(bad), bucket_us=MIN)
+    st = ck._empty_state()
+    st["seen_keys"] = {"a": BASE}
+    with pytest.raises(OSError):
+        ck.save(st)
+
+    # foreign save_seq values degrade, never crash
+    assert StreamCheckpoint._core_save_seq({"save_seq": "x"}) == 0
+    assert StreamCheckpoint._core_save_seq(None) == 0
+    assert StreamCheckpoint._core_save_seq({"save_seq": 7}) == 7
+    assert StreamCheckpoint._core_save_seq({}) == 0
