@@ -120,13 +120,30 @@ class StreamCheckpoint:
     @staticmethod
     def _core_save_seq(core: Any) -> int:
         """Seed value from a parsed core — shared by load() and the lazy
-        save() seed so the two paths can't drift.  Foreign/legacy content
-        (non-dict, null/absent field) degrades to 0: the references in
-        such a core are unusable anyway."""
+        save() seed so the two paths can't drift.
+
+        When ``save_seq`` is absent or malformed but the core still
+        references shard files (review finding: such a core's references
+        ARE usable — only the counter field is garbage), the seed floors
+        at the largest integer embedded in the referenced shard names
+        (``<kind>-<bucket>-<seq>.json``; legacy batch-id-named shards
+        embed an integer in the same position), so the next save can
+        never reuse a referenced name.  Only a core with no parseable
+        references at all degrades to 0."""
         try:
-            return int(core.get("save_seq", 0) or 0)
-        except (AttributeError, TypeError, ValueError):
+            return int(core["save_seq"])
+        except (KeyError, IndexError, TypeError, ValueError):
+            pass
+        seq = 0
+        try:
+            for man in ("key_shards", "window_shards"):
+                for fname in (core.get(man) or {}).values():
+                    tail = str(fname).rsplit(".", 1)[0].rsplit("-", 1)[-1]
+                    if tail.isdigit():
+                        seq = max(seq, int(tail))
+        except (AttributeError, TypeError):
             return 0
+        return seq
 
     @staticmethod
     def _empty_state() -> dict[str, Any]:
@@ -340,7 +357,10 @@ class StreamCheckpoint:
                     self._save_seq = self._core_save_seq(json.load(f))
             except FileNotFoundError:
                 self._save_seq = 0
-            except json.JSONDecodeError:
+            except ValueError:
+                # any unparseable content (JSONDecodeError and the
+                # UnicodeDecodeError a binary core raises are both
+                # ValueError subclasses): no references to collide with
                 self._save_seq = 0
         self._save_seq += 1
         core: dict[str, Any] = {

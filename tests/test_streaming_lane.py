@@ -721,3 +721,25 @@ def test_checkpoint_lazy_seed_propagates_io_errors(tmp_path):
     assert StreamCheckpoint._core_save_seq(None) == 0
     assert StreamCheckpoint._core_save_seq({"save_seq": 7}) == 7
     assert StreamCheckpoint._core_save_seq({}) == 0
+
+
+def test_core_save_seq_floors_at_referenced_shard_names():
+    """A core whose save_seq field is absent or garbage but whose shard
+    references are intact must seed the counter at the largest integer
+    embedded in those names — never 0, which could overwrite a referenced
+    file (review finding)."""
+    from open_finance_lakehouse_ray.pipelines.streaming import StreamCheckpoint
+
+    core = {
+        "key_shards": {"5": "keys-5-7.json", "6": "keys-6-3.json"},
+        "window_shards": {"5": "windows-5-9.json"},
+    }
+    assert StreamCheckpoint._core_save_seq(core) == 9
+    core["save_seq"] = "x"  # garbage field, usable references
+    assert StreamCheckpoint._core_save_seq(core) == 9
+    core["save_seq"] = 12  # a valid field wins
+    assert StreamCheckpoint._core_save_seq(core) == 12
+    # no references at all -> 0
+    assert StreamCheckpoint._core_save_seq({"save_seq": None}) == 0
+    assert StreamCheckpoint._core_save_seq(None) == 0
+    assert StreamCheckpoint._core_save_seq(["not", "a", "dict"]) == 0
