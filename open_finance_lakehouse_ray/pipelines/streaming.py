@@ -122,27 +122,34 @@ class StreamCheckpoint:
         """Seed value from a parsed core — shared by load() and the lazy
         save() seed so the two paths can't drift.
 
-        When ``save_seq`` is absent or malformed but the core still
-        references shard files (review finding: such a core's references
-        ARE usable — only the counter field is garbage), the seed floors
-        at the largest integer embedded in the referenced shard names
+        The seed is the MAX of the ``save_seq`` field and the largest
+        integer embedded in the referenced shard names
         (``<kind>-<bucket>-<seq>.json``; legacy batch-id-named shards
-        embed an integer in the same position), so the next save can
-        never reuse a referenced name.  Only a core with no parseable
-        references at all degrades to 0."""
-        try:
-            return int(core["save_seq"])
-        except (KeyError, IndexError, TypeError, ValueError):
-            pass
+        embed an integer in the same position).  Flooring at the names
+        even when the field parses means a valid-but-stale counter (an
+        externally reset field — the adjacent corruption class to the
+        garbage-field one) can still never make the next saves reuse a
+        referenced name.  Each manifest and each entry is guarded
+        independently so one malformed manifest can't discard the floor
+        already accumulated from the other (review findings).  Only a
+        core with no parseable field and no parseable references
+        degrades to 0."""
         seq = 0
         try:
-            for man in ("key_shards", "window_shards"):
-                for fname in (core.get(man) or {}).values():
-                    tail = str(fname).rsplit(".", 1)[0].rsplit("-", 1)[-1]
-                    if tail.isdigit():
-                        seq = max(seq, int(tail))
-        except (AttributeError, TypeError):
-            return 0
+            seq = int(core["save_seq"])
+        except (KeyError, IndexError, TypeError, ValueError):
+            pass
+        for man in ("key_shards", "window_shards"):
+            try:
+                entries = list((core.get(man) or {}).values())
+            except (AttributeError, TypeError):
+                continue
+            for fname in entries:
+                tail = str(fname).rsplit(".", 1)[0].rsplit("-", 1)[-1]
+                # isdecimal() is exactly the charset int() accepts —
+                # isdigit() also admits super/subscripts int() rejects
+                if tail.isdecimal():
+                    seq = max(seq, int(tail))
         return seq
 
     @staticmethod

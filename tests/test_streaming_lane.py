@@ -737,8 +737,24 @@ def test_core_save_seq_floors_at_referenced_shard_names():
     assert StreamCheckpoint._core_save_seq(core) == 9
     core["save_seq"] = "x"  # garbage field, usable references
     assert StreamCheckpoint._core_save_seq(core) == 9
-    core["save_seq"] = 12  # a valid field wins
+    core["save_seq"] = 12  # a valid field above the floor wins
     assert StreamCheckpoint._core_save_seq(core) == 12
+    # a valid-but-STALE field (externally reset) must not bypass the
+    # floor — seq must never fall below a referenced name (review
+    # finding: 'valid field wins' re-armed the overwrite hazard)
+    core["save_seq"] = 2
+    assert StreamCheckpoint._core_save_seq(core) == 9
+    # one malformed manifest must not discard the floor accumulated
+    # from the other (review finding: wholesale `return 0`)
+    assert StreamCheckpoint._core_save_seq(
+        {"save_seq": "x", "key_shards": {"5": "keys-5-7.json"},
+         "window_shards": ["not", "a", "dict"]}
+    ) == 7
+    # isdigit()-but-not-int()-parseable tails (superscripts) are skipped,
+    # not crashed on, and don't mask valid tails elsewhere
+    assert StreamCheckpoint._core_save_seq(
+        {"key_shards": {"5": "keys-5-².json", "6": "keys-6-4.json"}}
+    ) == 4
     # no references at all -> 0
     assert StreamCheckpoint._core_save_seq({"save_seq": None}) == 0
     assert StreamCheckpoint._core_save_seq(None) == 0
