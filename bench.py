@@ -111,6 +111,14 @@ def run_bench() -> dict:
             timings[name] = round(time.perf_counter() - t0, 3)
             return out
 
+        # the trailing repartition(n_files) costs ~1.2 s of the ~7.6 s
+        # ingest stage (profiled r4: source+replicate 1.9 s, +dedup
+        # shuffle 5.9 s, +repartition 7.99 s) and COULD be dropped by
+        # emitting files straight from the dedup groupby — but the
+        # groupby's output block count is a Ray internal that varies
+        # with parallelism (128 buckets emitted 64 blocks at 32 cpus),
+        # which would break the fixed-physical-plan invariant the
+        # --scaling evidence depends on. Determinism wins the 1.2 s.
         timed(
             "ingest",
             lambda: ingest_dataset(
