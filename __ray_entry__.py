@@ -64,6 +64,10 @@ _GATE_FRONT = [
     # red/weak rows fixed this round
     "ev_ohlc_daily_rollup",
     "emb_pq_knn",
+    # new round-4 operators: span-level exact dedup, RAG chunking, RESTORE
+    "doc_dup_spans",
+    "doc_chunks",
+    "tx_restore_rewind",
 ]
 _GATE_KEEP = [
     # long-green but load-bearing: keep one per family in the window

@@ -1301,3 +1301,133 @@ def decontaminate(
         return pa.table({"doc_id": pa.array([], pa.int64())})
     out = out.sort_values("doc_id").astype({"doc_id": "int64"})
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def dup_spans(
+    docs: rd.Dataset,
+    *,
+    k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = NUM_SHUFFLE_PARTITIONS,
+) -> pa.Table:
+    """Exact duplicated-SUBSTRING spans: every maximal run of tokens, at
+    least ``k`` long, that appears verbatim in two or more documents.
+
+    This is the span-level member of the dedup family (the public
+    suffix-array "exact substring" method of Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*): document-
+    level dedup keeps a doc that merely EMBEDS a big copied block, span
+    detection finds the block itself so a pipeline can cut or down-weight
+    it. A suffix array is inherently single-machine; the distributed
+    equivalent used here is positional k-gram matching — a token position
+    lies inside a duplicated span of length >= k iff some k-gram starting
+    within the last k-1 positions is shared with another document, so
+    merging consecutive duplicated k-gram starts reconstructs exactly the
+    maximal duplicated spans.
+
+    Tokenization is the `_shingle_hashes` contract (literal single-space
+    split, the SQL oracle's ``string_split(text, ' ')``). The shuffle key
+    is the 64-bit gram hash: a collision can only ADD a marked position
+    (same conservative bound as :func:`decontaminate`); only fixed-width
+    int64 rows move — gram text never leaves the map stage.
+
+    Distributed shape: map (positional gram hash rows, one row per token
+    position — O(corpus tokens), the same cost every published k-gram
+    method pays) → ONE bounded hash-partition shuffle on the gram key
+    (vectorized ``transform("nunique")`` keeps positions whose gram occurs
+    in >= 2 docs) → second bounded shuffle on doc id merges consecutive
+    positions into maximal spans (vectorized cumcount islands). Returns
+    (doc_id, span_start, span_len) — span_start is the 1-based token
+    index, span_len in tokens — sorted.
+    """
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        all_grams: list[str] = []
+        out_id, out_pos = [], []
+        for i, t in enumerate(texts):
+            w = t.split(" ")
+            n = len(w) - k + 1
+            if n <= 0:
+                continue
+            all_grams.extend(" ".join(w[j : j + k]) for j in range(n))
+            out_id.append(np.full(n, ids[i], dtype=np.int64))
+            out_pos.append(np.arange(1, n + 1, dtype=np.int64))
+        if not all_grams:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        hashes = pd.util.hash_array(
+            np.asarray(all_grams, dtype=object)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "gram": hashes,
+                "doc_id": np.concatenate(out_id),
+                "pos": np.concatenate(out_pos),
+            }
+        )
+
+    tagged = docs.map_batches(gram_rows, batch_format="pyarrow").map_batches(
+        _pk_tagger(("gram",), num_partitions), batch_format="pyarrow"
+    )
+
+    def shared_positions(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over the whole partition: a position survives iff its
+        # gram group spans >= 2 distinct documents
+        nun = g.groupby("gram", sort=False)["doc_id"].transform("nunique")
+        return g.loc[nun >= 2, ["doc_id", "pos"]]
+
+    marked = tagged.groupby("_pk").map_groups(
+        shared_positions, batch_format="pandas"
+    )
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        # each (doc_id, pos) exists exactly once globally (one gram per
+        # position, one partition per gram), so no dedup pass is needed
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        island = (
+            df["pos"] - df.groupby("doc_id", sort=False).cumcount()
+        ).rename("island")
+        agg = (
+            df.groupby([df["doc_id"], island], sort=False)["pos"]
+            .agg(["min", "count"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].astype("int64"),
+                "span_start": agg["min"].astype("int64"),
+                "span_len": (agg["count"] + k - 1).astype("int64"),
+            }
+        )
+
+    out = (
+        marked.map_batches(
+            _pk_tagger(("doc_id",), num_partitions), batch_format="pyarrow"
+        )
+        .groupby("_pk")
+        .map_groups(
+            lambda df: merge_spans(df.drop(columns=["_pk"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_len": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values(["doc_id", "span_start"]).astype(
+        {"doc_id": "int64", "span_start": "int64", "span_len": "int64"}
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -3790,3 +3790,132 @@ Q_TX_CDC_COMMITS_SQL = f"""
 
 QUERIES.update({"tx_cdc_commits": q_tx_cdc_commits})
 ORACLES.update({"tx_cdc_commits": Q_TX_CDC_COMMITS_SQL})
+
+
+# --------------------------------------------------------------------------
+# round-4 additions: span-level exact dedup, RAG chunking, RESTORE rewind
+# --------------------------------------------------------------------------
+
+
+def q_doc_dup_spans(sf_dir: str) -> pa.Table:
+    """Exact duplicated-substring spans (>= 15 tokens shared by >= 2 docs)
+    — the span-level dedup of Lee et al. 2022, distributed as positional
+    k-gram matching (see :func:`..dedup.dup_spans` for the scale shape).
+    Recall 1.0 by construction, so the DuckDB all-grams oracle
+    hash-checks it end to end."""
+    from open_finance_lakehouse_ray.pipelines.dedup import dup_spans
+
+    return dup_spans(_docs(sf_dir, ["doc_id", "text"]), k=15)
+
+
+Q_DOC_DUP_SPANS_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    gl AS (SELECT doc_id,
+                  [array_to_string(w[i:i+14], ' ')
+                   for i in range(1, len(w) - 13)] g
+           FROM toks WHERE len(w) >= 15),
+    grams AS (SELECT doc_id, unnest(g) AS gram,
+                     generate_subscripts(g, 1) AS pos
+              FROM gl),
+    dup AS (SELECT gram FROM grams
+            GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    m AS (SELECT doc_id, pos FROM grams
+          WHERE gram IN (SELECT gram FROM dup)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM m)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(count(*) + 14 AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+def q_doc_chunks(sf_dir: str) -> pa.Table:
+    """Overlapping token-window chunking (window 32, stride 24) — the RAG
+    retrieval-corpus prep; pure row-expansion map, no shuffle."""
+    from open_finance_lakehouse_ray.pipelines.textpipe import chunk_documents
+
+    out = (
+        chunk_documents(_docs(sf_dir, ["doc_id", "text"]))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_CHUNKS_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    st AS (SELECT doc_id, w,
+                  [s for s in range(1, len(w) + 1, 24)] starts
+           FROM toks),
+    ch AS (SELECT doc_id, w,
+                  unnest(starts) AS chunk_start,
+                  generate_subscripts(starts, 1) - 1 AS chunk_idx
+           FROM st)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(w[chunk_start:chunk_start + 31]) AS BIGINT) AS n_tokens,
+           array_to_string(w[chunk_start:chunk_start + 31], ' ') AS chunk_text
+    FROM ch ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_tx_restore_rewind(sf_dir: str) -> pa.Table:
+    """RESTORE VERSION AS OF end to end (Delta RESTORE analog): ingest →
+    destructive delete → compact (the delete's rewrite output is itself
+    rewritten, so restore must resurrect files two generations back) →
+    restore to the post-ingest version → a post-restore delete proving
+    the restored head is fully functional (stats pruning intact). Oracle:
+    the base construction minus only the post-restore delete."""
+    from open_finance_lakehouse_ray.pipelines.compact import compact
+    from open_finance_lakehouse_ray.pipelines.delete import delete_where
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.pipelines.merge import dedup_exact
+    from open_finance_lakehouse_ray.pipelines.restore import restore
+
+    root = _scratch_root("restore")
+    tx = dedup_exact(transcripts_from_lineitem(sf_dir), num_buckets=16)
+    snap = ingest_dataset(
+        tx.repartition(16),
+        root,
+        job_id="rs-ingest",
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
+    )
+    delete_where(
+        root,
+        job_id="rs-del-wide",
+        conv_id_range=("conv-0000000001", "conv-0000003000"),
+    )
+    compact(root, job_id="rs-compact", target_bytes=32 * 1024 * 1024)
+    restore(root, to_version=snap.version, job_id="rs-restore")
+    delete_where(
+        root,
+        job_id="rs-del-post",
+        conv_id_range=("conv-0000000100", "conv-0000000150"),
+    )
+    return _scan_and_cleanup(root)
+
+
+Q_TX_RESTORE_SQL = f"""
+    WITH base AS ({TX_DEDUP_SQL})
+    SELECT conv_id, turn_idx, role, text, tool, ts FROM base
+    WHERE NOT (conv_id BETWEEN 'conv-0000000100' AND 'conv-0000000150')
+    ORDER BY conv_id, turn_idx
+"""
+
+
+QUERIES.update(
+    {
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_chunks": q_doc_chunks,
+        "tx_restore_rewind": q_tx_restore_rewind,
+    }
+)
+ORACLES.update(
+    {
+        "doc_dup_spans": Q_DOC_DUP_SPANS_SQL,
+        "doc_chunks": Q_DOC_CHUNKS_SQL,
+        "tx_restore_rewind": Q_TX_RESTORE_SQL,
+    }
+)

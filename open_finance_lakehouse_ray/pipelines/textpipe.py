@@ -758,3 +758,62 @@ def unigram_logprob(
         {id_col: "int64", "n_tokens": "int64"}
     )
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def chunk_documents(
+    docs: rd.Dataset,
+    *,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """RAG-style overlapping token-window chunking: each document becomes
+    chunks of up to ``window`` tokens starting every ``stride`` tokens
+    (overlap = window - stride), the standard retrieval-corpus prep every
+    embedding/RAG pipeline runs before indexing.
+
+    Chunk starts are 1 + j*stride (1-based token index) for every start
+    <= n_tokens, so the final chunk may be short but every token is
+    covered and no start is emitted past the text. Tokenization is the
+    single-space-split contract shared by the whole text family.
+
+    Pure row-expansion ``map_batches`` — NO shuffle: chunking is
+    embarrassingly parallel and streams at any corpus size; the only
+    growth is the output itself (~window/stride x the input text). The
+    per-doc loop is over docs (the `_shingle_hashes` convention); the
+    inner work is O(output text) string joining, which no loop shape can
+    avoid.
+
+    Output: (doc_id, chunk_idx 0-based, chunk_start 1-based token index,
+    n_tokens, chunk_text).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        out_id, out_idx, out_start, out_n, out_text = [], [], [], [], []
+        for i, t in enumerate(texts):
+            w = t.split(" ")
+            n = len(w)
+            starts = range(0, n, stride)  # 0-based; 1-based in the output
+            for j, s in enumerate(starts):
+                piece = w[s : s + window]
+                out_id.append(ids[i])
+                out_idx.append(j)
+                out_start.append(s + 1)
+                out_n.append(len(piece))
+                out_text.append(" ".join(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "chunk_start": pa.array(out_start, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow")

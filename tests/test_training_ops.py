@@ -818,3 +818,115 @@ def test_cli_command_name_scanner():
     assert _command_name(["--num=4", "compact"]) == "compact"
     assert _command_name([]) == "unknown"
     assert _command_name(["--num-cpus", "4"]) == "unknown"
+
+
+# ------------------------------------------------------------- dup spans
+
+
+def test_dup_spans_hand_computed(ray_session):
+    import ray.data as rd
+
+    # doc0/doc1 share the 5-token run "a b c d e"; doc3 shares "a b c"
+    # and "f g h" with doc0 (two separate islands); doc2 shares nothing
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "a b c d e f g h",
+                "x y a b c d e q r s",
+                "no overlap here at all whatsoever",
+                "a b c z1 z2 z3 f g h q",
+            ],
+        }
+    )
+    out = dd.dup_spans(rd.from_arrow(t), k=3).to_pandas()
+    got = list(out.itertuples(index=False, name=None))
+    # (doc_id, span_start 1-based, span_len tokens), sorted
+    assert got == [
+        (0, 1, 5),  # "a b c d e" (k-gram starts 1,2,3)
+        (0, 6, 3),  # "f g h"
+        (1, 3, 5),
+        (3, 1, 3),
+        (3, 7, 3),
+    ]
+
+
+def test_dup_spans_within_doc_repeat_is_not_duplicated(ray_session):
+    import ray.data as rd
+
+    # the gram repeats WITHIN one doc only -> not cross-document, no span
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [
+                "p q r s p q r s",
+                "totally unrelated tokens over here",
+            ],
+        }
+    )
+    out = dd.dup_spans(rd.from_arrow(t), k=3).to_pandas()
+    assert len(out) == 0
+
+
+def test_dup_spans_short_docs_skipped(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["a b", "a b"],  # shorter than k -> no k-grams at all
+        }
+    )
+    out = dd.dup_spans(rd.from_arrow(t), k=3).to_pandas()
+    assert len(out) == 0
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_hand_computed(ray_session):
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.textpipe import chunk_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "text": ["t1 t2 t3 t4 t5 t6 t7 t8", "u1 u2 u3"],
+        }
+    )
+    out = (
+        chunk_documents(rd.from_arrow(t), window=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [
+        (7, 0, 1, 4, "t1 t2 t3 t4"),
+        (7, 1, 4, 4, "t4 t5 t6 t7"),  # overlap of window - stride = 1 token
+        (7, 2, 7, 2, "t7 t8"),  # short tail chunk, every token covered
+        (8, 0, 1, 3, "u1 u2 u3"),
+    ]
+
+
+def test_chunk_documents_empty_text_single_chunk(ray_session):
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.textpipe import chunk_documents
+
+    # "" single-space-splits to [''] on both sides of the oracle contract
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [""]})
+    out = chunk_documents(rd.from_arrow(t), window=4, stride=3).to_pandas()
+    assert list(out.itertuples(index=False, name=None)) == [(1, 0, 1, 1, "")]
+
+
+def test_chunk_documents_rejects_bad_params(ray_session):
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.textpipe import chunk_documents
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["a b"]})
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(t), window=0, stride=3)
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(t), window=4, stride=0)
