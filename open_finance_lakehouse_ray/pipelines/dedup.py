@@ -1311,8 +1311,11 @@ def dup_spans(
     text_col: str = "text",
     num_partitions: int = NUM_SHUFFLE_PARTITIONS,
 ) -> pa.Table:
-    """Exact duplicated-SUBSTRING spans: every maximal run of tokens, at
-    least ``k`` long, that appears verbatim in two or more documents.
+    """Exact duplicated-SUBSTRING spans: maximal token runs in which every
+    position lies inside some >= ``k``-token run shared verbatim with at
+    least one other document. (A merged span whose halves match DIFFERENT
+    partner documents need not appear verbatim in any single partner —
+    the chimera case; the SQL oracle merges identically.)
 
     This is the span-level member of the dedup family (the public
     suffix-array "exact substring" method of Lee et al. 2022,
@@ -1328,12 +1331,14 @@ def dup_spans(
 
     Tokenization is the `_shingle_hashes` contract (literal single-space
     split, the SQL oracle's ``string_split(text, ' ')``). The shuffle key
-    is the 64-bit gram hash: a collision can only ADD a marked position
-    (same conservative bound as :func:`decontaminate`); only fixed-width
-    int64 rows move — gram text never leaves the map stage.
+    is a 64-bit gram hash — each token hashed ONCE, then a k-step
+    polynomial shift-combine over the flat hash array, so map-stage memory
+    stays O(text bytes) and no gram string is ever materialized. A
+    collision can only ADD a marked position (same conservative bound as
+    :func:`decontaminate`); only fixed-width int64 rows move.
 
     Distributed shape: map (positional gram hash rows, one row per token
-    position — O(corpus tokens), the same cost every published k-gram
+    position — O(corpus tokens) rows, the cost every published k-gram
     method pays) → ONE bounded hash-partition shuffle on the gram key
     (vectorized ``transform("nunique")`` keeps positions whose gram occurs
     in >= 2 docs) → second bounded shuffle on doc id merges consecutive
@@ -1342,33 +1347,44 @@ def dup_spans(
     index, span_len in tokens — sorted.
     """
 
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+
     def gram_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch[text_col].to_pylist()
-        all_grams: list[str] = []
-        out_id, out_pos = [], []
+        all_tokens: list[str] = []
+        out_id, out_pos, starts = [], [], []
+        tok_off = 0
         for i, t in enumerate(texts):
             w = t.split(" ")
+            all_tokens.extend(w)
             n = len(w) - k + 1
-            if n <= 0:
-                continue
-            all_grams.extend(" ".join(w[j : j + k]) for j in range(n))
-            out_id.append(np.full(n, ids[i], dtype=np.int64))
-            out_pos.append(np.arange(1, n + 1, dtype=np.int64))
-        if not all_grams:
-            return pa.table(
-                {
-                    "gram": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "pos": pa.array([], pa.int64()),
-                }
-            )
-        hashes = pd.util.hash_array(
-            np.asarray(all_grams, dtype=object)
-        ).view(np.int64)
+            if n > 0:
+                # valid window starts within this doc's flat-token segment
+                starts.append(np.arange(tok_off, tok_off + n, dtype=np.int64))
+                out_id.append(np.full(n, ids[i], dtype=np.int64))
+                out_pos.append(np.arange(1, n + 1, dtype=np.int64))
+            tok_off += len(w)
+        if not starts:
+            return empty
+        # one hash per TOKEN (O(text) memory), then a k-step polynomial
+        # shift-combine gives every window's gram hash in k vector ops —
+        # identical token runs yield identical gram hashes by construction
+        th = pd.util.hash_array(np.asarray(all_tokens, dtype=object))
+        g = np.zeros(len(th) - k + 1, dtype=np.uint64)
+        mult = np.uint64(1099511628211)  # FNV prime, uint64 wraparound
+        for r in range(k):
+            g = g * mult + th[r : r + len(g)]
+        valid = np.concatenate(starts)
         return pa.table(
             {
-                "gram": hashes,
+                "gram": g[valid].view(np.int64),
                 "doc_id": np.concatenate(out_id),
                 "pos": np.concatenate(out_pos),
             }
