@@ -29,7 +29,9 @@ raises the normal ``StaleTableError`` at planning time.
 from __future__ import annotations
 
 import os
+import pickle
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -66,12 +68,67 @@ def _eq_nansafe(a: pd.Series, b: pd.Series) -> pd.Series:
     return eq | (a.isna() & b.isna())
 
 
+def _unhashable_cols(df: pd.DataFrame, cols: list[str]) -> list[str]:
+    """Columns whose object cells hold Arrow list/struct values
+    (ndarray / list / dict) — unusable as groupby/merge/sort keys and
+    ambiguous under ``==``. Blocks arrive via Arrow, so object columns
+    are homogeneously typed: probing the first non-null cell is sound."""
+    out = []
+    for c in cols:
+        s = df[c]
+        if s.dtype != object:
+            continue
+        nn = s.dropna()
+        if len(nn) and isinstance(
+            nn.iloc[0], (np.ndarray, list, dict, set, tuple)
+        ):
+            out.append(c)
+    return out
+
+
 def _diff_partition(key_cols: list[str]):
     def diff(df: pd.DataFrame) -> pd.DataFrame:
         data_cols = [c for c in df.columns if c not in ("_pk", "_side")]
         other = [c for c in data_cols if c not in key_cols]
         dtypes = df[data_cols].dtypes  # originals, restored at the end
         df = _protect_ints(df)
+        # Arrow list/struct cells are unhashable and ambiguous under == —
+        # swap them for canonical pickle tokens (equal values <=> equal
+        # bytes) so every merge/groupby/sort/compare below just works;
+        # _finish maps tokens back so the consumer sees real values
+        tok2val: dict[bytes, object] = {}
+        tok_cols = _unhashable_cols(df, data_cols)
+        for c in tok_cols:
+
+            def _tok(v):
+                if v is None:
+                    return None
+                b = pickle.dumps(v, protocol=4)
+                tok2val.setdefault(b, v)
+                return b
+
+            df[c] = df[c].map(_tok)
+
+        def _finish(frames: list[pd.DataFrame]) -> pd.DataFrame:
+            if frames:
+                out = pd.concat(frames, ignore_index=True)
+            else:
+                out = pd.DataFrame(columns=data_cols + [CHANGE_COL])
+            for c in tok_cols:
+                out[c] = out[c].map(
+                    lambda v: tok2val[v] if isinstance(v, bytes) else None
+                )
+            # outer merges NaN-upcast complementary columns (int64 ->
+            # float64); the emitted rows themselves are complete, so
+            # restore the input dtypes — a CDC consumer must see the
+            # table's schema
+            for c, dt in dtypes.items():
+                if out[c].dtype != dt:
+                    try:
+                        out[c] = out[c].astype(dt)
+                    except (TypeError, ValueError):
+                        pass
+            return out
 
         # FAST PATH for keys with at most one row per side (every row of a
         # unique-key table): one keyed outer merge + vectorized column
@@ -121,16 +178,7 @@ def _diff_partition(key_cols: list[str]):
                     post[CHANGE_COL] = "update_postimage"
                     fast_frames += [pre[data_cols + [CHANGE_COL]], post]
         if not len(df):
-            if not fast_frames:
-                return pd.DataFrame(columns=data_cols + [CHANGE_COL])
-            out = pd.concat(fast_frames, ignore_index=True)
-            for c, dt in dtypes.items():
-                if out[c].dtype != dt:
-                    try:
-                        out[c] = out[c].astype(dt)
-                    except (TypeError, ValueError):
-                        pass
-            return out
+            return _finish(fast_frames)
 
         # multiset cancel: count each FULL row per side, keep the surplus
         grp = df.groupby(data_cols, dropna=False, sort=False)["_side"]
@@ -141,18 +189,7 @@ def _diff_partition(key_cols: list[str]):
         ins = cnt.loc[cnt.index.repeat(net.clip(lower=0))][data_cols]
         del_ = cnt.loc[cnt.index.repeat((-net).clip(lower=0))][data_cols]
         if ins.empty and del_.empty:
-            frames = []
-            out = pd.concat(
-                fast_frames + [pd.DataFrame(columns=data_cols + [CHANGE_COL])],
-                ignore_index=True,
-            )
-            for c, dt in dtypes.items():
-                if out[c].dtype != dt:
-                    try:
-                        out[c] = out[c].astype(dt)
-                    except (TypeError, ValueError):
-                        pass
-            return out
+            return _finish(fast_frames)
 
         # pair surplus rows key-wise in deterministic sorted order
         ins = ins.sort_values(data_cols, kind="mergesort").reset_index(drop=True)
@@ -185,17 +222,7 @@ def _diff_partition(key_cols: list[str]):
             )
             d[CHANGE_COL] = "delete"
             frames.append(d[data_cols + [CHANGE_COL]])
-        out = pd.concat(fast_frames + frames, ignore_index=True)
-        # the outer merge NaN-upcasts complementary columns (int64 ->
-        # float64); the emitted rows themselves are complete, so restore
-        # the input dtypes — a CDC consumer must see the table's schema
-        for c, dt in dtypes.items():
-            if out[c].dtype != dt:
-                try:
-                    out[c] = out[c].astype(dt)
-                except (TypeError, ValueError):
-                    pass
-        return out
+        return _finish(fast_frames + frames)
 
     return diff
 
@@ -371,6 +398,15 @@ def change_feed(
     if granularity not in ("net", "commits", "auto"):
         raise ValueError(f"unknown granularity={granularity!r}")
 
+    # pin the span end ONCE: with to_version=None every accessor below
+    # (table_key_cols / files / table_schema / keys_unique) would resolve
+    # the live head at ITS OWN instant, so a commit landing mid-call could
+    # hand the fold a different key/schema/file set than the span it
+    # diffs — the exact "later re-keying overwrite leaks into a
+    # historical span" case the lazy key resolution guards against
+    if to_version is None:
+        to_version = log.current_version()
+
     def resolve_keys() -> tuple[str, ...]:
         # the net fold PAIRS rows on the table's merge key — resolve from
         # the log's recorded key metadata rather than assuming a transcript
@@ -396,7 +432,7 @@ def change_feed(
     if granularity in ("commits", "auto"):
         from open_finance_lakehouse_ray.state.txlog import StaleTableError
 
-        head = log.current_version() if to_version is None else to_version
+        head = to_version  # pinned above
         span = [v for v in log.versions() if from_version < v <= head]
         # versions are dense integers; a gap means an EXPIRED commit whose
         # changes are unrecoverable — an incomplete feed must never be
@@ -420,6 +456,31 @@ def change_feed(
             out = feeds[0]
             for f in feeds[1:]:
                 out = out.union(f)
+            if log.schema_is_evolved(head):
+                # commit_changes conforms each feed to its OWN version's
+                # schema (pre-evolution commits to none at all), so a span
+                # crossing an evolution commit unions heterogeneous blocks;
+                # conform every event to the SPAN END's schema — exactly
+                # what the computed net path does to both sides
+                head_sch = log.table_schema(head)
+
+                def conform_feed(t: pa.Table) -> pa.Table:
+                    from open_finance_lakehouse_ray.stages.evolution import (
+                        conform_table,
+                    )
+
+                    extras = [
+                        c
+                        for c in (CHANGE_COL, "_commit_version")
+                        if c in t.column_names
+                    ]
+                    kept = {c: t[c] for c in extras}
+                    t = conform_table(t.drop_columns(extras), head_sch)
+                    for c in extras:
+                        t = t.append_column(c, kept[c])
+                    return t
+
+                out = out.map_batches(conform_feed, batch_format="pyarrow")
             if granularity == "auto":
                 # auto promises NET-DIFF semantics (schema stability: it
                 # may serve either source across a consumer's polls), but
@@ -530,10 +591,14 @@ def change_feed(
 def _row_hash(t: pa.Table, data_cols: list[str]) -> pa.Array:
     """Deterministic 64-bit per-row digest over all data columns
     (pandas' SipHash with its fixed default key — stable across
-    processes and machines)."""
-    h = pd.util.hash_pandas_object(
-        t.select(data_cols).to_pandas(), index=False
-    ).to_numpy()
+    processes and machines). List/struct cells are pickled to bytes
+    first — ``hash_pandas_object`` raises on unhashable cells."""
+    df = t.select(data_cols).to_pandas()
+    for c in _unhashable_cols(df, list(df.columns)):
+        df[c] = df[c].map(
+            lambda v: None if v is None else pickle.dumps(v, protocol=4)
+        )
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
     return pa.array(h.view("int64"))
 
 
@@ -716,11 +781,13 @@ class ChangeStream:
             self._save(start_version)
 
     def _save(self, version: int) -> None:
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(self._json.dumps({"last_version": version}))
-        os.replace(tmp, self.path)
+        # fsync + unique staging name (txlog's commit pattern): commit()
+        # promises a DURABLE cursor, and a fixed ".tmp" would let two
+        # processes sharing a checkpoint publish each other's bytes
+        from open_finance_lakehouse_ray.state.txlog import _atomic_write_json
+
+        d = os.path.dirname(self.path) or "."
+        _atomic_write_json(d, self.path, {"last_version": version})
 
     @property
     def last_version(self) -> int:

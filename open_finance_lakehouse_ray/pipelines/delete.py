@@ -59,11 +59,20 @@ def _overlaps(e: FileEntry, col: str, rng: tuple | None) -> bool:
 
 
 def _contained(e: FileEntry, col: str, rng: tuple | None) -> bool:
-    """Do the stats PROVE every row lies inside ``rng``? Missing stats → no."""
+    """Do the stats PROVE every row lies inside ``rng``? Missing stats → no.
+
+    Containment needs a recorded null count of ZERO besides min/max:
+    stats ignore nulls, and a NULL-predicate row must SURVIVE the delete
+    (``_match_mask`` fill_null False), so a file with (possible) nulls in
+    the predicate column can never be dropped whole — it rewrites instead
+    (round-4 review). Entries written before ``null_counts`` existed have
+    no count recorded → unknown → conservative rewrite."""
     if rng is None:
         return True
     st = e.stats.get(col)
     if st is None or st[0] is None:
+        return False
+    if e.null_counts.get(col) != 0:
         return False
     return rng[0] <= st[0] and st[1] <= rng[1]
 
@@ -291,12 +300,18 @@ def delete_where(
     if conv_id_range is None and ts_range is None and match is None:
         raise ValueError("delete_where needs at least one predicate term")
     log = TableLog(root)
+    # replay check scans EVERY attempt-scoped id up front: a prior run may
+    # have committed under ``job~replanN`` after conflicts — re-executing
+    # under the bare id would apply the delete a second time against the
+    # new head, breaking the idempotency contract (round-4 review)
+    for a in range(max_retries_on_conflict + 1):
+        jid = job_id if a == 0 else f"{job_id}~replan{a}"
+        prior = log.find_commit(jid)
+        if prior is not None:
+            log.clear_job(jid)
+            return prior
     for attempt in range(max_retries_on_conflict + 1):
         attempt_job = job_id if attempt == 0 else f"{job_id}~replan{attempt}"
-        existing = log.find_commit(attempt_job)
-        if existing is not None:
-            log.clear_job(attempt_job)
-            return existing
         base_version = log.current_version()
         sch_b64 = _evolved_schema_b64(log, base_version)
         drop, rewrite = plan_delete(
@@ -360,7 +375,14 @@ def delete_where(
                 job_id=attempt_job,
                 added=added,
                 removed_paths=removed,
-                read_paths=removed,
+                # noop files were READ — the "nothing matches" verdict is
+                # a function of their content, so a concurrent
+                # content-CHANGING rewrite (merge/update) of one must
+                # conflict and replan here, or rows it made match would
+                # silently survive (write skew — round-4 review).
+                # Compaction rewrites are content-preserving, so the
+                # replan this costs in that race is rare and cheap.
+                read_paths=removed | untouched,
                 base_version=base_version,
                 summary={
                     "deleted_rows": int(deleted_rows),
@@ -427,9 +449,11 @@ def _make_update_runner(
                 continue
             out = t
             for col, new in assign.items():
-                vals = new(t) if callable(new) else pa.nulls(0)
-                if not callable(new):
-                    vals = pa.array([new] * t.num_rows, type=t[col].type)
+                vals = (
+                    new(t)
+                    if callable(new)
+                    else pa.array([new] * t.num_rows, type=t[col].type)
+                )
                 old = out[col]
                 if hasattr(vals, "cast") and not vals.type.equals(old.type):
                     vals = vals.cast(old.type)
@@ -515,22 +539,26 @@ def update_where(
     if conv_id_range is None and ts_range is None and match is None:
         raise ValueError("update_where needs at least one predicate term")
     log = TableLog(root)
+    # scan every attempt-scoped id up front — see delete_where (a prior
+    # run that committed under ``job~replanN`` must replay as a no-op)
+    for a in range(max_retries_on_conflict + 1):
+        jid = job_id if a == 0 else f"{job_id}~replan{a}"
+        prior = log.find_commit(jid)
+        if prior is not None:
+            log.clear_job(jid)
+            return prior
     for attempt in range(max_retries_on_conflict + 1):
         attempt_job = job_id if attempt == 0 else f"{job_id}~replan{attempt}"
-        existing = log.find_commit(attempt_job)
-        if existing is not None:
-            log.clear_job(attempt_job)
-            return existing
         base_version = log.current_version()
         sch_b64 = _evolved_schema_b64(log, base_version)
-        # every overlapping file rewrites (no whole-drop class for UPDATE)
-        maybe, rewrite = plan_delete(
+        # every overlapping file rewrites (no whole-drop class for UPDATE;
+        # plan_delete's drop list is provably empty under has_residual)
+        _, rewrite = plan_delete(
             log.files(base_version),
             conv_id_range=conv_id_range,
             ts_range=ts_range,
             has_residual=True,
         )
-        rewrite = maybe + rewrite
         if not rewrite:
             return None
         import json as _json
@@ -585,7 +613,8 @@ def update_where(
                 job_id=attempt_job,
                 added=added,
                 removed_paths=removed,
-                read_paths=removed,
+                # noop files were read — see delete_where's read_paths note
+                read_paths=removed | untouched,
                 base_version=base_version,
                 summary={
                     "updated_rows": int(updated_rows),

@@ -47,6 +47,10 @@ def ingest_dataset(
     (the ``overwriteSchema`` analog). Without ``merge_schema``, an
     append that would change a recorded schema is rejected.
     """
+    if mode not in ("append", "overwrite"):
+        # a typo'd mode must not silently degrade to append (round-4
+        # review: every branch below compares literally)
+        raise ValueError(f"unknown mode={mode!r} (append|overwrite)")
     log = TableLog(root)
     log.create()
     existing = log.find_commit(job_id)
@@ -54,7 +58,20 @@ def ingest_dataset(
         return existing  # idempotent replay before any work
 
     if validate:
-        ds = ds.map_batches(validate_batch, batch_format="pyarrow")
+        if merge_schema:
+            # validation conforms to the fixed transcript schema, which
+            # would silently DROP the very columns merge_schema exists to
+            # evolve (round-4 review) — validate the core, carry extras
+            def validate_keep_extras(t):
+                core = validate_batch(t)
+                for c in t.column_names:
+                    if c not in core.column_names:
+                        core = core.append_column(c, t[c])
+                return core
+
+            ds = ds.map_batches(validate_keep_extras, batch_format="pyarrow")
+        else:
+            ds = ds.map_batches(validate_batch, batch_format="pyarrow")
     # log-carried constraints bind EVERY writer, validate flag or not —
     # the table's own invariants, not the orchestration layer's
     constraints = log.table_constraints()
@@ -109,16 +126,36 @@ def ingest_dataset(
             schema_to_b64,
         )
 
-        # one footer read: every file of this ingest shares the source
-        # dataset's schema (the writer never reorders or drops columns)
         incoming = pq.read_schema(os.path.join(root, entries[0].path))
+        hetero = False
+        if not validate:
+            # validated ingests are homogeneous by construction (every
+            # batch conformed); UN-validated blocks can differ, and one
+            # footer proves nothing (round-4 review) — union-by-name
+            # across every footer, or reject the mismatch outright
+            for e in entries[1:]:
+                other = pq.read_schema(os.path.join(root, e.path))
+                if not other.equals(incoming):
+                    if not merge_schema:
+                        raise SchemaEvolutionError(
+                            "ingest blocks carry differing schemas "
+                            f"({entries[0].path} vs {e.path}); pass "
+                            "merge_schema=True to union them or "
+                            "validate=True to conform them"
+                        )
+                    incoming = evolve_schema(incoming, other)
+                    hetero = True
         current = log.table_schema(base_version)
         if mode == "overwrite" or current is None:
             schema_summary["schema_b64"] = schema_to_b64(incoming)
             if mode == "overwrite":
-                # the live file set is homogeneous again — shadow any
-                # earlier evolved flag so scans regain column pushdown
-                schema_summary["schema_evolved"] = False
+                # the live file set is homogeneous again (unless THIS
+                # ingest's own blocks differ) — shadow any earlier evolved
+                # flag so scans regain column pushdown
+                schema_summary["schema_evolved"] = hetero
+            elif hetero:
+                # heterogeneous blocks in a fresh table: scans must conform
+                schema_summary["schema_evolved"] = True
         elif not current.equals(incoming):
             if not merge_schema:
                 raise SchemaEvolutionError(
@@ -127,6 +164,8 @@ def ingest_dataset(
                 )
             unified = evolve_schema(current, incoming)
             schema_summary["schema_b64"] = schema_to_b64(unified)
+            schema_summary["schema_evolved"] = True
+        elif hetero:
             schema_summary["schema_evolved"] = True
 
     return commit_via_actor_or_direct(

@@ -38,7 +38,7 @@ import ray
 import ray.data as rd
 
 from open_finance_lakehouse_ray.functions.hashing import add_bucket_column
-from open_finance_lakehouse_ray.stages.validate import conform_batch
+from open_finance_lakehouse_ray.stages.validate import TRANSCRIPT_SCHEMA, conform_batch
 from open_finance_lakehouse_ray.stages.writer import write_table_file
 from open_finance_lakehouse_ray.state.commit_actor import commit_via_actor_or_direct
 from open_finance_lakehouse_ray.state.txlog import FileEntry, Snapshot, TableLog
@@ -71,7 +71,9 @@ def prune_affected(
 
 
 def _merge_change_parts(
-    old_df: pd.DataFrame, new_df: pd.DataFrame
+    old_df: pd.DataFrame,
+    new_df: pd.DataFrame,
+    schema: pa.Schema = TRANSCRIPT_SCHEMA,
 ) -> list[tuple[pa.Table, str]]:
     """Write-time CDC for a merge unit: diff the unit's pre-merge rows
     against its post-merge rows keyed on MERGE_KEY. Emits only REAL
@@ -97,8 +99,9 @@ def _merge_change_parts(
     ins = m[m["_merge"] == "right_only"]
     if len(ins):
         parts.append(
-            (conform_batch(pa.Table.from_pandas(ins[cols], preserve_index=False)),
-             "insert")
+            (conform_batch(
+                pa.Table.from_pandas(ins[cols], preserve_index=False), schema
+            ), "insert")
         )
     both = m[m["_merge"] == "both"]
     if len(both):
@@ -111,19 +114,21 @@ def _merge_change_parts(
                 columns={c + "__o": c for c in other}
             )[cols]
             parts.append(
-                (conform_batch(pa.Table.from_pandas(pre, preserve_index=False)),
-                 "update_preimage")
+                (conform_batch(
+                    pa.Table.from_pandas(pre, preserve_index=False), schema
+                ), "update_preimage")
             )
             parts.append(
-                (conform_batch(pa.Table.from_pandas(chg[cols], preserve_index=False)),
-                 "update_postimage")
+                (conform_batch(
+                    pa.Table.from_pandas(chg[cols], preserve_index=False), schema
+                ), "update_postimage")
             )
     return parts
 
 
 def _make_bucket_apply(
     root: str, job_id: str, plan_base: int | None, num_buckets: int,
-    record_cdc: bool = False,
+    record_cdc: bool = False, schema: pa.Schema = TRANSCRIPT_SCHEMA,
 ):
     """Per-bucket upsert: dedup latest-wins, write one file + lineage
     record. Idempotent on resume via the record file — but ONLY records
@@ -168,8 +173,13 @@ def _make_bucket_apply(
             )
             g = g.drop_duplicates(list(MERGE_KEY), keep="last")
             g = g.drop(columns=["_bucket", "_src"])
-            table = conform_batch(pa.Table.from_pandas(g, preserve_index=False))
-            entry = write_table_file(root, table, prefix="merge")
+            table = conform_batch(
+                pa.Table.from_pandas(g, preserve_index=False), schema
+            )
+            # g is already mergesorted by (conv_id, turn_idx, ...) and
+            # drop_duplicates/conform preserve row order — skip the
+            # writer's redundant O(n log n) re-sort on the hot path
+            entry = write_table_file(root, table, prefix="merge", presorted=True)
             done = {
                 "kind": "bucket",
                 "bucket": bucket,
@@ -192,7 +202,7 @@ def _make_bucket_apply(
                 old = old[pd.MultiIndex.from_frame(old[list(MERGE_KEY)]).isin(ukeys)]
                 new = g[pd.MultiIndex.from_frame(g[list(MERGE_KEY)]).isin(ukeys)]
                 done["cdc"] = _write_cdc_file(
-                    root, _merge_change_parts(old, new)
+                    root, _merge_change_parts(old, new, schema)
                 )
             log.record_partition(job_id, part_id, done)
         return pd.DataFrame({"bucket": [bucket], "rows": [done["rows"]]})
@@ -238,6 +248,19 @@ def merge_into(
     """
     from open_finance_lakehouse_ray.state.txlog import CommitConflict
 
+    # replay check scans EVERY attempt-scoped id up front: a prior run may
+    # have committed under ``job~replan N`` after conflicts — re-executing
+    # under the bare id would apply the merge a second time against the
+    # new head (resurrecting rows a later delete removed), breaking the
+    # idempotency contract (round-4 review)
+    _log = TableLog(root)
+    for a in range(max_retries_on_conflict + 1):
+        jid = job_id if a == 0 else f"{job_id}~replan{a}"
+        prior = _log.find_commit(jid)
+        if prior is not None:
+            _log.clear_job(jid)
+            return prior
+
     last: CommitConflict | None = None
     for attempt in range(max_retries_on_conflict + 1):
         attempt_job = job_id if attempt == 0 else f"{job_id}~replan{attempt}"
@@ -269,9 +292,21 @@ def _merge_attempt(
     entries = log.files(base_version)
     num_buckets = num_buckets or default_num_buckets()
 
+    # MERGE into a schema-evolved table must preserve evolved columns —
+    # every rewrite below conforms to the table's EFFECTIVE schema, not
+    # the fixed transcript one (round-4 review: the pinned conform
+    # silently dropped evolved-column values from every rewritten file)
+    eff_schema = (
+        log.table_schema(base_version)
+        if log.schema_is_evolved(base_version)
+        else None
+    ) or TRANSCRIPT_SCHEMA
+
     if isinstance(updates, pa.Table):
         updates = rd.from_arrow(updates)
-    updates = updates.map_batches(conform_batch, batch_format="pyarrow")
+    updates = updates.map_batches(
+        lambda t: conform_batch(t, eff_schema), batch_format="pyarrow"
+    )
 
     # the broadcast path's per-file apply is only globally correct when
     # each merge key lives in exactly ONE file — i.e. the table's keys are
@@ -300,7 +335,7 @@ def _merge_attempt(
             affected, _ = prune_affected(entries, meta["lo"], meta["hi"])
             return _merge_broadcast(
                 log, upd_ref, affected, base_version=base_version, job_id=job_id,
-                n_updates=meta["n"],
+                n_updates=meta["n"], schema=eff_schema,
             )
         updates = mat
 
@@ -346,7 +381,7 @@ def _merge_attempt(
     record_cdc = log.keys_unique(base_version)
     unioned.groupby("_bucket").map_groups(
         _make_bucket_apply(root, job_id, base_version, num_buckets,
-                           record_cdc=record_cdc),
+                           record_cdc=record_cdc, schema=eff_schema),
         batch_format="pandas",
     ).take_all()
 
@@ -416,6 +451,7 @@ def _merge_broadcast(
     base_version: int | None,
     job_id: str,
     n_updates: int,
+    schema: pa.Schema = TRANSCRIPT_SCHEMA,
 ) -> Snapshot:
     """Broadcast merge: per-affected-file read-modify-write tasks + one
     insert pass for unmatched keys. See :func:`merge_into` docstring.
@@ -477,9 +513,14 @@ def _merge_broadcast(
                     )
                     from open_finance_lakehouse_ray.stages.validate import conform_batch
 
+                    # g is already mergesorted by the writer's sort key
                     entry = write_table_file(
-                        root, conform_batch(pa.Table.from_pandas(g, preserve_index=False)),
+                        root,
+                        conform_batch(
+                            pa.Table.from_pandas(g, preserve_index=False), schema
+                        ),
                         prefix="merge",
+                        presorted=True,
                     )
                     # CDC over the matched keys only (everything else in
                     # the file is rewrite noise by construction)
@@ -487,7 +528,7 @@ def _merge_broadcast(
                     old_m = target[tkeys.isin(mk)].drop(columns=["_src"])
                     new_m = g[pd.MultiIndex.from_frame(g[list(MERGE_KEY)]).isin(mk)]
                     cdc_rec = _write_cdc_file(
-                        root, _merge_change_parts(old_m, new_m)
+                        root, _merge_change_parts(old_m, new_m, schema)
                     )
                     done = {
                         "kind": "file",
@@ -513,7 +554,7 @@ def _merge_broadcast(
 
     # phase 2: keys matched nowhere -> the insert file (exactly once);
     # runs in a task so the update payload never lands on the driver
-    ray.get(_insert_pass.remote(root, job_id, upd_ref, base_version))
+    ray.get(_insert_pass.remote(root, job_id, upd_ref, base_version, schema))
 
     records = log.committed_partitions(job_id)
     added, removed = [], set()
@@ -559,7 +600,10 @@ def _merge_broadcast(
 
 
 @ray.remote
-def _insert_pass(root: str, job_id: str, updf, plan_base: int | None) -> int:
+def _insert_pass(
+    root: str, job_id: str, updf, plan_base: int | None,
+    schema: pa.Schema = TRANSCRIPT_SCHEMA,
+) -> int:
     """Write the one insert file for update keys matched by NO affected
     file (exactly once: idempotent on the 'inserts' record). Task-side so
     the deduped update frame stays in the object store (the ref passed as
@@ -589,9 +633,15 @@ def _insert_pass(root: str, job_id: str, updf, plan_base: int | None) -> int:
     inserts = updf[np.array(ins_mask, dtype=bool)] if any(ins_mask) else updf.iloc[:0]
     outputs = []
     if len(inserts):
+        # updf is sorted by (conv_id, turn_idx, ...) and the insert mask
+        # preserves order
         entry = write_table_file(
-            root, conform_batch(pa.Table.from_pandas(inserts, preserve_index=False)),
+            root,
+            conform_batch(
+                pa.Table.from_pandas(inserts, preserve_index=False), schema
+            ),
             prefix="merge-ins",
+            presorted=True,
         )
         outputs = [entry.to_json()]
     ins_rec = {"kind": "inserts", "outputs": outputs, "rows": int(len(inserts)),

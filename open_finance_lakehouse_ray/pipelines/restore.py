@@ -33,18 +33,25 @@ def restore(root: str, *, to_version: int, job_id: str) -> Snapshot:
         return existing
     head = log.current_version()
     target_key_cols = log.table_key_cols(to_version)
-    target = {e.path: e for e in log.files(to_version)}
-    head_paths = {e.path for e in log.files(head)}
-    added = [e for p, e in target.items() if p not in head_paths]
-    removed = head_paths - set(target)
+    target = list(log.files(to_version))
+    # overwrite_live: the removed set re-resolves to EVERYTHING live at
+    # the head each commit attempt, so a concurrent append/compaction
+    # landing between the head read and the CAS is serialized BEFORE the
+    # restore instead of silently surviving beside the resurrected files
+    # (a concurrent compaction's rewrite coexisting with the restored
+    # originals would duplicate every row it rewrote — round-4 review).
+    # Shared paths are removed from the carried manifests and re-added in
+    # the restore's own manifest; the final live set is exactly the
+    # target's, which is the documented postcondition.
     return commit_via_actor_or_direct(
         log,
         operation="restore",
         job_id=job_id,
-        added=added,
-        removed_paths=removed,
+        added=target,
+        removed_paths=set(),
         read_paths=set(),
         base_version=head,
+        overwrite_live=True,
         summary={
             "restored_to": to_version,
             "keys_unique": log.keys_unique(to_version),

@@ -52,6 +52,29 @@ def footer_stats(path: str, cols=STATS_COLS) -> dict[str, list]:
     return out
 
 
+def footer_null_counts(path: str, cols=STATS_COLS) -> dict[str, int]:
+    """Per-file null counts from row-group metadata — recorded only for
+    columns where EVERY row group carries one (else unknown → omitted).
+    A 0 is the null-free attestation DELETE's whole-file drop requires."""
+    md = pq.read_metadata(path)
+    idx = {name: i for i, name in enumerate(md.schema.names)}
+    out: dict[str, int] = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        total = 0
+        known = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_null_count:
+                known = False
+                break
+            total += int(st.null_count)
+        if known:
+            out[c] = total
+    return out
+
+
 def rewrite_manifests(
     root: str,
     *,
@@ -69,8 +92,12 @@ def rewrite_manifests(
     base_version = log.current_version()
     entries = log.files(base_version)
 
-    missing = [e for e in entries if backfill_stats and not e.stats]
+    missing = [
+        e for e in entries
+        if backfill_stats and (not e.stats or not e.null_counts)
+    ]
     filled: dict[str, dict] = {}
+    filled_nc: dict[str, dict] = {}
     if missing:
         rows = (
             rd.from_items(
@@ -83,15 +110,17 @@ def rewrite_manifests(
             .take_all()
         )
         filled = {r["path"]: json.loads(r["stats_json"]) for r in rows}
+        filled_nc = {r["path"]: json.loads(r["nulls_json"]) for r in rows}
 
     new_entries = [
         FileEntry(
             path=e.path,
             rows=e.rows,
             bytes=e.bytes,
-            stats=filled.get(e.path, e.stats),
+            stats=e.stats or filled.get(e.path, {}),
             z_range=e.z_range,
             sorted_by=e.sorted_by,
+            null_counts=e.null_counts or filled_nc.get(e.path, {}),
         )
         for e in entries
     ]
@@ -154,6 +183,10 @@ def _make_footer_reader(root: str):
                 "path": paths,
                 "stats_json": [
                     json.dumps(footer_stats(os.path.join(root, p))) for p in paths
+                ],
+                "nulls_json": [
+                    json.dumps(footer_null_counts(os.path.join(root, p)))
+                    for p in paths
                 ],
             }
         )

@@ -157,6 +157,7 @@ class StreamCheckpoint:
         return {
             "batch_id": 0,
             "processed": [],
+            "processed_floor": None,
             "max_event_us": None,
             "seen_keys": {},  # key -> ts_us (pruned below watermark)
             "open_windows": {},  # "key|wstart" -> partial agg
@@ -189,6 +190,7 @@ class StreamCheckpoint:
         state = {
             "batch_id": core["batch_id"],
             "processed": core["processed"],
+            "processed_floor": core.get("processed_floor"),
             "max_event_us": core["max_event_us"],
             "metrics": core["metrics"],
             "seen_keys": {},
@@ -373,6 +375,7 @@ class StreamCheckpoint:
         core: dict[str, Any] = {
             "batch_id": state["batch_id"],
             "processed": state["processed"],
+            "processed_floor": state.get("processed_floor"),
             "max_event_us": state["max_event_us"],
             "metrics": state["metrics"],
             "bucket_us": self.bucket_us,
@@ -423,6 +426,34 @@ class StreamCheckpoint:
                     os.remove(os.path.join(self.shard_dir, name))
                 except OSError:
                     pass
+
+
+PROCESSED_TRACKED_MAX = 4096
+
+
+def _record_processed(state: dict[str, Any], files: list[str]) -> None:
+    """Claim this batch's source files, keeping the tracked set BOUNDED.
+
+    Only the newest ``PROCESSED_TRACKED_MAX`` names stay listed in the
+    checkpoint core; older names compress into ``processed_floor`` (every
+    name <= floor counts as processed). Without the bound the core rewrite
+    — and the ``_pending_files`` listdir diff — grows O(all files ever
+    seen) per batch, the exact unbounded-state class the sharded store
+    eliminated for keys/windows (round-4 review). Sound under the source
+    contract (module docstring: files are published by atomic rename in
+    name order): a producer never lands a NEW file named below ~4k
+    already-processed names — the bounded-late-by-NAME analog of the
+    watermark's bounded-late-by-time; a pathological older arrival is
+    skipped, never double-processed."""
+    names = sorted(set(state["processed"]) | set(files))
+    floor = state.get("processed_floor")
+    if len(names) > PROCESSED_TRACKED_MAX:
+        cut = names[len(names) - PROCESSED_TRACKED_MAX - 1]
+        if floor is None or cut > floor:
+            floor = cut
+        names = [n for n in names if n > floor]
+    state["processed"] = names
+    state["processed_floor"] = floor
 
 
 def _bar_from_group(g: pd.DataFrame) -> dict:
@@ -512,9 +543,12 @@ class StreamProcessor:
 
     def _pending_files(self, state: dict[str, Any]) -> list[str]:
         done = set(state["processed"])
+        floor = state.get("processed_floor")
         names = sorted(
             n for n in os.listdir(self.source_dir)
-            if n.endswith(".parquet") and n not in done
+            if n.endswith(".parquet")
+            and n not in done
+            and (floor is None or n > floor)
         )
         return names[: self.max_files]
 
@@ -625,7 +659,7 @@ class StreamProcessor:
 
         # checkpoint: claim offsets + state AFTER the idempotent writes;
         # dirty hints = exactly the buckets this batch's loops mutated
-        state["processed"] = sorted(set(state["processed"]) | set(files))
+        _record_processed(state, files)
         state["batch_id"] = batch_id + 1
         state["max_event_us"] = wm.max_event_us
         self.ckpt.save(
@@ -810,7 +844,7 @@ class StreamProcessor:
                          ("event_type", "window_start"))
             state["metrics"]["bars_emitted"] += len(emitted)
 
-        state["processed"] = sorted(set(state["processed"]) | set(files))
+        _record_processed(state, files)
         state["batch_id"] = batch_id + 1
         state["max_event_us"] = wm.max_event_us
         self.ckpt.save(
@@ -946,7 +980,20 @@ def replay_dead_letters(
         }
 
     if existing_prune is not None:
-        # fully committed replay: report from the recorded summaries
+        # fully committed replay: report from the recorded summaries.
+        # An EXPIRED commit comes back as a tombstone with an empty
+        # summary — reporting zeros from it would look like a clean
+        # "reconciled" run; be loud instead (the replay itself remains
+        # applied — txn markers survive expire, so a re-run still no-ops)
+        if existing_prune.operation == "expired" or (
+            existing_append is not None
+            and existing_append.operation == "expired"
+        ):
+            raise StaleTableError(
+                f"replay {job_id!r} completed but its commit snapshots "
+                "have expired; the recorded counts are unrecoverable "
+                "(the replayed rows themselves are safely in bronze)"
+            )
         s = existing_prune.summary
         n_good = (
             int(existing_append.summary.get("replayed_rows", 0))

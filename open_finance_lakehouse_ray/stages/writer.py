@@ -35,6 +35,7 @@ META_SCHEMA = pa.schema(
         ("z_min", pa.int64()),
         ("z_max", pa.int64()),
         ("sorted_by_json", pa.string()),
+        ("null_counts_json", pa.string()),
     ]
 )
 
@@ -85,6 +86,14 @@ def write_table_file(
     elif sort_by and not presorted:
         table = table.sort_by([(c, "ascending") for c in sort_by])
     stats = column_stats(table, list(stats_cols))
+    # Arrow tracks null counts per column for free; a recorded 0 is the
+    # null-free attestation DELETE's whole-file drop requires (min/max
+    # alone cannot prove NULL-predicate rows absent)
+    null_counts = {
+        c: int(table[c].null_count)
+        for c in stats_cols
+        if c in table.column_names
+    }
     rel = os.path.join("data", f"{prefix}-{uuid.uuid4().hex}.parquet")
     full = os.path.join(root, rel)
     pq.write_table(
@@ -98,6 +107,7 @@ def write_table_file(
         stats=stats,
         z_range=z_range,
         sorted_by=list(sort_by) if zkey_col is None else [zkey_col, *sort_by],
+        null_counts=null_counts,
     )
 
 
@@ -111,6 +121,7 @@ def entry_to_meta_row(entry: FileEntry) -> pa.Table:
             "z_min": [entry.z_range[0] if entry.z_range else None],
             "z_max": [entry.z_range[1] if entry.z_range else None],
             "sorted_by_json": [json.dumps(entry.sorted_by)],
+            "null_counts_json": [json.dumps(entry.null_counts)],
         },
         schema=META_SCHEMA,
     )
@@ -130,6 +141,7 @@ def meta_rows_to_entries(rows: list[dict[str, Any]]) -> list[FileEntry]:
                 stats=json.loads(r["stats_json"]),
                 z_range=z,
                 sorted_by=json.loads(r["sorted_by_json"]),
+                null_counts=json.loads(r.get("null_counts_json") or "{}"),
             )
         )
     return out

@@ -89,6 +89,15 @@ class FileEntry:
     stats: dict[str, list[Any]] = field(default_factory=dict)
     z_range: list[int] | None = None
     sorted_by: list[str] | None = None
+    # per-column null counts for the stats columns. Separate from
+    # ``stats`` (whose [min, max] shape is compared verbatim by the
+    # stats-attestation check) and OPTIONAL: entries written before the
+    # field existed simply lack it, and consumers must treat a missing
+    # count as "unknown — may contain nulls". A recorded 0 is the
+    # attestation DELETE's whole-file drop needs: min/max ignore nulls,
+    # so containment alone cannot prove a NULL-predicate row (which the
+    # SQL semantics keep) is absent (round-4 review).
+    null_counts: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -98,6 +107,7 @@ class FileEntry:
             "stats": self.stats,
             "z_range": self.z_range,
             "sorted_by": self.sorted_by,
+            **({"null_counts": self.null_counts} if self.null_counts else {}),
         }
 
     @staticmethod
@@ -109,6 +119,7 @@ class FileEntry:
             stats=d.get("stats") or {},
             z_range=d.get("z_range"),
             sorted_by=d.get("sorted_by"),
+            null_counts=d.get("null_counts") or {},
         )
 
 

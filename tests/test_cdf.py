@@ -669,3 +669,175 @@ def test_restore_mirrors_key_identity(ray_session, table_root):
                    summary={"key_cols": ["other_key"]})
     restore(table_root, to_version=v_noid, job_id="rs-undo2")
     assert TableLog(table_root).table_key_cols() is None
+
+
+def test_diff_partition_list_columns(ray_session):
+    """Arrow list columns reach the diff kernel as ndarray cells —
+    unhashable and ambiguous under ``==`` (round-4 review). Both the
+    unique-key fast path and the duplicate-key multiset path must
+    classify them, and values must survive the token round-trip."""
+    import numpy as np
+
+    from open_finance_lakehouse_ray.pipelines.cdf import _diff_partition
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 3],
+            "v": [
+                np.array([1.0, 2.0]),
+                np.array([1.0, 2.5]),
+                np.array([3.0]),
+                np.array([4.0]),
+            ],
+            "_side": [0, 1, 0, 1],
+            "_pk": [0, 0, 0, 0],
+        }
+    )
+    out = _diff_partition(["k"])(df)
+    assert sorted(out["_change_type"]) == [
+        "delete", "insert", "update_postimage", "update_preimage",
+    ]
+    post = out.loc[out["_change_type"] == "update_postimage", "v"].iloc[0]
+    assert np.array_equal(post, np.array([1.0, 2.5]))
+
+    # unchanged list rows must cancel
+    same = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "v": [np.array([1.0, 2.0]), np.array([1.0, 2.0])],
+            "_side": [0, 1],
+            "_pk": [0, 0],
+        }
+    )
+    assert len(_diff_partition(["k"])(same)) == 0
+
+    # duplicate-key surplus pairing over list payloads
+    dup = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 1],
+            "v": [np.array([x]) for x in (1.0, 2.0, 1.0, 2.0, 9.0)],
+            "_side": [0, 0, 1, 1, 1],
+            "_pk": [0] * 5,
+        }
+    )
+    out3 = _diff_partition(["k"])(dup)
+    assert list(out3["_change_type"]) == ["insert"]
+    assert np.array_equal(out3["v"].iloc[0], np.array([9.0]))
+
+
+def test_commits_span_across_schema_evolution(ray_session, table_root):
+    """A commits/auto span crossing a schema-evolution commit must conform
+    every per-commit feed to the SPAN END's schema — pre-evolution events
+    surface NULL in evolved columns instead of a heterogeneous union
+    (round-4 review)."""
+    tx = build_transcripts(n_convs=10)
+    ingest_dataset(
+        rd.from_arrow(tx), table_root, job_id="se-base",
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
+    )
+    log = TableLog(table_root)
+    v0 = log.current_version()
+
+    pre = build_transcripts(seed=3, n_convs=4)
+    pre = pre.set_column(
+        0, "conv_id", pc.utf8_replace_slice(pre["conv_id"], 0, 4, "convP")
+    )
+    ingest_dataset(rd.from_arrow(pre), table_root, job_id="se-pre", validate=False)
+
+    ext = build_transcripts(seed=7, n_convs=4)
+    ext = ext.set_column(
+        0, "conv_id", pc.utf8_replace_slice(ext["conv_id"], 0, 4, "convX")
+    )
+    ext = ext.append_column(
+        "score", pa.array([1.5] * ext.num_rows, pa.float64())
+    )
+    ingest_dataset(
+        rd.from_arrow(ext), table_root, job_id="se-ext",
+        validate=False, merge_schema=True,
+    )
+
+    # commits granularity: union of per-commit feeds at a single schema
+    feed = change_feed(
+        table_root, from_version=v0, granularity="commits"
+    ).to_pandas()
+    assert "score" in feed.columns
+    old_rows = feed[feed["conv_id"].str.startswith("convP")]
+    new_rows = feed[feed["conv_id"].str.startswith("convX")]
+    assert len(old_rows) == pre.num_rows and old_rows["score"].isna().all()
+    assert len(new_rows) == ext.num_rows and (new_rows["score"] == 1.5).all()
+
+    # auto granularity: the net fold consumes the same conformed union
+    net = change_feed(
+        table_root, from_version=v0, granularity="auto"
+    ).to_pandas()
+    assert set(net["_change_type"]) == {"insert"}
+    assert len(net) == pre.num_rows + ext.num_rows
+    assert net.loc[
+        net["conv_id"].str.startswith("convP"), "score"
+    ].isna().all()
+
+
+def test_change_stream_checkpoint_durable_write(ray_session, table_root, tmp_path):
+    """The stream cursor uses the txlog staged-fsync-rename protocol —
+    no fixed '.tmp' sibling is ever left behind (round-4 review)."""
+    import os
+
+    from open_finance_lakehouse_ray.pipelines.cdf import ChangeStream
+
+    tx = build_transcripts(n_convs=5)
+    ingest_dataset(
+        rd.from_arrow(tx), table_root, job_id="dw-base",
+        summary={"key_cols": ["conv_id", "turn_idx"]},
+    )
+    ckpt = str(tmp_path / "cursor.json")
+    cs = ChangeStream(table_root, ckpt)
+    v = TableLog(table_root).current_version()
+    cs.commit(v)
+    assert cs.last_version == v
+    assert not os.path.exists(ckpt + ".tmp")
+    assert not [p for p in os.listdir(tmp_path) if p.startswith("tmp-")]
+
+
+def test_restore_serializes_concurrent_commit(ray_session, table_root, monkeypatch):
+    """A commit landing between restore's head read and its CAS must be
+    serialized BEFORE the restore, not survive beside the resurrected
+    files — the restored live set equals the target's exactly (round-4
+    review: a concurrent compaction's rewrite coexisting with the
+    restored originals would duplicate every row it rewrote)."""
+    from open_finance_lakehouse_ray.pipelines import restore as restore_mod
+    from open_finance_lakehouse_ray.pipelines.restore import restore
+
+    ingest_dataset(
+        rd.from_arrow(build_transcripts(n_convs=6)), table_root,
+        job_id="rc-base", summary={"key_cols": ["conv_id", "turn_idx"]},
+    )
+    log = TableLog(table_root)
+    v1 = log.current_version()
+    target_paths = set(log.file_paths(v1))
+    delete_where(
+        table_root, job_id="rc-del",
+        conv_id_range=tuple(log.files()[0].stats["conv_id"]),
+    )
+
+    real_commit = restore_mod.commit_via_actor_or_direct
+
+    def racing_commit(log_arg, **kw):
+        # a concurrent append lands AFTER restore read the head but
+        # BEFORE its commit attempt
+        extra = build_transcripts(seed=9, n_convs=2)
+        extra = extra.set_column(
+            0, "conv_id",
+            pc.utf8_replace_slice(extra["conv_id"], 0, 4, "convR"),
+        )
+        e = write_table_file(table_root, extra, presorted=True)
+        log_arg.commit(
+            operation="ingest", job_id="rc-race", added=[e],
+            base_version=log_arg.current_version(),
+        )
+        return real_commit(log_arg, **kw)
+
+    monkeypatch.setattr(
+        restore_mod, "commit_via_actor_or_direct", racing_commit
+    )
+    restore(table_root, to_version=v1, job_id="rc-undo")
+    assert set(TableLog(table_root).file_paths()) == target_paths

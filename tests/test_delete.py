@@ -286,3 +286,94 @@ def test_update_cannot_violate_log_constraint(ray_session, table_root):
         )
     assert "ContractViolation" in str(ei.value) or "disallowed" in str(ei.value)
     assert log.current_version() == v  # breach withheld the commit
+
+
+def test_whole_file_drop_spares_null_predicate_rows(ray_session, table_root):
+    """Min/max stats ignore nulls, and a NULL-predicate row must SURVIVE a
+    delete (SQL semantics: NULL BETWEEN ... is not true). Containment may
+    only prove a whole-file drop when the recorded null count is zero
+    (round-4 review)."""
+    import pyarrow as pa
+
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+
+    tx = build_transcripts(n_convs=6).to_pandas()
+    # null out ts on a few rows; every non-null ts stays in range
+    tx.loc[tx.index[:4], "ts"] = None
+    t = pa.Table.from_pandas(tx, preserve_index=False)
+    import ray.data as rd
+
+    ingest_dataset(
+        rd.from_arrow(t), table_root, job_id="nw-base", validate=False
+    )
+    log = TableLog(table_root)
+    ts = [e.stats["ts"] for e in log.files() if "ts" in e.stats]
+    lo = min(s[0] for s in ts)
+    hi = max(s[1] for s in ts)
+    snap = delete_where(table_root, job_id="nw-del", ts_range=(lo, hi))
+    assert snap.summary["deleted_rows"] == t.num_rows - 4
+    out = validation_scan(table_root).to_pandas()
+    assert len(out) == 4 and out["ts"].isna().all()
+
+
+def test_null_free_files_still_drop_whole(ray_session, table_root):
+    """The common case keeps its fast path: a validated ingest records
+    null_counts of 0 and a fully-contained file drops without a rewrite."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+
+    tx = build_transcripts(n_convs=6)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="nf-base")
+    log = TableLog(table_root)
+    assert all(e.null_counts.get("ts") == 0 for e in log.files())
+    ts = [e.stats["ts"] for e in log.files()]
+    snap = delete_where(
+        table_root, job_id="nf-del",
+        ts_range=(min(s[0] for s in ts), max(s[1] for s in ts)),
+    )
+    assert snap.summary["files_dropped_whole"] >= 1
+    assert validation_scan(table_root).num_rows == 0
+
+
+def test_replay_after_replan_commit_is_noop(ray_session, table_root, monkeypatch):
+    """A run that committed under an attempt-scoped ``job~replanN`` id must
+    make a later replay under the BARE id a no-op — re-executing would
+    apply the verb a second time against the new head (round-4 review)."""
+    import ray.data as rd
+
+    from open_finance_lakehouse_ray.pipelines import delete as delete_mod
+    from open_finance_lakehouse_ray.pipelines.ingest import ingest_dataset
+    from open_finance_lakehouse_ray.state.txlog import CommitConflict
+
+    tx = build_transcripts(n_convs=8)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="rp-base")
+
+    real_commit = delete_mod.commit_via_actor_or_direct
+    fails = {"left": 1}
+
+    def flaky_commit(log_arg, **kw):
+        if fails["left"] and kw["job_id"] == "rp-del":
+            fails["left"] -= 1
+            raise CommitConflict("synthetic: concurrent commit")
+        return real_commit(log_arg, **kw)
+
+    monkeypatch.setattr(delete_mod, "commit_via_actor_or_direct", flaky_commit)
+    log = TableLog(table_root)
+    f0 = log.files()[0]
+    snap = delete_where(
+        table_root, job_id="rp-del",
+        conv_id_range=tuple(f0.stats["conv_id"]),
+    )
+    assert snap.job_id == "rp-del~replan1"
+    rows_after = validation_scan(table_root).num_rows
+
+    # replay under the BARE id: must return the replan commit, not
+    # re-execute (which would delete the same range from the new head)
+    snap2 = delete_where(
+        table_root, job_id="rp-del",
+        conv_id_range=tuple(f0.stats["conv_id"]),
+    )
+    assert snap2.version == snap.version
+    assert TableLog(table_root).current_version() == snap.version
+    assert validation_scan(table_root).num_rows == rows_after

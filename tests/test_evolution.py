@@ -158,3 +158,96 @@ def test_update_and_delete_on_evolved_table(ray_session, table_root):
     )
     assert snap2.summary["deleted_rows"] == tx.num_rows
     assert validation_scan(table_root).num_rows == extra.num_rows
+
+
+def _scored(t: pa.Table, val: float, prefix: str = "convS") -> pa.Table:
+    t = t.set_column(
+        0, "conv_id", pc.utf8_replace_slice(t["conv_id"], 0, 4, prefix)
+    )
+    return t.append_column("score", pa.array([val] * t.num_rows, pa.float64()))
+
+
+def test_merge_preserves_evolved_columns(ray_session, table_root):
+    """MERGE into a schema-evolved table must conform rewrites to the
+    table's EFFECTIVE schema — round-4 review: the transcript-pinned
+    conform silently dropped evolved-column values from every rewritten
+    file."""
+    from open_finance_lakehouse_ray.pipelines.merge import merge_into
+
+    base = build_transcripts(n_convs=8)
+    ingest_dataset(
+        rd.from_arrow(base), table_root, job_id="me-base",
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
+    )
+    ext = _scored(build_transcripts(seed=3, n_convs=4), 2.5)
+    ingest_dataset(
+        rd.from_arrow(ext), table_root, job_id="me-ext",
+        validate=False, merge_schema=True,
+    )
+
+    # updates touch the EVOLVED rows (convS...) so their file rewrites
+    upd = ext.slice(0, 5).set_column(
+        3, "text", pa.array(["updated"] * 5, pa.string())
+    )
+    for strategy in ("broadcast", "shuffle"):
+        merge_into(
+            table_root, upd, job_id=f"me-up-{strategy}", strategy=strategy
+        )
+        out = validation_scan(table_root).to_pandas()
+        assert "score" in out.columns
+        evolved = out[out["conv_id"].str.startswith("convS")]
+        # every evolved row still carries its score — including the
+        # rewrite-noise rows of the touched files
+        assert len(evolved) == ext.num_rows
+        assert (evolved["score"] == 2.5).all(), strategy
+        assert (out["text"] == "updated").sum() == 5
+
+
+def test_ingest_validate_keeps_extras_under_merge_schema(ray_session, table_root):
+    """validate=True + merge_schema=True must validate the transcript core
+    and CARRY extra columns — not silently conform them away (round-4
+    review)."""
+    base = build_transcripts(n_convs=4)
+    ingest_dataset(rd.from_arrow(base), table_root, job_id="vx-base")
+    ext = _scored(build_transcripts(seed=5, n_convs=3), 1.25, "convV")
+    ingest_dataset(
+        rd.from_arrow(ext), table_root, job_id="vx-ext",
+        validate=True, merge_schema=True,
+    )
+    out = validation_scan(table_root).to_pandas()
+    assert "score" in out.columns
+    got = out[out["conv_id"].str.startswith("convV")]["score"]
+    assert len(got) == ext.num_rows and (got == 1.25).all()
+    # and the core contract still fires through the extras-keeping wrapper
+    bad = ext.set_column(
+        0, "conv_id", pa.array([""] * ext.num_rows, pa.string())
+    )
+    from open_finance_lakehouse_ray.stages.validate import ContractViolation
+
+    with pytest.raises(ContractViolation):
+        ingest_dataset(
+            rd.from_arrow(bad), table_root, job_id="vx-bad",
+            validate=True, merge_schema=True,
+        )
+
+
+def test_unvalidated_heterogeneous_ingest_rejected_or_unioned(
+    ray_session, table_root
+):
+    """validate=False blocks can carry differing schemas; one footer
+    proves nothing (round-4 review): without merge_schema the mismatch
+    must raise, with it the union lands with the evolved flag set."""
+    a = build_transcripts(n_convs=3)
+    b = _scored(build_transcripts(seed=7, n_convs=3), 9.0, "convH")
+    ds = rd.from_arrow(a).union(rd.from_arrow(b))
+    with pytest.raises(SchemaEvolutionError):
+        ingest_dataset(ds, table_root, job_id="ht-rej", validate=False)
+    ingest_dataset(
+        ds, table_root, job_id="ht-ok", validate=False, merge_schema=True
+    )
+    log = TableLog(table_root)
+    assert log.schema_is_evolved()
+    out = validation_scan(table_root).to_pandas()
+    assert "score" in out.columns
+    assert out[out["conv_id"].str.startswith("convH")]["score"].eq(9.0).all()
+    assert out[~out["conv_id"].str.startswith("convH")]["score"].isna().all()

@@ -871,3 +871,35 @@ def test_checkpoint_property_random_op_interleavings():
             shutil.rmtree(tmp, ignore_errors=True)
 
     run()
+
+
+def test_processed_set_stays_bounded():
+    """The checkpoint core must not grow O(all files ever seen): older
+    processed names compress into processed_floor, and _pending_files
+    treats names at/below the floor as done (round-4 review)."""
+    from open_finance_lakehouse_ray.pipelines.streaming import (
+        PROCESSED_TRACKED_MAX,
+        StreamCheckpoint,
+        _record_processed,
+    )
+
+    state = StreamCheckpoint._empty_state()
+    total = PROCESSED_TRACKED_MAX + 500
+    for i in range(0, total, 100):
+        _record_processed(
+            state, [f"f-{j:08d}.parquet" for j in range(i, i + 100)]
+        )
+    assert len(state["processed"]) <= PROCESSED_TRACKED_MAX
+    floor = state["processed_floor"]
+    assert floor is not None
+    # every name is accounted for: at/below the floor or tracked
+    tracked = set(state["processed"])
+    for j in range(total):
+        n = f"f-{j:08d}.parquet"
+        assert n <= floor or n in tracked
+    # the newest names are the tracked ones
+    assert f"f-{total - 1:08d}.parquet" in tracked
+    # floor never regresses (it may advance: the new name re-overflows)
+    _record_processed(state, ["zzz-late.parquet"])
+    assert state["processed_floor"] >= floor
+    assert len(state["processed"]) <= PROCESSED_TRACKED_MAX

@@ -269,6 +269,33 @@ def main() -> int:
     # alone would let a flag-everything regression pass silently
     out["decontaminate_exact_match"] = flagged == partners
 
+    # --- span-level exact substring dedup at scale: each twin pair shares
+    # exactly its first n-1 tokens (only the last word differs), so the
+    # expected span set is computable in closed form — (doc, start=1,
+    # len=n-1) for both members of every twin pair with n >= k+1 tokens;
+    # salts kill every cross-replica gram, so the found set must EQUAL it
+    t0 = time.perf_counter()
+    from open_finance_lakehouse_ray.pipelines.dedup import dup_spans
+
+    spans = dup_spans(docs, k=15)
+    out["dup_spans_sec"] = round(time.perf_counter() - t0, 2)
+    got_spans = set(
+        zip(
+            spans["doc_id"].to_pylist(),
+            spans["span_start"].to_pylist(),
+            spans["span_len"].to_pylist(),
+        )
+    )
+    exp_spans = set()
+    for a, b in twin_pairs:
+        n = len(by_id[a].split(" "))
+        if n >= 16:
+            exp_spans.add((a, 1, n - 1))
+            exp_spans.add((b, 1, n - 1))
+    out["dup_spans_found"] = len(got_spans)
+    out["dup_spans_expected"] = len(exp_spans)
+    out["dup_spans_exact_match"] = got_spans == exp_spans
+
     out["ok"] = bool(
         out["ngram_jaccard_exact_match"]
         and out["minhash_subset_of_seeded"]
@@ -278,6 +305,7 @@ def main() -> int:
         and out["emb_recall"] >= 0.95
         and out["sessionize_matches_duckdb"]
         and out["decontaminate_exact_match"]
+        and out["dup_spans_exact_match"]
     )
     ray.shutdown()
     os.unlink(scratch)
