@@ -91,7 +91,7 @@ def ingest_dataset(
         batch_format="pyarrow",
     )
     try:
-        entries = meta_rows_to_entries(meta.take_all())
+        meta_rows = meta.take_all()
     except Exception as e:  # unwrap a contract breach from Ray's task-error
         from open_finance_lakehouse_ray.stages.validate import ContractViolation
 
@@ -108,6 +108,7 @@ def ingest_dataset(
             )
             raise ContractViolation(reason) from e
         raise
+    entries = meta_rows_to_entries(meta_rows)
 
     removed: set[str] = set()
     base_version = log.current_version()
@@ -126,25 +127,30 @@ def ingest_dataset(
             schema_to_b64,
         )
 
-        incoming = pq.read_schema(os.path.join(root, entries[0].path))
-        hetero = False
-        if not validate:
-            # validated ingests are homogeneous by construction (every
-            # batch conformed); UN-validated blocks can differ, and one
-            # footer proves nothing (round-4 review) — union-by-name
-            # across every footer, or reject the mismatch outright
-            for e in entries[1:]:
-                other = pq.read_schema(os.path.join(root, e.path))
-                if not other.equals(incoming):
-                    if not merge_schema:
-                        raise SchemaEvolutionError(
-                            "ingest blocks carry differing schemas "
-                            f"({entries[0].path} vs {e.path}); pass "
-                            "merge_schema=True to union them or "
-                            "validate=True to conform them"
-                        )
-                    incoming = evolve_schema(incoming, other)
-                    hetero = True
+        # per-file schemas travel in the writer's meta rows — the driver
+        # unions them here with ZERO extra I/O (round-4 review: one
+        # footer proves nothing for heterogeneous blocks, and a serial
+        # all-footer sweep costs N round trips; note the keep-extras
+        # validation path can itself produce heterogeneous files, so
+        # this check runs for EVERY ingest, validated or not)
+        from open_finance_lakehouse_ray.stages.evolution import schema_from_b64
+
+        b64s = sorted(
+            {r["schema_b64"] for r in meta_rows if r.get("schema_b64")}
+        )
+        hetero = len(b64s) > 1
+        if hetero and not merge_schema:
+            raise SchemaEvolutionError(
+                f"ingest blocks carry {len(b64s)} differing schemas; pass "
+                "merge_schema=True to union them or validate=True to "
+                "conform them"
+            )
+        if b64s:
+            incoming = schema_from_b64(b64s[0])
+            for b in b64s[1:]:
+                incoming = evolve_schema(incoming, schema_from_b64(b))
+        else:  # meta rows from a pre-schema writer: one footer read
+            incoming = pq.read_schema(os.path.join(root, entries[0].path))
         current = log.table_schema(base_version)
         if mode == "overwrite" or current is None:
             schema_summary["schema_b64"] = schema_to_b64(incoming)

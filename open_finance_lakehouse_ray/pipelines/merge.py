@@ -489,7 +489,20 @@ def _merge_broadcast(
             ):
                 done = None  # stale/incompatible/swept record: recompute
             if done is None:
-                target = pq.read_table(os.path.join(root, row["path"])).to_pandas()
+                from open_finance_lakehouse_ray.stages.validate import (
+                    conform_batch,
+                )
+
+                # conform the raw file to the table's effective schema
+                # BEFORE diffing: a pre-evolution file lacks the evolved
+                # columns the conformed update frame carries, and the CDC
+                # diff indexes the old side by the new side's columns
+                # (round-4 review repro: KeyError "['score'] not in
+                # index"). Null-filled preimages match the computed-diff
+                # semantics for pre-evolution rows.
+                target = conform_batch(
+                    pq.read_table(os.path.join(root, row["path"])), schema
+                ).to_pandas()
                 # update rows whose KEY exists in this file (each key lives
                 # in exactly one file — table invariant)
                 tkeys = pd.MultiIndex.from_frame(target[list(MERGE_KEY)])
@@ -511,7 +524,6 @@ def _merge_broadcast(
                     from open_finance_lakehouse_ray.pipelines.delete import (
                         _write_cdc_file,
                     )
-                    from open_finance_lakehouse_ray.stages.validate import conform_batch
 
                     # g is already mergesorted by the writer's sort key
                     entry = write_table_file(

@@ -33,6 +33,8 @@ def restore(root: str, *, to_version: int, job_id: str) -> Snapshot:
         return existing
     head = log.current_version()
     target_key_cols = log.table_key_cols(to_version)
+    target_schema = log.table_schema(to_version)
+    target_evolved = log.schema_is_evolved(to_version)
     target = list(log.files(to_version))
     # overwrite_live: the removed set re-resolves to EVERYTHING live at
     # the head each commit attempt, so a concurrent append/compaction
@@ -66,5 +68,24 @@ def restore(root: str, *, to_version: int, job_id: str) -> Snapshot:
                 if target_key_cols is not None
                 else {}
             ),
+            # mirror the target's SCHEMA identity too: without it the
+            # schema walkers resolve the bypassed commits' evolved schema
+            # and a restored pre-evolution table surfaces columns its
+            # version never had (round-4 review). Like key_cols, the
+            # walkers treat a restore without a record as a barrier.
+            **(
+                {
+                    "schema_b64": _schema_to_b64(target_schema),
+                    "schema_evolved": bool(target_evolved),
+                }
+                if target_schema is not None
+                else {}
+            ),
         },
     )
+
+
+def _schema_to_b64(schema):
+    from open_finance_lakehouse_ray.stages.evolution import schema_to_b64
+
+    return schema_to_b64(schema)

@@ -53,9 +53,11 @@ def footer_stats(path: str, cols=STATS_COLS) -> dict[str, list]:
 
 
 def footer_null_counts(path: str, cols=STATS_COLS) -> dict[str, int]:
-    """Per-file null counts from row-group metadata — recorded only for
-    columns where EVERY row group carries one (else unknown → omitted).
-    A 0 is the null-free attestation DELETE's whole-file drop requires."""
+    """Per-file null counts from row-group metadata. A column whose row
+    groups don't all record one gets the sentinel ``-1`` (checked, but
+    unknowable — never a whole-drop proof, and never re-read on the next
+    backfill run; round-4 review). A 0 is the null-free attestation
+    DELETE's whole-file drop requires."""
     md = pq.read_metadata(path)
     idx = {name: i for i, name in enumerate(md.schema.names)}
     out: dict[str, int] = {}
@@ -63,15 +65,13 @@ def footer_null_counts(path: str, cols=STATS_COLS) -> dict[str, int]:
         if c not in idx:
             continue
         total = 0
-        known = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[c]).statistics
             if st is None or not st.has_null_count:
-                known = False
+                total = -1
                 break
             total += int(st.null_count)
-        if known:
-            out[c] = total
+        out[c] = total
     return out
 
 

@@ -36,6 +36,10 @@ META_SCHEMA = pa.schema(
         ("z_max", pa.int64()),
         ("sorted_by_json", pa.string()),
         ("null_counts_json", pa.string()),
+        # the written file's Arrow schema (b64 IPC): the driver unions
+        # these per-file schemas at commit time instead of re-reading
+        # every footer serially (round-4 review)
+        ("schema_b64", pa.string()),
     ]
 )
 
@@ -111,7 +115,7 @@ def write_table_file(
     )
 
 
-def entry_to_meta_row(entry: FileEntry) -> pa.Table:
+def entry_to_meta_row(entry: FileEntry, schema_b64: str | None = None) -> pa.Table:
     return pa.table(
         {
             "path": [entry.path],
@@ -122,6 +126,7 @@ def entry_to_meta_row(entry: FileEntry) -> pa.Table:
             "z_max": [entry.z_range[1] if entry.z_range else None],
             "sorted_by_json": [json.dumps(entry.sorted_by)],
             "null_counts_json": [json.dumps(entry.null_counts)],
+            "schema_b64": [schema_b64],
         },
         schema=META_SCHEMA,
     )
@@ -173,6 +178,11 @@ def make_stats_writer(
             prefix=prefix,
             presorted=presorted,
         )
-        return entry_to_meta_row(entry)
+        from open_finance_lakehouse_ray.stages.evolution import schema_to_b64
+
+        written = batch.schema
+        if zkey_col is not None and zkey_col in batch.column_names:
+            written = batch.drop_columns([zkey_col]).schema
+        return entry_to_meta_row(entry, schema_b64=schema_to_b64(written))
 
     return _write

@@ -96,7 +96,8 @@ class FileEntry:
     # count as "unknown — may contain nulls". A recorded 0 is the
     # attestation DELETE's whole-file drop needs: min/max ignore nulls,
     # so containment alone cannot prove a NULL-predicate row (which the
-    # SQL semantics keep) is absent (round-4 review).
+    # SQL semantics keep) is absent (round-4 review). ``-1`` = checked
+    # but unknowable from the footer (keeps backfill from re-reading).
     null_counts: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
@@ -306,6 +307,12 @@ class TableLog:
             b64 = snap.summary.get("schema_b64")
             if b64 is not None:
                 return schema_from_b64(b64)
+            if snap.operation == "restore":
+                # a restore swaps the live content wholesale and mirrors
+                # the target's schema_b64 when known (restore.py);
+                # reaching here means the restored-to version recorded no
+                # schema — never inherit the bypassed commits' (round 4)
+                return None
             if snap.parent is None:
                 return None
             try:
@@ -360,6 +367,9 @@ class TableLog:
             ev = snap.summary.get("schema_evolved")
             if ev is not None:
                 return bool(ev)
+            if snap.operation == "restore":
+                # restore barrier — see table_schema
+                return False
             if snap.parent is None:
                 return False
             try:

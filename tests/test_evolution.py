@@ -185,13 +185,23 @@ def test_merge_preserves_evolved_columns(ray_session, table_root):
         validate=False, merge_schema=True,
     )
 
-    # updates touch the EVOLVED rows (convS...) so their file rewrites
-    upd = ext.slice(0, 5).set_column(
+    # updates touch BOTH evolved rows (convS..., their files carry score)
+    # and pre-evolution rows (conv-..., their files LACK the column on
+    # disk — the round-4 repro: the CDC diff indexed the raw old side by
+    # the conformed new side's columns and crashed)
+    upd_new = ext.slice(0, 5).set_column(
         3, "text", pa.array(["updated"] * 5, pa.string())
     )
+    upd_old = base.slice(0, 3).set_column(
+        3, "text", pa.array(["updated"] * 3, pa.string())
+    )
+    n_upd = upd_new.num_rows + upd_old.num_rows
     for strategy in ("broadcast", "shuffle"):
         merge_into(
-            table_root, upd, job_id=f"me-up-{strategy}", strategy=strategy
+            table_root, upd_new, job_id=f"me-up-{strategy}", strategy=strategy
+        )
+        merge_into(
+            table_root, upd_old, job_id=f"me-upo-{strategy}", strategy=strategy
         )
         out = validation_scan(table_root).to_pandas()
         assert "score" in out.columns
@@ -200,7 +210,9 @@ def test_merge_preserves_evolved_columns(ray_session, table_root):
         # rewrite-noise rows of the touched files
         assert len(evolved) == ext.num_rows
         assert (evolved["score"] == 2.5).all(), strategy
-        assert (out["text"] == "updated").sum() == 5
+        # pre-evolution rows stay null-scored (the update carried none)
+        assert out[~out["conv_id"].str.startswith("convS")]["score"].isna().all()
+        assert (out["text"] == "updated").sum() == n_upd
 
 
 def test_ingest_validate_keeps_extras_under_merge_schema(ray_session, table_root):
@@ -251,3 +263,32 @@ def test_unvalidated_heterogeneous_ingest_rejected_or_unioned(
     assert "score" in out.columns
     assert out[out["conv_id"].str.startswith("convH")]["score"].eq(9.0).all()
     assert out[~out["conv_id"].str.startswith("convH")]["score"].isna().all()
+
+
+def test_restore_mirrors_schema_identity(ray_session, table_root):
+    """RESTORE to a pre-evolution version must surface the TARGET's
+    schema, not the bypassed evolution's — and a plain append of
+    target-schema data must work again without merge_schema (round-4
+    review)."""
+    from open_finance_lakehouse_ray.pipelines.restore import restore
+
+    tx = build_transcripts(n_convs=6)
+    ingest_dataset(rd.from_arrow(tx), table_root, job_id="rs-base")
+    log = TableLog(table_root)
+    v1 = log.current_version()
+    ingest_dataset(
+        rd.from_arrow(_scored(build_transcripts(seed=4, n_convs=2), 3.0)),
+        table_root, job_id="rs-ev", validate=False, merge_schema=True,
+    )
+    assert log.schema_is_evolved()
+    restore(table_root, to_version=v1, job_id="rs-undo")
+    assert not log.schema_is_evolved()
+    assert "score" not in log.table_schema().names
+    got = validation_scan(table_root)
+    assert "score" not in got.column_names
+    # a v1-schema append lands again without merge_schema
+    extra2 = build_transcripts(seed=6, n_convs=2)
+    ingest_dataset(
+        rd.from_arrow(extra2), table_root, job_id="rs-app2", validate=False,
+    )
+    assert validation_scan(table_root).num_rows == tx.num_rows + extra2.num_rows
