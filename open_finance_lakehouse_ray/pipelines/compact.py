@@ -287,13 +287,21 @@ def compact(
 
 def _make_bin_runner(root: str, job_id: str, sort_by: tuple[str, ...]):
     def _run(batch: pa.Table) -> pa.Table:
+        from open_finance_lakehouse_ray.stages.arrowpool import (
+            capped_arrow_threads,
+        )
+
         out = []
-        for row in batch.to_pylist():
-            rec = _compact_bin(
-                root, job_id, row["bin_id"], row["paths"], sort_by,
-                z_ranges=json.loads(row["z_ranges_json"]),
-            )
-            out.append({"bin_id": row["bin_id"], "rows": rec["rows"]})
+        # one bin = one task = one CPU: cap Arrow's pools so 32 concurrent
+        # bins don't run ~1000 threads (see stages/arrowpool.py — the
+        # round-4 compact variance finding)
+        with capped_arrow_threads():
+            for row in batch.to_pylist():
+                rec = _compact_bin(
+                    root, job_id, row["bin_id"], row["paths"], sort_by,
+                    z_ranges=json.loads(row["z_ranges_json"]),
+                )
+                out.append({"bin_id": row["bin_id"], "rows": rec["rows"]})
         return pa.Table.from_pylist(out)
 
     return _run

@@ -1303,49 +1303,19 @@ def decontaminate(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
-def dup_spans(
+def _marked_positions(
     docs: rd.Dataset,
     *,
-    k: int = 15,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_partitions: int = NUM_SHUFFLE_PARTITIONS,
-) -> pa.Table:
-    """Exact duplicated-SUBSTRING spans: maximal token runs in which every
-    position lies inside some >= ``k``-token run shared verbatim with at
-    least one other document. (A merged span whose halves match DIFFERENT
-    partner documents need not appear verbatim in any single partner —
-    the chimera case; the SQL oracle merges identically.)
-
-    This is the span-level member of the dedup family (the public
-    suffix-array "exact substring" method of Lee et al. 2022,
-    *Deduplicating Training Data Makes Language Models Better*): document-
-    level dedup keeps a doc that merely EMBEDS a big copied block, span
-    detection finds the block itself so a pipeline can cut or down-weight
-    it. A suffix array is inherently single-machine; the distributed
-    equivalent used here is positional k-gram matching — a token position
-    lies inside a duplicated span of length >= k iff some k-gram starting
-    within the last k-1 positions is shared with another document, so
-    merging consecutive duplicated k-gram starts reconstructs exactly the
-    maximal duplicated spans.
-
-    Tokenization is the `_shingle_hashes` contract (literal single-space
-    split, the SQL oracle's ``string_split(text, ' ')``). The shuffle key
-    is a 64-bit gram hash — each token hashed ONCE, then a k-step
-    polynomial shift-combine over the flat hash array, so map-stage memory
-    stays O(text bytes) and no gram string is ever materialized. A
-    collision can only ADD a marked position (same conservative bound as
-    :func:`decontaminate`); only fixed-width int64 rows move.
-
-    Distributed shape: map (positional gram hash rows, one row per token
-    position — O(corpus tokens) rows, the cost every published k-gram
-    method pays) → ONE bounded hash-partition shuffle on the gram key
-    (vectorized ``transform("nunique")`` keeps positions whose gram occurs
-    in >= 2 docs) → second bounded shuffle on doc id merges consecutive
-    positions into maximal spans (vectorized cumcount islands). Returns
-    (doc_id, span_start, span_len) — span_start is the 1-based token
-    index, span_len in tokens — sorted.
-    """
+    k: int,
+    id_col: str,
+    text_col: str,
+    num_partitions: int,
+) -> rd.Dataset:
+    """Stage 1 of the span-level exact-substring family (shared by
+    :func:`dup_spans` and :func:`span_scrub`): the (doc_id, pos) rows of
+    every k-gram START whose gram occurs in >= 2 distinct documents.
+    One bounded hash-partition shuffle on the 64-bit gram hash; only
+    fixed-width int64 rows move. See :func:`dup_spans` for the method."""
 
     empty = pa.table(
         {
@@ -1400,8 +1370,58 @@ def dup_spans(
         nun = g.groupby("gram", sort=False)["doc_id"].transform("nunique")
         return g.loc[nun >= 2, ["doc_id", "pos"]]
 
-    marked = tagged.groupby("_pk").map_groups(
+    return tagged.groupby("_pk").map_groups(
         shared_positions, batch_format="pandas"
+    )
+
+
+def dup_spans(
+    docs: rd.Dataset,
+    *,
+    k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = NUM_SHUFFLE_PARTITIONS,
+) -> pa.Table:
+    """Exact duplicated-SUBSTRING spans: maximal token runs in which every
+    position lies inside some >= ``k``-token run shared verbatim with at
+    least one other document. (A merged span whose halves match DIFFERENT
+    partner documents need not appear verbatim in any single partner —
+    the chimera case; the SQL oracle merges identically.)
+
+    This is the span-level member of the dedup family (the public
+    suffix-array "exact substring" method of Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*): document-
+    level dedup keeps a doc that merely EMBEDS a big copied block, span
+    detection finds the block itself so a pipeline can cut or down-weight
+    it. A suffix array is inherently single-machine; the distributed
+    equivalent used here is positional k-gram matching — a token position
+    lies inside a duplicated span of length >= k iff some k-gram starting
+    within the last k-1 positions is shared with another document, so
+    merging consecutive duplicated k-gram starts reconstructs exactly the
+    maximal duplicated spans.
+
+    Tokenization is the `_shingle_hashes` contract (literal single-space
+    split, the SQL oracle's ``string_split(text, ' ')``). The shuffle key
+    is a 64-bit gram hash — each token hashed ONCE, then a k-step
+    polynomial shift-combine over the flat hash array, so map-stage memory
+    stays O(text bytes) and no gram string is ever materialized. A
+    collision can only ADD a marked position (same conservative bound as
+    :func:`decontaminate`); only fixed-width int64 rows move.
+
+    Distributed shape: map (positional gram hash rows, one row per token
+    position — O(corpus tokens) rows, the cost every published k-gram
+    method pays) → ONE bounded hash-partition shuffle on the gram key
+    (vectorized ``transform("nunique")`` keeps positions whose gram occurs
+    in >= 2 docs) → second bounded shuffle on doc id merges consecutive
+    positions into maximal spans (vectorized cumcount islands). Returns
+    (doc_id, span_start, span_len) — span_start is the 1-based token
+    index, span_len in tokens — sorted.
+    """
+
+    marked = _marked_positions(
+        docs, k=k, id_col=id_col, text_col=text_col,
+        num_partitions=num_partitions,
     )
 
     def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
@@ -1447,3 +1467,122 @@ def dup_spans(
         {"doc_id": "int64", "span_start": "int64", "span_len": "int64"}
     )
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def span_scrub(
+    docs: rd.Dataset,
+    *,
+    k: int = 15,
+    min_span: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = NUM_SHUFFLE_PARTITIONS,
+) -> rd.Dataset:
+    """Span-CUT corpus rewrite — the removal step of the exact-substring
+    dedup method (Lee et al. 2022 remove the duplicated spans themselves,
+    not whole documents): every token covered by a detected duplicated
+    span of length >= ``min_span`` (default ``k``, i.e. everything
+    :func:`dup_spans` reports) is cut, and the corpus re-emits as
+    (doc_id, text_scrubbed, n_removed). Documents shorter than ``k``
+    tokens or with no qualifying span pass through verbatim with
+    ``n_removed = 0``.
+
+    Span semantics are exactly :func:`dup_spans`'s (same ``k``-gram
+    islands, same chimera-merge behavior, mirrored by the SQL oracle);
+    spans from DIFFERENT islands may overlap as token ranges (two marked
+    starts separated by one unmarked position), so coverage is the UNION
+    of the qualifying spans' ranges — a vectorized difference-array
+    accumulation per document, never a per-token loop.
+
+    Distributed shape: the stage-1 marked positions (ONE bounded int64
+    shuffle on the gram hash) union with the docs themselves under a
+    shared (doc_id, text, pos) schema — doc rows carry ``pos = -1`` —
+    then ONE bounded hash-partition shuffle on doc_id co-locates each
+    document with its marked starts and the cut happens vectorized inside
+    the partition. Text bytes move through exactly one exchange, the
+    minimum for a keyed rewrite; returns a streaming Dataset (write it
+    with ``write_parquet`` at scale).
+    """
+    cut_below = int(min_span if min_span is not None else k)
+
+    marked = _marked_positions(
+        docs, k=k, id_col=id_col, text_col=text_col,
+        num_partitions=num_partitions,
+    )
+
+    def as_doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "text": batch[text_col].cast(pa.large_string()),
+                "pos": pa.nulls(batch.num_rows, pa.int64()).fill_null(-1),
+            }
+        )
+
+    def as_pos_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "text": pa.nulls(batch.num_rows, pa.large_string()).fill_null(""),
+                "pos": batch["pos"].cast(pa.int64()),
+            }
+        )
+
+    unioned = docs.map_batches(as_doc_rows, batch_format="pyarrow").union(
+        marked.map_batches(as_pos_rows, batch_format="pyarrow")
+    )
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        doc_rows = df[df["pos"] < 0]
+        starts_by_doc = {
+            did: grp["pos"].to_numpy()
+            for did, grp in df[df["pos"] >= 0].groupby("doc_id", sort=False)
+        }
+        out_id, out_text, out_removed = [], [], []
+        for did, text in zip(doc_rows["doc_id"], doc_rows["text"]):
+            toks = text.split(" ")
+            starts = starts_by_doc.get(did)
+            removed = 0
+            if starts is not None and len(starts):
+                starts = np.sort(starts)
+                # maximal islands of consecutive marked starts (the
+                # dup_spans span reconstruction), vectorized
+                island = starts - np.arange(len(starts), dtype=starts.dtype)
+                _, first_idx, counts = np.unique(
+                    island, return_index=True, return_counts=True
+                )
+                span_start = starts[first_idx]  # 1-based token index
+                span_len = counts + k - 1
+                keep = span_len >= cut_below
+                if keep.any():
+                    # union of covered ranges via a difference array —
+                    # add.at handles overlapping spans from distinct islands
+                    diff = np.zeros(len(toks) + 1, dtype=np.int64)
+                    np.add.at(diff, span_start[keep] - 1, 1)
+                    np.add.at(diff, span_start[keep] - 1 + span_len[keep], -1)
+                    covered = np.cumsum(diff[:-1]) > 0
+                    removed = int(covered.sum())
+                    if removed:
+                        arr = np.asarray(toks, dtype=object)
+                        toks = arr[~covered].tolist()
+            out_id.append(did)
+            out_text.append(" ".join(toks))
+            out_removed.append(removed)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(out_id, dtype="int64"),
+                "text_scrubbed": pd.array(out_text, dtype="object"),
+                "n_removed": pd.array(out_removed, dtype="int64"),
+            }
+        )
+
+    return (
+        unioned.map_batches(
+            _pk_tagger(("doc_id",), num_partitions), batch_format="pyarrow"
+        )
+        .groupby("_pk")
+        .map_groups(
+            lambda df: cut(df.drop(columns=["_pk"])),
+            batch_format="pandas",
+        )
+    )

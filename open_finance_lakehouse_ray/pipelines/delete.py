@@ -37,6 +37,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from open_finance_lakehouse_ray.stages.arrowpool import capped_task
 from open_finance_lakehouse_ray.stages.writer import write_table_file
 from open_finance_lakehouse_ray.state.commit_actor import commit_via_actor_or_direct
 from open_finance_lakehouse_ray.state.txlog import (
@@ -196,6 +197,7 @@ def _make_rewrite_runner(
     match: Residual | None,
     schema_b64: str | None = None,
 ):
+    @capped_task
     def _run(batch: pa.Table) -> pa.Table:
         import dataclasses
         import json as _json
@@ -416,6 +418,7 @@ def _make_update_runner(
     constraints: dict | None = None,
     schema_b64: str | None = None,
 ):
+    @capped_task
     def _run(batch: pa.Table) -> pa.Table:
         import dataclasses
         import json as _json

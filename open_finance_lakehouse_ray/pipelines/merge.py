@@ -38,6 +38,7 @@ import ray
 import ray.data as rd
 
 from open_finance_lakehouse_ray.functions.hashing import add_bucket_column
+from open_finance_lakehouse_ray.stages.arrowpool import capped_task
 from open_finance_lakehouse_ray.stages.validate import TRANSCRIPT_SCHEMA, conform_batch
 from open_finance_lakehouse_ray.stages.writer import write_table_file
 from open_finance_lakehouse_ray.state.commit_actor import commit_via_actor_or_direct
@@ -139,6 +140,7 @@ def _make_bucket_apply(
     rows outside its bucket), and outputs still on disk (an orphan sweep
     may have removed a crashed job's uncommitted files)."""
 
+    @capped_task
     def _apply(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) == 0:
             return pd.DataFrame({"bucket": [], "rows": []})
@@ -292,15 +294,17 @@ def _merge_attempt(
     entries = log.files(base_version)
     num_buckets = num_buckets or default_num_buckets()
 
-    # MERGE into a schema-evolved table must preserve evolved columns —
-    # every rewrite below conforms to the table's EFFECTIVE schema, not
-    # the fixed transcript one (round-4 review: the pinned conform
-    # silently dropped evolved-column values from every rewritten file)
-    eff_schema = (
-        log.table_schema(base_version)
-        if log.schema_is_evolved(base_version)
-        else None
-    ) or TRANSCRIPT_SCHEMA
+    # MERGE must preserve the table's EFFECTIVE schema, not the fixed
+    # transcript one (round-4 review: the pinned conform silently dropped
+    # evolved-column values from every rewritten file). The recorded
+    # schema is used UNCONDITIONALLY — not gated on schema_is_evolved —
+    # because a table can carry a non-transcript recorded schema without
+    # the evolved flag (e.g. ingest mode="overwrite" with homogeneous
+    # extra-column blocks records schema_b64 with extras but
+    # schema_evolved=False); gating would conform every rewrite to the
+    # transcript schema and drop those columns (round-5 advice).
+    # conform_batch is a no-op when the schema already matches.
+    eff_schema = log.table_schema(base_version) or TRANSCRIPT_SCHEMA
 
     if isinstance(updates, pa.Table):
         updates = rd.from_arrow(updates)
@@ -465,6 +469,7 @@ def _merge_broadcast(
         for i, e in enumerate(affected)
     ]
 
+    @capped_task
     def apply_file(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 

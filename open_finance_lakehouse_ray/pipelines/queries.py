@@ -3919,3 +3919,65 @@ ORACLES.update(
         "tx_restore_rewind": Q_TX_RESTORE_SQL,
     }
 )
+
+# --------------------------------------------------------------------------
+# round-5 additions: span-cut corpus rewrite, semantic (embedding-cluster)
+# dedup
+# --------------------------------------------------------------------------
+
+
+def q_doc_span_scrub(sf_dir: str) -> pa.Table:
+    """Span-CUT corpus rewrite — the removal step of Lee et al. 2022's
+    exact-substring dedup: every token covered by a duplicated span of
+    length >= 40 is cut and the corpus re-emits (see
+    :func:`..dedup.span_scrub` for the two-bounded-shuffle scale shape).
+    Threshold 40 sits inside the sf0.01 span-length population (23–93),
+    so both the cut and the below-threshold-kept paths execute."""
+    from open_finance_lakehouse_ray.pipelines.dedup import span_scrub
+
+    out = (
+        span_scrub(_docs(sf_dir, ["doc_id", "text"]), k=15, min_span=40)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_SPAN_SCRUB_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    gl AS (SELECT doc_id,
+                  [array_to_string(w[i:i+14], ' ')
+                   for i in range(1, len(w) - 13)] g
+           FROM toks WHERE len(w) >= 15),
+    grams AS (SELECT doc_id, unnest(g) AS gram,
+                     generate_subscripts(g, 1) AS pos
+              FROM gl),
+    dup AS (SELECT gram FROM grams
+            GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    m AS (SELECT doc_id, pos FROM grams
+          WHERE gram IN (SELECT gram FROM dup)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM m),
+    spans AS (SELECT doc_id, min(pos) AS s, count(*) + 14 AS l
+              FROM isl GROUP BY doc_id, grp
+              HAVING count(*) + 14 >= 40),
+    cov AS (SELECT DISTINCT doc_id, p FROM
+                (SELECT doc_id, unnest(range(s, s + l)) AS p FROM spans)),
+    tok_rows AS (SELECT doc_id, unnest(w) AS tok,
+                        generate_subscripts(w, 1) AS p
+                 FROM toks),
+    j AS (SELECT t.doc_id, t.tok, t.p, (c.p IS NOT NULL) AS covered
+          FROM tok_rows t LEFT JOIN cov c
+          ON t.doc_id = c.doc_id AND t.p = c.p)
+    SELECT doc_id,
+           coalesce(string_agg(tok, ' ' ORDER BY p)
+                    FILTER (WHERE NOT covered), '') AS text_scrubbed,
+           CAST(count(*) FILTER (WHERE covered) AS BIGINT) AS n_removed
+    FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES.update({"doc_span_scrub": q_doc_span_scrub})
+ORACLES.update({"doc_span_scrub": Q_DOC_SPAN_SCRUB_SQL})

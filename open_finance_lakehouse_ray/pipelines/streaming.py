@@ -29,6 +29,7 @@ Semantics preserved (SURVEY.md §2.9):
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any
 
@@ -544,11 +545,38 @@ class StreamProcessor:
     def _pending_files(self, state: dict[str, Any]) -> list[str]:
         done = set(state["processed"])
         floor = state.get("processed_floor")
+        listing = [
+            n for n in os.listdir(self.source_dir) if n.endswith(".parquet")
+        ]
+        if floor is not None:
+            # detectability for the name-order publication contract
+            # (round-5 advice): once the tracked set compresses into the
+            # floor, a file LANDING at or below it is silently never
+            # processed. Processed-below-floor files are indistinguishable
+            # from skipped arrivals by name alone, so track the below-floor
+            # on-disk COUNT per floor value — growth at a constant floor
+            # can only be a late arrival. Blind exactly at the batch that
+            # advances the floor (count re-baselines), best-effort by
+            # design; the metric turns a contract breach from "quietly
+            # missing rows" into a visible counter.
+            below = sum(1 for n in listing if n <= floor)
+            mark = state.get("below_floor_mark")
+            if mark is not None and mark[0] == floor and below > mark[1]:
+                skipped = below - mark[1]
+                state["metrics"]["skipped_below_floor"] = (
+                    state["metrics"].get("skipped_below_floor", 0) + skipped
+                )
+                logging.getLogger(__name__).warning(
+                    "stream source %s: %d file(s) landed at or below the "
+                    "processed floor %r and will never be processed "
+                    "(producer broke the name-ordered publication "
+                    "contract)", self.source_dir, skipped, floor,
+                )
+            if mark is None or mark[0] != floor or below > mark[1]:
+                state["below_floor_mark"] = [floor, below]
         names = sorted(
-            n for n in os.listdir(self.source_dir)
-            if n.endswith(".parquet")
-            and n not in done
-            and (floor is None or n > floor)
+            n for n in listing
+            if n not in done and (floor is None or n > floor)
         )
         return names[: self.max_files]
 
@@ -610,7 +638,7 @@ class StreamProcessor:
         # in deterministic (ts, event_id) order wins)
         good = good.sort_values(["ts_us", "event_id"], kind="mergesort")
         dup = (
-            good["event_key"].map(lambda k: k in seen).astype(bool)
+            good["event_key"].isin(seen.keys())
             | good["event_key"].duplicated(keep="first")
         )
         state["metrics"]["dropped_dup"] += int(dup.sum())

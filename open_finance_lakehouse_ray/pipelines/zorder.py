@@ -320,7 +320,10 @@ def _zr_map_one(
         and os.path.exists(os.path.join(root, done["intermediate"]))
     ):
         return done
-    table = pq.read_table(os.path.join(root, path))
+    from open_finance_lakehouse_ray.stages.arrowpool import capped_arrow_threads
+
+    with capped_arrow_threads():
+        table = pq.read_table(os.path.join(root, path))
     add = make_zkey_stage(
         plan["ts_range"][0], plan["ts_range"][1], plan["curve"],
         conv_boundaries=np.asarray(plan["conv_boundaries"], dtype="U64"),
@@ -340,15 +343,18 @@ def _zr_map_one(
     row_groups: dict[str, int] = {}
     # ranges are contiguous after the zkey sort: slice per distinct rid
     bounds = np.searchsorted(rid, np.arange(len(zb) + 2))
-    writer = pq.ParquetWriter(tmp, table.schema, compression="zstd")
-    rg = 0
-    for r in range(len(zb) + 1):
-        lo, hi = bounds[r], bounds[r + 1]
-        if hi > lo:
-            writer.write_table(table.slice(lo, hi - lo), row_group_size=hi - lo)
-            row_groups[str(r)] = rg
-            rg += 1
-    writer.close()
+    with capped_arrow_threads():
+        writer = pq.ParquetWriter(tmp, table.schema, compression="zstd")
+        rg = 0
+        for r in range(len(zb) + 1):
+            lo, hi = bounds[r], bounds[r + 1]
+            if hi > lo:
+                writer.write_table(
+                    table.slice(lo, hi - lo), row_group_size=hi - lo
+                )
+                row_groups[str(r)] = rg
+                rg += 1
+        writer.close()
     os.replace(tmp, os.path.join(root, rel))
     done = {
         "inputs": [path],
@@ -391,21 +397,26 @@ def _zr_reduce_one(
         import time
 
         time.sleep(float(slow))
-    tables = [
-        pq.ParquetFile(os.path.join(root, p)).read_row_group(rg)
-        for p, rg in sources
-    ]
+    from open_finance_lakehouse_ray.stages.arrowpool import capped_arrow_threads
+
     outputs = []
     rows = 0
-    if tables:
-        t = pa.concat_tables(tables).sort_by(
-            [(ZKEY, "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-        entry = write_table_file(
-            root, t, zkey_col=ZKEY, presorted=True, prefix="zorder"
-        )
-        outputs = [entry.to_json()]
-        rows = entry.rows
+    # one range = one 1-CPU task: cap Arrow's pools for the read/sort/
+    # write (stages/arrowpool.py — the round-4 compact variance finding)
+    with capped_arrow_threads():
+        tables = [
+            pq.ParquetFile(os.path.join(root, p)).read_row_group(rg)
+            for p, rg in sources
+        ]
+        if tables:
+            t = pa.concat_tables(tables).sort_by(
+                [(ZKEY, "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+            entry = write_table_file(
+                root, t, zkey_col=ZKEY, presorted=True, prefix="zorder"
+            )
+            outputs = [entry.to_json()]
+            rows = entry.rows
     done = {
         "inputs": [s[0] for s in sources],
         "outputs": outputs,

@@ -88,6 +88,19 @@ def evolve_schema(current: pa.Schema, incoming: pa.Schema) -> pa.Schema:
 
 
 def schema_to_b64(schema: pa.Schema) -> str:
+    """IPC-serialize a schema for commit summaries, STRIPPED of schema-
+    and field-level metadata first. Recorded schemas are compared as raw
+    b64 strings (ingest's block-heterogeneity dedup), and IPC bytes
+    include custom/pandas metadata — without the strip, blocks with
+    identical fields but different provenance metadata (``from_pandas``
+    vs ``from_arrow``) would be flagged heterogeneous and flip the
+    table to ``schema_evolved``, losing column pushdown for nothing
+    (round-5 advice). ``pa.Schema.equals`` defaults to
+    ``check_metadata=False``, so every structural comparison downstream
+    is unaffected. (Metadata nested inside struct/list children is not
+    stripped — Arrow field metadata does not recurse, and no writer here
+    produces it.)"""
+    schema = pa.schema([f.remove_metadata() for f in schema])
     return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
 
 

@@ -169,15 +169,23 @@ def make_stats_writer(
     def _write(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return META_SCHEMA.empty_table()
-        entry = write_table_file(
-            root,
-            batch,
-            stats_cols=stats_cols,
-            sort_by=sort_by,
-            zkey_col=zkey_col,
-            prefix=prefix,
-            presorted=presorted,
+        from open_finance_lakehouse_ray.stages.arrowpool import (
+            capped_arrow_threads,
         )
+
+        # this sink always runs task-side (one block per 1-CPU task); cap
+        # Arrow's pools so N concurrent file writes don't oversubscribe
+        # the host N×hardware_concurrency-fold (stages/arrowpool.py)
+        with capped_arrow_threads():
+            entry = write_table_file(
+                root,
+                batch,
+                stats_cols=stats_cols,
+                sort_by=sort_by,
+                zkey_col=zkey_col,
+                prefix=prefix,
+                presorted=presorted,
+            )
         from open_finance_lakehouse_ray.stages.evolution import schema_to_b64
 
         written = batch.schema

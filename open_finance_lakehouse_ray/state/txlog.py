@@ -309,10 +309,16 @@ class TableLog:
                 return schema_from_b64(b64)
             if snap.operation == "restore":
                 # a restore swaps the live content wholesale and mirrors
-                # the target's schema_b64 when known (restore.py);
-                # reaching here means the restored-to version recorded no
-                # schema — never inherit the bypassed commits' (round 4)
-                return None
+                # the target's schema_b64 when known (restore.py); never
+                # inherit the bypassed commits' (round 4). For commits
+                # WITHOUT the mirror — logs written before the mirror
+                # existed, or targets with no recorded schema — resolve
+                # from the restored-to version itself (round-5 advice:
+                # the hard barrier made legacy restores of evolved tables
+                # stop conforming a genuinely mixed file set). The target
+                # version is always < this one, so the walk terminates.
+                to = snap.summary.get("restored_to")
+                return self.table_schema(to) if to is not None else None
             if snap.parent is None:
                 return None
             try:
@@ -340,13 +346,18 @@ class TableLog:
             kc = snap.summary.get("key_cols")
             if kc is not None:
                 return tuple(kc)
-            if snap.summary.get("mode") == "overwrite" or snap.operation == "restore":
+            if snap.operation == "restore":
+                # a restore swaps the live content wholesale; it mirrors
+                # the target's key_cols when known (restore.py). Without
+                # the mirror (legacy log, or target with no identity),
+                # resolve from the restored-to version itself — see
+                # table_schema's restore fallback (round-5 advice).
+                to = snap.summary.get("restored_to")
+                return self.table_key_cols(to) if to is not None else None
+            if snap.summary.get("mode") == "overwrite":
                 # an overwrite REPLACES the table: key identity recorded
                 # below it belongs to the old data — never inherit across
-                # it (review finding, round 4).  A restore likewise swaps
-                # the live content wholesale; it mirrors the target's
-                # key_cols when known (restore.py), so reaching here means
-                # the restored-to version had no identity either.
+                # it (review finding, round 4).
                 return None
             if snap.parent is None:
                 return None
@@ -368,8 +379,11 @@ class TableLog:
             if ev is not None:
                 return bool(ev)
             if snap.operation == "restore":
-                # restore barrier — see table_schema
-                return False
+                # restore barrier with restored-to fallback — see
+                # table_schema (the mirrored flag, when present, was
+                # consumed above; reaching here means no mirror)
+                to = snap.summary.get("restored_to")
+                return self.schema_is_evolved(to) if to is not None else False
             if snap.parent is None:
                 return False
             try:

@@ -292,3 +292,107 @@ def test_restore_mirrors_schema_identity(ray_session, table_root):
         rd.from_arrow(extra2), table_root, job_id="rs-app2", validate=False,
     )
     assert validation_scan(table_root).num_rows == tx.num_rows + extra2.num_rows
+
+def test_schema_b64_is_metadata_insensitive():
+    """Recorded schemas are compared as raw b64 strings (ingest's
+    heterogeneity dedup), so schema_to_b64 must strip schema- and
+    field-level metadata — from_pandas vs from_arrow provenance must not
+    read as a schema change (round-5 advice)."""
+    plain = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    noisy = pa.schema(
+        [
+            pa.field("a", pa.int64(), metadata={"origin": "pandas"}),
+            pa.field("b", pa.string()),
+        ],
+        metadata={b"pandas": b"{\"columns\": []}"},
+    )
+    assert schema_to_b64(noisy) == schema_to_b64(plain)
+    assert schema_from_b64(schema_to_b64(noisy)).metadata is None
+
+
+def test_metadata_only_block_mix_is_not_heterogeneous(ray_session, table_root):
+    """An ingest mixing blocks with identical fields but different schema
+    metadata must neither demand merge_schema nor flip schema_evolved
+    (round-5 advice: the raw-b64 dedup previously flagged it)."""
+    a = build_transcripts(n_convs=3)
+    b = build_transcripts(seed=11, n_convs=3).replace_schema_metadata(
+        {b"pandas": b"{}"}
+    )
+    ds = rd.from_arrow(a).union(rd.from_arrow(b))
+    ingest_dataset(ds, table_root, job_id="meta-mix", validate=False)
+    log = TableLog(table_root)
+    assert not log.schema_is_evolved()
+    assert validation_scan(table_root).num_rows == a.num_rows + b.num_rows
+
+
+def test_merge_preserves_unflagged_recorded_schema(ray_session, table_root):
+    """A table can carry a non-transcript recorded schema WITHOUT the
+    evolved flag (overwrite ingest of homogeneous extra-column blocks);
+    MERGE must conform rewrites to the recorded schema unconditionally —
+    gating on schema_is_evolved silently dropped the extra columns from
+    every rewritten file (round-5 advice, merge.py)."""
+    from open_finance_lakehouse_ray.pipelines.merge import merge_into
+
+    ext = _scored(build_transcripts(n_convs=6), 4.0, "convO")
+    ingest_dataset(
+        rd.from_arrow(ext), table_root, job_id="mo-base", mode="overwrite",
+        validate=False, merge_schema=True,
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
+    )
+    log = TableLog(table_root)
+    assert not log.schema_is_evolved()  # homogeneous: no flag
+    assert "score" in log.table_schema().names  # but schema recorded
+    for strategy in ("broadcast", "shuffle"):
+        upd = ext.slice(0, 3).set_column(
+            3, "text", pa.array([f"upd-{strategy}"] * 3, pa.string())
+        )
+        merge_into(table_root, upd, job_id=f"mo-up-{strategy}", strategy=strategy)
+        out = validation_scan(table_root).to_pandas()
+        assert "score" in out.columns, strategy
+        assert len(out) == ext.num_rows
+        assert out["score"].eq(4.0).all(), strategy
+        assert out["text"].eq(f"upd-{strategy}").sum() == 3
+
+
+def test_legacy_restore_without_mirror_resolves_target(ray_session, table_root):
+    """Logs written before restore mirrored schema/key identity carry
+    restore commits with NO schema keys; the walkers must resolve from
+    the restored-to version instead of hard-barriering to None/False —
+    a legacy restore of an EVOLVED table must keep conforming its mixed
+    file set (round-5 advice, txlog.py)."""
+    import json as _json
+
+    from open_finance_lakehouse_ray.pipelines.restore import restore
+
+    tx = build_transcripts(n_convs=6)
+    ingest_dataset(
+        rd.from_arrow(tx), table_root, job_id="lr-base",
+        summary={"keys_unique": True, "key_cols": ["conv_id", "turn_idx"]},
+    )
+    log = TableLog(table_root)
+    ev = _scored(build_transcripts(seed=4, n_convs=2), 3.0)
+    ingest_dataset(
+        rd.from_arrow(ev), table_root, job_id="lr-ev",
+        validate=False, merge_schema=True,
+    )
+    v_evolved = log.current_version()
+    ingest_dataset(
+        rd.from_arrow(build_transcripts(seed=8, n_convs=2)), table_root,
+        job_id="lr-more", validate=False, merge_schema=True,
+    )
+    snap = restore(table_root, to_version=v_evolved, job_id="lr-undo")
+    # simulate a legacy log: strip the mirrored identity off the commit
+    path = log._snapshot_path(snap.version)
+    with open(path) as f:
+        d = _json.load(f)
+    for k in ("schema_b64", "schema_evolved", "key_cols"):
+        d["summary"].pop(k, None)
+    with open(path, "w") as f:
+        _json.dump(d, f)
+    # the walkers resolve the TARGET's identity through restored_to
+    assert log.schema_is_evolved()
+    assert "score" in log.table_schema().names
+    assert log.table_key_cols() == ("conv_id", "turn_idx")
+    got = validation_scan(table_root)
+    assert "score" in got.column_names  # mixed file set still conforms
+    assert got.num_rows == tx.num_rows + ev.num_rows  # base + evolved append

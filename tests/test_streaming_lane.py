@@ -903,3 +903,40 @@ def test_processed_set_stays_bounded():
     _record_processed(state, ["zzz-late.parquet"])
     assert state["processed_floor"] >= floor
     assert len(state["processed"]) <= PROCESSED_TRACKED_MAX
+
+def test_below_floor_arrival_surfaces_metric(tmp_path, monkeypatch):
+    """Once the tracked processed set compresses into processed_floor, a
+    file landing AT OR BELOW the floor is (by the name-order contract)
+    never processed — that breach must surface as a metric/warning, not
+    as quietly missing rows (round-5 advice, streaming.py)."""
+    import open_finance_lakehouse_ray.pipelines.streaming as st
+
+    monkeypatch.setattr(st, "PROCESSED_TRACKED_MAX", 4)
+    src = tmp_path / "src"
+    src.mkdir()
+    proc = StreamProcessor(
+        str(src), str(tmp_path / "bronze"), str(tmp_path / "silver"),
+        str(tmp_path / "ckpt"), window_us=MIN, delay_us=2 * MIN,
+        max_files_per_trigger=1,
+    )
+    state = st.StreamCheckpoint._empty_state()
+    for i in range(8):
+        name = f"f-{i:04d}.parquet"
+        (src / name).write_bytes(b"")
+        st._record_processed(state, [name])
+    floor = state["processed_floor"]
+    assert floor is not None
+    # first listing establishes the per-floor baseline: no false positive
+    # from the already-processed below-floor files still on disk
+    assert proc._pending_files(state) == []
+    assert state["metrics"].get("skipped_below_floor", 0) == 0
+    # a producer breaks the contract: a NEW name at/below the floor
+    late = "f-0001-late.parquet"
+    assert late <= floor
+    (src / late).write_bytes(b"")
+    pending = proc._pending_files(state)
+    assert late not in pending  # still skipped (the documented semantics)
+    assert state["metrics"]["skipped_below_floor"] == 1
+    # re-listing without new arrivals does not double-count
+    proc._pending_files(state)
+    assert state["metrics"]["skipped_below_floor"] == 1
