@@ -702,6 +702,124 @@ def _hyperplane_band_params(threshold: float, n_planes: int) -> tuple[int, int]:
     return r, max(1, n_planes // r)
 
 
+def semantic_dedup(
+    emb: rd.Dataset,
+    *,
+    k: int = 8,
+    threshold: float = 0.5,
+    centroids: "np.ndarray | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = NUM_SHUFFLE_PARTITIONS,
+) -> pa.Table:
+    """Embedding-CLUSTER near-dedup — SemDeDup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540, public literature): k-means the
+    embeddings, then prune near-duplicates ONLY within each cluster, so
+    the quadratic pairwise work is O(Σ cᵢ²) over cluster sizes instead of
+    all-pairs over the corpus. At 100 TB, k scales with the corpus
+    (SemDeDup uses 10⁴–10⁵ clusters) to bound every cᵢ.
+
+    Keep rule (deterministic): within a cluster, a vector is a duplicate
+    iff some LOWER-id vector of the same cluster has cosine >=
+    ``threshold`` to it; ``dup_of`` is the lowest such id (NULL = kept).
+    Like the published greedy scan, the lower-id witness need not itself
+    survive (A~B, B~C, A≁C drops both B and C) — chain semantics are
+    :func:`dedup_clusters`'s job.
+
+    Clustering: ``centroids`` from :func:`..similarity.kmeans_distributed`
+    in production; the default (None) is ONE deterministic assignment step
+    against the k lowest-id vectors — the same gate-checkable body as the
+    ``emb_kmeans_assign`` query, which is what lets the SQL oracle
+    replicate the clustering exactly.
+
+    Distributed shape: centroid matrix broadcast once (``ray.put``) →
+    assignment ``map_batches`` (the |x|²−2x·c+|c|² expansion, one matmul
+    per batch) → ONE bounded hash-partition shuffle on cluster id (vectors
+    ride as plain float64-LE binary — the list<double> tensor-extension
+    cast does not survive sliced shuffle blocks) → per-cluster normalized
+    matmul + lower-triangle threshold scan, vectorized. Only (id, cluster,
+    dup_of) int rows return to the driver.
+    """
+    import ray as _ray
+
+    from open_finance_lakehouse_ray.pipelines.similarity import _det_head
+
+    mat = emb.select_columns([id_col, vec_col])
+    if centroids is None:
+        # _det_head streams (per-batch k-smallest partials) — no
+        # materialize: the corpus is read twice (head + assign), pinned
+        # never
+        cent = _det_head(mat, id_col, vec_col, k)
+    else:
+        cent = np.asarray(centroids, dtype=np.float64)
+    cent_ref = _ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cent_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        d2 = (
+            (x * x).sum(1, keepdims=True)
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                "vec_id": ids,
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+                "nvec": pa.array([row.tobytes() for row in xn], pa.binary()),
+            }
+        )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cl, grp in df.groupby("cluster", sort=False):
+            grp = grp.sort_values("vec_id", kind="mergesort")
+            ids = grp["vec_id"].to_numpy()
+            x = np.frombuffer(
+                b"".join(grp["nvec"]), dtype=np.float64
+            ).reshape(len(grp), -1)
+            sims = x @ x.T
+            # lower triangle only: candidate witnesses are LOWER ids (rows
+            # sorted ascending), first hit per row = lowest witness id
+            hit = np.tril(sims >= threshold, k=-1)
+            any_hit = hit.any(axis=1)
+            first = hit.argmax(axis=1)  # valid only where any_hit
+            dup_of = np.where(any_hit, ids[first], -1)
+            out.append(
+                pd.DataFrame(
+                    {"vec_id": ids, "cluster": int(cl), "dup_of": dup_of}
+                )
+            )
+        res = pd.concat(out, ignore_index=True)
+        res["dup_of"] = res["dup_of"].astype("int64")
+        return res
+
+    got = (
+        mat.map_batches(assign, batch_format="pyarrow")
+        .map_batches(_pk_tagger(("cluster",), num_partitions), batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(
+            lambda df: prune(df.drop(columns=["_pk"])), batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    t = pa.Table.from_pandas(got.reset_index(drop=True), preserve_index=False)
+    # -1 sentinel -> NULL (ints stay exact through the gate's value hash)
+    dup = t["dup_of"]
+    import pyarrow.compute as _pc
+
+    t = t.set_column(
+        t.column_names.index("dup_of"),
+        "dup_of",
+        _pc.if_else(_pc.equal(dup, -1), pa.nulls(t.num_rows, pa.int64()), dup),
+    )
+    return t
+
+
 def embedding_near_dup_pairs(
     emb: rd.Dataset,
     *,

@@ -3981,3 +3981,43 @@ Q_DOC_SPAN_SCRUB_SQL = """
 
 QUERIES.update({"doc_span_scrub": q_doc_span_scrub})
 ORACLES.update({"doc_span_scrub": Q_DOC_SPAN_SCRUB_SQL})
+
+def q_emb_semantic_dup(sf_dir: str) -> pa.Table:
+    """SemDeDup-style semantic dedup: deterministic k=8 cluster assignment
+    (the emb_kmeans_assign body) + in-cluster cosine prune at 0.35,
+    lowest-id witness wins (see :func:`..dedup.semantic_dedup` for the
+    bounded per-cluster scale shape). Ids only in the output — cosine
+    floats stay engine-side to avoid f32/f64 hash skew."""
+    from open_finance_lakehouse_ray.pipelines.dedup import semantic_dedup
+
+    return semantic_dedup(_emb(sf_dir), k=8, threshold=0.35)
+
+
+Q_EMB_SEMANTIC_DUP_SQL = """
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.cid,
+                 list_distance(CAST(e.embedding AS DOUBLE[]),
+                               CAST(c.cv AS DOUBLE[])) AS dist
+          FROM embeddings e CROSS JOIN c),
+    a AS (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rk
+          FROM d),
+    asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rk = 1),
+    dup AS (SELECT x.vec_id, min(y.vec_id) AS dup_of
+            FROM asg x
+            JOIN asg y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+            JOIN embeddings ex ON ex.vec_id = x.vec_id
+            JOIN embeddings ey ON ey.vec_id = y.vec_id
+            WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= 0.35
+            GROUP BY x.vec_id)
+    SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+           CAST(dup.dup_of AS BIGINT) AS dup_of
+    FROM asg LEFT JOIN dup USING (vec_id)
+    ORDER BY asg.vec_id
+"""
+
+
+QUERIES.update({"emb_semantic_dup": q_emb_semantic_dup})
+ORACLES.update({"emb_semantic_dup": Q_EMB_SEMANTIC_DUP_SQL})

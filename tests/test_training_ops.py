@@ -4,6 +4,7 @@ analysis, multimodal plumbing — unit + small-pipeline tests."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -930,3 +931,148 @@ def test_chunk_documents_rejects_bad_params(ray_session):
         chunk_documents(rd.from_arrow(t), window=0, stride=3)
     with pytest.raises(ValueError):
         chunk_documents(rd.from_arrow(t), window=4, stride=0)
+
+# ------------------------------------------------------- span-cut rewrite
+
+
+def test_span_scrub_hand_computed(ray_session):
+    import ray.data as rd
+
+    # same corpus as test_dup_spans_hand_computed; with min_span=k=3 every
+    # detected span is cut
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "a b c d e f g h",
+                "x y a b c d e q r s",
+                "no overlap here at all whatsoever",
+                "a b c z1 z2 z3 f g h q",
+            ],
+        }
+    )
+    out = (
+        dd.span_scrub(rd.from_arrow(t), k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [
+        (0, "", 8),                     # both spans cut everything
+        (1, "x y q r s", 5),            # "a b c d e" cut
+        (2, "no overlap here at all whatsoever", 0),
+        (3, "z1 z2 z3 q", 6),           # two islands cut
+    ]
+    # threshold: only spans >= 5 tokens are cut
+    out5 = (
+        dd.span_scrub(rd.from_arrow(t), k=3, min_span=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got5 = list(out5.itertuples(index=False, name=None))
+    assert got5 == [
+        (0, "f g h", 5),                # only "a b c d e" qualifies
+        (1, "x y q r s", 5),
+        (2, "no overlap here at all whatsoever", 0),
+        (3, "a b c z1 z2 z3 f g h q", 0),  # both spans are len 3 < 5
+    ]
+
+
+def test_span_scrub_overlapping_islands_union(ray_session):
+    import ray.data as rd
+
+    # doc0 marked starts {1, 3} (gap at 2): two islands whose covered
+    # ranges OVERLAP as token ranges — coverage is the union, tokens cut
+    # once. doc1/doc2 are the partners making grams 1 and 3 (not 2)
+    # cross-document.
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "a b c X e f g",   # grams: (a b c)@1 shared w/1, (c X e)@3 w/2
+                "q q q a b c",
+                "z z c X e w w",
+            ],
+        }
+    )
+    spans = dd.dup_spans(rd.from_arrow(t), k=3).to_pandas()
+    d0 = spans[spans["doc_id"] == 0]
+    assert list(d0.itertuples(index=False, name=None)) == [(0, 1, 3), (0, 3, 3)]
+    out = (
+        dd.span_scrub(rd.from_arrow(t), k=3)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # union of [1,3] and [3,5] covers tokens 1-5 -> "f g" survives, 5 cut
+    assert out.loc[0, "text_scrubbed"] == "f g"
+    assert out.loc[0, "n_removed"] == 5
+
+
+def test_span_scrub_passthrough_short_and_clean(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["a b", "a b"],  # shorter than k: verbatim passthrough
+        }
+    )
+    out = dd.span_scrub(rd.from_arrow(t), k=3).to_pandas().sort_values("doc_id")
+    assert out["text_scrubbed"].tolist() == ["a b", "a b"]
+    assert out["n_removed"].tolist() == [0, 0]
+
+
+# ----------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_matches_naive(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(40, 16))
+    vecs, twins = [], []
+    for i, v in enumerate(base):
+        vecs.append(v)
+    # seed 8 near-identical twins (ids 40..47 twin 0..7)
+    for i in range(8):
+        vecs.append(base[i] + rng.normal(scale=1e-3, size=16))
+        twins.append((i, 40 + i))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([np.asarray(v, np.float32) for v in vecs]),
+        }
+    )
+    out = dd.semantic_dedup(
+        rd.from_arrow(t).repartition(4), k=4, threshold=0.99
+    ).to_pandas()
+    assert len(out) == len(vecs)
+    # naive reference: same deterministic assignment + in-cluster scan
+    x = np.stack([np.asarray(v, np.float32) for v in vecs]).astype(np.float64)
+    cent = x[:4]
+    d2 = (x * x).sum(1, keepdims=True) - 2 * x @ cent.T + (cent * cent).sum(1)
+    a = d2.argmin(1)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    exp_dup = {}
+    for i in range(len(vecs)):
+        cands = [
+            j for j in range(i)
+            if a[j] == a[i] and sims[i, j] >= 0.99
+        ]
+        if cands:
+            exp_dup[i] = min(cands)
+    got = out.set_index("vec_id")
+    for i in range(len(vecs)):
+        d = got.loc[i, "dup_of"]
+        if i in exp_dup:
+            assert int(d) == exp_dup[i], i
+        else:
+            assert pd.isna(d), i
+        assert int(got.loc[i, "cluster"]) == int(a[i])
+    # the seeded twins that co-cluster are exactly the found set
+    found = {(int(got.loc[b, "dup_of"]), b) for a_, b in twins
+             if not pd.isna(got.loc[b, "dup_of"])}
+    assert found <= set(twins)

@@ -178,6 +178,28 @@ def main() -> int:
     out["emb_pairs"] = len(ep_got)
     out["emb_subset_of_seeded"] = ep_got <= exp_emb
     out["emb_recall"] = round(len(ep_got & exp_emb) / max(len(exp_emb), 1), 4)
+
+    # --- SemDeDup-style semantic dedup at scale (round 5): k=64 clusters
+    # over the same 64k vectors, in-cluster cosine prune at 0.99. A twin
+    # is caught iff both members co-cluster (near-identical vectors almost
+    # always do — that residual miss probability is the method's published
+    # tradeoff, hence >= 0.95 rather than exact); heavy replica noise
+    # kills every non-seeded pair at 0.99, so found ⊆ seeded is exact.
+    from open_finance_lakehouse_ray.pipelines.dedup import semantic_dedup
+
+    t0 = time.perf_counter()
+    sd = semantic_dedup(emb_ds, k=64, threshold=0.99)
+    out["semantic_dedup_sec"] = round(time.perf_counter() - t0, 2)
+    sd_found = {
+        (int(d), int(v))
+        for v, d in zip(sd["vec_id"].to_pylist(), sd["dup_of"].to_pylist())
+        if d is not None
+    }
+    out["semantic_pairs"] = len(sd_found)
+    out["semantic_subset_of_seeded"] = sd_found <= exp_emb
+    out["semantic_recall"] = round(
+        len(sd_found & exp_emb) / max(len(exp_emb), 1), 4
+    )
     os.unlink(emb_scratch)
 
     # --- sessionization at scale: replicate events 32x (disjoint users),
@@ -296,6 +318,44 @@ def main() -> int:
     out["dup_spans_expected"] = len(exp_spans)
     out["dup_spans_exact_match"] = got_spans == exp_spans
 
+    # --- span-CUT rewrite at scale (round 5): with min_span = k every
+    # detected span is cut, so the expectation is closed-form — each twin
+    # member keeps exactly its LAST token (span covers tokens 1..n-1),
+    # every other doc is untouched. Only (doc_id, n_removed, n_chars)
+    # rows return to the driver; the text itself is checked through the
+    # kept-length equality.
+    t0 = time.perf_counter()
+    from open_finance_lakehouse_ray.pipelines.dedup import span_scrub
+
+    def _meta(t):
+        import pyarrow.compute as _pc
+
+        return t.select(["doc_id", "n_removed"]).append_column(
+            "n_chars", _pc.utf8_length(t["text_scrubbed"])
+        )
+
+    sc = (
+        span_scrub(docs, k=15)
+        .map_batches(_meta, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["span_scrub_sec"] = round(time.perf_counter() - t0, 2)
+    scm = sc.set_index("doc_id")
+    twin_members = {d for pair in twin_pairs for d in pair}
+    scrub_ok = bool((scm.loc[~scm.index.isin(twin_members), "n_removed"] == 0).all())
+    for a, b in twin_pairs:
+        toks_a, toks_b = by_id[a].split(" "), by_id[b].split(" ")
+        for d, toks in ((a, toks_a), (b, toks_b)):
+            if len(toks) >= 16:
+                scrub_ok = scrub_ok and (
+                    int(scm.loc[d, "n_removed"]) == len(toks) - 1
+                    and int(scm.loc[d, "n_chars"]) == len(toks[-1])
+                )
+            else:
+                scrub_ok = scrub_ok and int(scm.loc[d, "n_removed"]) == 0
+    out["span_scrub_rows"] = int(len(sc))
+    out["span_scrub_exact_match"] = scrub_ok and len(sc) == corpus.num_rows
+
     out["ok"] = bool(
         out["ngram_jaccard_exact_match"]
         and out["minhash_subset_of_seeded"]
@@ -306,6 +366,9 @@ def main() -> int:
         and out["sessionize_matches_duckdb"]
         and out["decontaminate_exact_match"]
         and out["dup_spans_exact_match"]
+        and out["semantic_subset_of_seeded"]
+        and out["semantic_recall"] >= 0.95
+        and out["span_scrub_exact_match"]
     )
     ray.shutdown()
     os.unlink(scratch)
