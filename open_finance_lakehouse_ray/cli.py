@@ -165,7 +165,10 @@ def _main(argv: list[str] | None = None) -> int:
     rp.add_argument("--registry", required=True, help="path to registry.yml")
     rp.add_argument("--action", default="maintain",
                     choices=["maintain", "marts", "report", "scrubs",
-                             "freshness"])
+                             "freshness", "emit-dag"])
+    rp.add_argument("--out", default=None,
+                    help="emit-dag: write the schedule spec here "
+                         "(default: stdout)")
     rp.add_argument("--table", default=None, help="one table (default: all)")
     rp.add_argument("--mart", default=None, help="one mart (default: all)")
     rp.add_argument("--sf-dir", default=None, help="source dir for mart queries")
@@ -179,7 +182,7 @@ def _main(argv: list[str] | None = None) -> int:
     needs_ray = args.cmd in (
         "ingest", "compact", "zorder", "merge", "rewrite-manifests", "check",
         "maintain", "registry", "delete", "update", "changes", "alter",
-    )
+    ) and not (args.cmd == "registry" and args.action == "emit-dag")
     if needs_ray:
         _ray_session(args.num_cpus)
 
@@ -370,6 +373,17 @@ def _main(argv: list[str] | None = None) -> int:
                 reg, args.sf_dir, job_prefix=job_id,
                 names=[args.mart] if args.mart else None,
             )
+        elif args.action == "emit-dag":
+            from open_finance_lakehouse_ray.registry import emit_schedule
+
+            spec = emit_schedule(reg, registry_path=args.registry)
+            if args.out:
+                with open(args.out, "w") as f:
+                    json.dump(spec, f, indent=2)
+                out["dag_spec"] = args.out
+                out["dags"] = [d["dag_id"] for d in spec["dags"]]
+            else:
+                out["schedule"] = spec
         else:
             from open_finance_lakehouse_ray.pipelines.metrics import manifest_report
 

@@ -421,3 +421,104 @@ def freshness_report(reg: Registry, *, now: float | None = None) -> dict[str, An
             "rows": rep["rows"],
         }
     return out
+
+def emit_schedule(reg: Registry, *, registry_path: str) -> dict[str, Any]:
+    """Generate the orchestration schedule FROM the registry — the analog
+    of the reference's registry-driven Airflow DAG factory
+    (``orchestration/airflow/dags/ofl_dags.py:144-186``), emitted as a
+    scheduler-agnostic JSON spec instead of Airflow objects (no Airflow in
+    this engine's environment; the spec carries everything that factory
+    encodes: schedules, asset-triggered dependencies, pools,
+    ``max_active_runs=1`` serialization, per-task failure isolation).
+
+    Topology (mirrors the reference's lessons):
+
+    - one maintenance DAG per TABLE, tasks independent — a failure on one
+      table leaves the others untouched (the reference's per-series
+      isolation, ofl_dags.py:161-166); each maintain task emits asset
+      ``table:<name>``, scrubs run downstream of their table's maintain;
+    - ONE marts DAG triggered by ANY table asset (the reference's
+      ``AssetAny`` no-all-series-barrier lesson, ofl_dags.py:171) with
+      ``max_active_runs=1`` to coalesce an asset burst into one idempotent
+      build; one independent task per mart;
+    - an hourly freshness-SLA DAG (exits nonzero on breach — the alerting
+      hook), scheduled off the :00 mark so a fleet of deployments doesn't
+      thundering-herd the scheduler.
+
+    Every task's ``command`` is this engine's own CLI, so any scheduler
+    that can run a subprocess (Airflow, cron, systemd timers) can execute
+    the spec verbatim; ``max_active_runs=1`` is advisory for schedulers —
+    the CommitActor + idempotent job ids keep correctness even without it.
+    """
+    cli = ["python", "-m", "open_finance_lakehouse_ray.cli"]
+
+    def regcmd(action: str, *extra: str) -> list[str]:
+        return [*cli, "registry", "--registry", registry_path,
+                "--action", action, *extra]
+
+    dags: list[dict[str, Any]] = []
+    table_assets = []
+    for t, cfg in reg.tables.items():
+        asset = f"table:{t}"
+        table_assets.append(asset)
+        tasks = [{
+            "task_id": f"maintain_{t}",
+            "command": regcmd("maintain", "--table", t),
+            "pool": "oflr-maintenance",
+            "outlets": [asset],
+            "retries": 2,
+        }]
+        if cfg.get("scrubs"):
+            tasks.append({
+                "task_id": f"scrubs_{t}",
+                "command": regcmd("scrubs", "--table", t),
+                "pool": "oflr-maintenance",
+                "upstream": [f"maintain_{t}"],
+                "outlets": [asset],
+                "retries": 2,
+            })
+        dags.append({
+            "dag_id": f"oflr_maintain_{t}",
+            "schedule": cfg.get("schedule", "@daily"),
+            "max_active_runs": 1,
+            "tags": ["oflr", "maintenance", t],
+            "tasks": tasks,
+        })
+    if reg.marts:
+        dags.append({
+            "dag_id": "oflr_marts",
+            # any table refresh triggers; never an all-tables barrier
+            "schedule": {"asset_any": sorted(table_assets)},
+            "max_active_runs": 1,  # coalesce bursts into one idempotent build
+            "tags": ["oflr", "marts"],
+            "tasks": [
+                {
+                    "task_id": f"mart_{m}",
+                    "command": regcmd("marts", "--mart", m,
+                                      "--sf-dir", "{sf_dir}"),
+                    "pool": "oflr-marts",
+                    "outlets": [f"mart:{m}"],
+                    "retries": 2,
+                }
+                for m in reg.marts
+            ],
+        })
+    if any(cfg.get("freshness_sla") for cfg in reg.tables.values()):
+        dags.append({
+            "dag_id": "oflr_freshness",
+            "schedule": "43 * * * *",  # hourly, off the :00 herd
+            "max_active_runs": 1,
+            "tags": ["oflr", "sla"],
+            "tasks": [{
+                "task_id": "freshness_slas",
+                "command": regcmd("freshness"),
+                "pool": "oflr-maintenance",
+                "retries": 0,  # a breach must page, not retry-mask
+            }],
+        })
+    return {
+        "version": 1,
+        "registry": registry_path,
+        "pools": {"oflr-maintenance": 2, "oflr-marts": 4},
+        "dags": dags,
+    }

@@ -465,3 +465,65 @@ def test_freshness_falls_back_to_commit_basis_for_non_timestamp_ts(
     rep = freshness_report(reg, now=time.time())
     assert rep["rawts_t"]["basis"] == "commit"
     assert rep["rawts_t"]["status"] == "fresh"
+
+def test_emit_schedule_spec(tmp_path):
+    """The registry-driven DAG emission (the reference's ofl_dags.py
+    factory as a scheduler-agnostic JSON spec): per-table isolation,
+    asset-any mart trigger, scrubs downstream of their maintain, hourly
+    off-minute freshness DAG only when an SLA exists, runnable commands."""
+    import json as _json
+    import textwrap as tw
+
+    from open_finance_lakehouse_ray.registry import emit_schedule
+
+    path = tmp_path / "registry.yml"
+    path.write_text(tw.dedent(f"""
+        base: {tmp_path}
+        tables:
+          ta:
+            root: "{{base}}/ta"
+            freshness_sla: "36h"
+            scrubs:
+              drop_old: {{action: delete, ts_range: [0, 100]}}
+          tb:
+            root: "{{base}}/tb"
+            schedule: "@hourly"
+        marts:
+          m1:
+            root: "{{base}}/m1"
+            query: ev_ohlc_daily_rollup
+    """))
+    reg = load_registry(str(path))
+    spec = emit_schedule(reg, registry_path=str(path))
+    assert _json.loads(_json.dumps(spec)) == spec  # JSON-serializable
+    by_id = {d["dag_id"]: d for d in spec["dags"]}
+    # one isolated DAG per table; YAML schedule override respected
+    assert by_id["oflr_maintain_ta"]["schedule"] == "@daily"
+    assert by_id["oflr_maintain_tb"]["schedule"] == "@hourly"
+    ta = by_id["oflr_maintain_ta"]
+    assert [t["task_id"] for t in ta["tasks"]] == ["maintain_ta", "scrubs_ta"]
+    assert ta["tasks"][1]["upstream"] == ["maintain_ta"]
+    assert all(d["max_active_runs"] == 1 for d in spec["dags"])
+    # marts trigger on ANY table asset, never an all-tables barrier
+    marts = by_id["oflr_marts"]
+    assert marts["schedule"] == {"asset_any": ["table:ta", "table:tb"]}
+    assert marts["tasks"][0]["task_id"] == "mart_m1"
+    # SLA DAG present (ta declares one), off the :00 herd
+    fresh = by_id["oflr_freshness"]
+    assert fresh["schedule"].split()[0] != "0"
+    assert fresh["tasks"][0]["retries"] == 0  # a breach pages, not retries
+    # every command is this engine's own CLI with the registry path
+    for d in spec["dags"]:
+        for t in d["tasks"]:
+            assert t["command"][:3] == ["python", "-m",
+                                        "open_finance_lakehouse_ray.cli"]
+            assert str(path) in t["command"]
+    # no tables without SLA -> no freshness DAG
+    path2 = tmp_path / "r2.yml"
+    path2.write_text(tw.dedent(f"""
+        base: {tmp_path}
+        tables:
+          tc: {{root: "{{base}}/tc"}}
+    """))
+    spec2 = emit_schedule(load_registry(str(path2)), registry_path=str(path2))
+    assert [d["dag_id"] for d in spec2["dags"]] == ["oflr_maintain_tc"]

@@ -39,6 +39,12 @@ Scenarios (FIXTURES.md F5):
                  base (retried until a conflict-replan is OBSERVED —
                  never a vacuous pass); the loser replans and the scan
                  equals the serial merge-then-delete reference.
+  restore-merge-race — a MERGE commits inside a RESTORE's plan->commit
+                 window (deterministic commit gate); the restore must
+                 serialize it first and land EXACTLY the target's live
+                 set (the racer's files removed, never coexisting with
+                 the resurrected originals), and a post-restore merge
+                 must still apply cleanly.
 
 Usage:  python tools/maintenance_harness.py [--scenario all]
 """
@@ -203,6 +209,24 @@ elif cmd == "stream":
         proc._process_batch_distributed = slowed
     m = proc.run_available_now()
     print(json.dumps({"metrics": m}))
+elif cmd == "restore":
+    # RESTORE VERSION AS OF; HARNESS_COMMIT_GATE parks it between plan
+    # (head read + target resolution) and commit, so another writer's
+    # commit can land deterministically inside the window.
+    import open_finance_lakehouse_ray.pipelines.restore as rs
+    gate = os.environ.get("HARNESS_COMMIT_GATE")
+    if gate:
+        orig_commit = rs.commit_via_actor_or_direct
+        def gated(log, **kw):
+            t0 = time.time()
+            while not os.path.exists(gate) and time.time() - t0 < 120:
+                time.sleep(0.1)
+            return orig_commit(log, **kw)
+        rs.commit_via_actor_or_direct = gated
+    snap = rs.restore(root, to_version=int(sys.argv[4]), job_id=sys.argv[3])
+    print(json.dumps({"version": snap.version,
+                      "added": snap.added_paths,
+                      "removed": snap.removed_paths}))
 elif cmd == "merge":
     from open_finance_lakehouse_ray.sources.transcripts import build_transcripts, late_turns
     from open_finance_lakehouse_ray.pipelines.merge import merge_into
@@ -731,6 +755,67 @@ def scenario_delete_merge_race(scratch: str) -> dict:
     }
 
 
+def scenario_restore_merge_race(scratch: str) -> dict:
+    """RESTORE isolation under an ACTUAL race (round-4 serialized restore
+    via overwrite-live removal; this proves it the way overwrite-race
+    does): a MERGE commits inside the restore's plan->commit window
+    (deterministic via the commit gate). The restore must serialize the
+    merge BEFORE itself and still land its documented postcondition — the
+    live set is EXACTLY the target version's, the racer's files removed —
+    never the racer's rewrites surviving beside resurrected originals
+    (the row-duplication class). A post-restore merge then proves the
+    restored head is fully functional."""
+    root = os.path.join(scratch, "restore-race")
+    run_worker(["ingest", root, "40"])  # v1
+    from open_finance_lakehouse_ray.state.txlog import TableLog
+
+    log = TableLog(root)
+    v1 = log.current_version()
+    v1_state = independent_state(root)
+    run_worker(["delete", root, "del-RR"])  # v2 — diverge the history
+
+    gate = os.path.join(scratch, "restore-race.gate")
+    p_rs = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "restore", root, "restore-RR",
+         str(v1)],
+        env={**os.environ, "HARNESS_REPO": REPO, "HARNESS_COMMIT_GATE": gate},
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    # the racer MERGE commits fully while the restore is parked pre-commit
+    racer = run_worker(["merge", root, "merge-RR", "40"])
+    with open(gate, "w") as f:
+        f.write("go")
+    out, err = p_rs.communicate(timeout=900)
+    if p_rs.returncode != 0:
+        return {"ok": False, "restore_err": err[-2000:]}
+    rs = json.loads(out.strip().splitlines()[-1])
+
+    state = independent_state(root)
+    head = log.snapshot()
+    merge_added = set(log.snapshot(racer["version"]).added_paths)
+    target_files = sorted(e.path for e in log.files(v1))
+    live = sorted(e.path for e in log.files())
+    comparable = ("rows", "distinct_keys", "content_hash")
+    checks = {
+        "merge_serialized_first": racer["version"] < rs["version"],
+        "live_is_target_exactly": live == target_files,
+        "state_equals_v1": {k: state[k] for k in comparable}
+        == {k: v1_state[k] for k in comparable},
+        "merge_files_removed": merge_added <= set(head.removed_paths),
+    }
+    # the restored head stays fully functional: a fresh merge applies
+    # (late_turns: 30 updates + 15 inserts over the v1 base)
+    run_worker(["merge", root, "merge-RR2", "40"])
+    after = independent_state(root)
+    checks["post_restore_merge_applies"] = (
+        after["rows"] == v1_state["rows"] + 15
+        and after["rows"] == after["distinct_keys"]
+    )
+    return {"ok": all(checks.values()), **checks,
+            "versions": {"merge": racer["version"], "restore": rs["version"]},
+            "state": state, "after_merge": after}
+
+
 def scenario_overwrite_race(scratch: str) -> dict:
     """REPLACE isolation: an append that commits inside an overwrite's
     plan->commit window must be serialized BEFORE the overwrite and
@@ -781,7 +866,7 @@ def main() -> int:
                              "zorder-kill-resume", "merge-kill-resume",
                              "delete-kill-resume", "update-kill-resume",
                              "concurrent", "overwrite-race", "stream-kill-resume",
-                             "delete-merge-race"])
+                             "delete-merge-race", "restore-merge-race"])
     args = ap.parse_args()
     scratch = tempfile.mkdtemp(prefix="ofl-harness-")
     scenarios = {
@@ -795,6 +880,7 @@ def main() -> int:
         "delete-merge-race": scenario_delete_merge_race,
         "concurrent": scenario_concurrent,
         "overwrite-race": scenario_overwrite_race,
+        "restore-merge-race": scenario_restore_merge_race,
     }
     todo = list(scenarios) if args.scenario == "all" else [args.scenario]
     failed = False
