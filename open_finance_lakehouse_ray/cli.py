@@ -179,10 +179,15 @@ def _main(argv: list[str] | None = None) -> int:
     job_id = args.job_id or f"{args.cmd}-{uuid.uuid4().hex[:12]}"
     out: dict = {"cmd": args.cmd, "job_id": job_id}
 
+    # registry actions that only read log/manifest metadata (freshness,
+    # report) or emit config (emit-dag) never touch Ray — the emitted
+    # hourly freshness task must not pay a Ray session boot per SLA check
+    # (round-5 review)
+    _REGISTRY_RAY_ACTIONS = ("maintain", "scrubs", "marts")
     needs_ray = args.cmd in (
         "ingest", "compact", "zorder", "merge", "rewrite-manifests", "check",
-        "maintain", "registry", "delete", "update", "changes", "alter",
-    ) and not (args.cmd == "registry" and args.action == "emit-dag")
+        "maintain", "delete", "update", "changes", "alter",
+    ) or (args.cmd == "registry" and args.action in _REGISTRY_RAY_ACTIONS)
     if needs_ray:
         _ray_session(args.num_cpus)
 
@@ -376,7 +381,8 @@ def _main(argv: list[str] | None = None) -> int:
         elif args.action == "emit-dag":
             from open_finance_lakehouse_ray.registry import emit_schedule
 
-            spec = emit_schedule(reg, registry_path=args.registry)
+            spec = emit_schedule(reg, registry_path=args.registry,
+                                 base=args.base, sf_dir=args.sf_dir)
             if args.out:
                 with open(args.out, "w") as f:
                     json.dump(spec, f, indent=2)

@@ -702,6 +702,26 @@ def _hyperplane_band_params(threshold: float, n_planes: int) -> tuple[int, int]:
     return r, max(1, n_planes // r)
 
 
+def _pack_nvec(m: np.ndarray) -> pa.Array:
+    """Row-normalized float64 vectors as PLAIN BINARY (float64-LE bytes):
+    a list<double> column gets auto-cast to Ray's tensor extension, which
+    cannot survive a shuffle's sliced blocks (to_pandas buffer error).
+    One serialization contract for every vector-shipping stage —
+    :func:`_unpack_nvec` is the only reader (round-5 review: two private
+    copies of the pack/unpack pair had already appeared)."""
+    return pa.array([row.tobytes() for row in m], pa.binary())
+
+
+def _unpack_nvec(bufs: "list[bytes]") -> np.ndarray:
+    return np.frombuffer(b"".join(bufs), dtype=np.float64).reshape(
+        len(bufs), -1
+    )
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
 def semantic_dedup(
     emb: rd.Dataset,
     *,
@@ -755,7 +775,17 @@ def semantic_dedup(
         cent = np.asarray(centroids, dtype=np.float64)
     cent_ref = _ray.put(cent)
 
+    empty_assign = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "nvec": pa.array([], pa.binary()),
+        }
+    )
+
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # np.stack raises on an empty block
+            return empty_assign
         c = _ray.get(cent_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
@@ -764,12 +794,11 @@ def semantic_dedup(
             - 2.0 * (x @ c.T)
             + (c * c).sum(1)[None, :]
         )
-        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return pa.table(
             {
                 "vec_id": ids,
                 "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
-                "nvec": pa.array([row.tobytes() for row in xn], pa.binary()),
+                "nvec": _pack_nvec(_normalize_rows(x)),
             }
         )
 
@@ -778,9 +807,7 @@ def semantic_dedup(
         for cl, grp in df.groupby("cluster", sort=False):
             grp = grp.sort_values("vec_id", kind="mergesort")
             ids = grp["vec_id"].to_numpy()
-            x = np.frombuffer(
-                b"".join(grp["nvec"]), dtype=np.float64
-            ).reshape(len(grp), -1)
+            x = _unpack_nvec(list(grp["nvec"]))
             sims = x @ x.T
             # lower triangle only: candidate witnesses are LOWER ids (rows
             # sorted ascending), first hit per row = lowest witness id
@@ -863,18 +890,11 @@ def embedding_near_dup_pairs(
     def normalize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        # vectors travel as PLAIN BINARY (float64 LE bytes): a list<double>
-        # column gets auto-cast to Ray's tensor extension, which cannot
-        # survive the join shuffle's sliced blocks (to_pandas buffer error)
-        nvec = pa.array([row.tobytes() for row in m], pa.binary())
-        return pa.table({"vid": ids, "nvec": nvec})
+        # binary-packed (see _pack_nvec: the tensor-extension workaround)
+        return pa.table({"vid": ids, "nvec": _pack_nvec(_normalize_rows(m))})
 
     def _decode(col) -> np.ndarray:
-        bufs = col.to_pylist()
-        return np.frombuffer(b"".join(bufs), dtype=np.float64).reshape(
-            len(bufs), -1
-        )
+        return _unpack_nvec(col.to_pylist())
 
     # normalized once; feeds BOTH the banding stage and the verify joins
     nvecs = (

@@ -192,6 +192,7 @@ class StreamCheckpoint:
             "batch_id": core["batch_id"],
             "processed": core["processed"],
             "processed_floor": core.get("processed_floor"),
+            "below_floor_mark": core.get("below_floor_mark"),
             "max_event_us": core["max_event_us"],
             "metrics": core["metrics"],
             "seen_keys": {},
@@ -377,6 +378,11 @@ class StreamCheckpoint:
             "batch_id": state["batch_id"],
             "processed": state["processed"],
             "processed_floor": state.get("processed_floor"),
+            # the below-floor baseline must SURVIVE restarts: most real
+            # publication-contract breaches land between drains, and a
+            # re-baselined mark would silently absorb the late file
+            # (round-5 review)
+            "below_floor_mark": state.get("below_floor_mark"),
             "max_event_us": state["max_event_us"],
             "metrics": state["metrics"],
             "bucket_us": self.bucket_us,

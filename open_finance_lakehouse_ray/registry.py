@@ -422,7 +422,13 @@ def freshness_report(reg: Registry, *, now: float | None = None) -> dict[str, An
         }
     return out
 
-def emit_schedule(reg: Registry, *, registry_path: str) -> dict[str, Any]:
+def emit_schedule(
+    reg: Registry,
+    *,
+    registry_path: str,
+    base: str | None = None,
+    sf_dir: str | None = None,
+) -> dict[str, Any]:
     """Generate the orchestration schedule FROM the registry — the analog
     of the reference's registry-driven Airflow DAG factory
     (``orchestration/airflow/dags/ofl_dags.py:144-186``), emitted as a
@@ -449,12 +455,21 @@ def emit_schedule(reg: Registry, *, registry_path: str) -> dict[str, Any]:
     that can run a subprocess (Airflow, cron, systemd timers) can execute
     the spec verbatim; ``max_active_runs=1`` is advisory for schedulers —
     the CommitActor + idempotent job ids keep correctness even without it.
+
+    ``base`` mirrors the CLI's ``--base`` override into every emitted
+    command (round-5 review: without it, scheduled runs would re-resolve
+    ``{base}`` from the YAML and maintain different roots than the
+    emitting invocation). Mart commands need a source dir: pass
+    ``sf_dir`` for verbatim-runnable commands; when omitted, the command
+    carries the literal ``{sf_dir}`` placeholder and the spec's
+    ``params`` section says so — a consumer must substitute it.
     """
     cli = ["python", "-m", "open_finance_lakehouse_ray.cli"]
+    base_extra = ["--base", base] if base else []
 
     def regcmd(action: str, *extra: str) -> list[str]:
         return [*cli, "registry", "--registry", registry_path,
-                "--action", action, *extra]
+                "--action", action, *base_extra, *extra]
 
     dags: list[dict[str, Any]] = []
     table_assets = []
@@ -495,7 +510,7 @@ def emit_schedule(reg: Registry, *, registry_path: str) -> dict[str, Any]:
                 {
                     "task_id": f"mart_{m}",
                     "command": regcmd("marts", "--mart", m,
-                                      "--sf-dir", "{sf_dir}"),
+                                      "--sf-dir", sf_dir or "{sf_dir}"),
                     "pool": "oflr-marts",
                     "outlets": [f"mart:{m}"],
                     "retries": 2,
@@ -516,9 +531,22 @@ def emit_schedule(reg: Registry, *, registry_path: str) -> dict[str, Any]:
                 "retries": 0,  # a breach must page, not retry-mask
             }],
         })
+    params: dict[str, Any] = {}
+    if reg.marts and sf_dir is None:
+        # the one non-verbatim token in the spec, declared explicitly so
+        # a consumer cannot miss it (round-5 review: the docstring
+        # promised verbatim-runnable while mart commands carried an
+        # undocumented placeholder)
+        params["sf_dir"] = {
+            "placeholder": "{sf_dir}",
+            "description": "source data dir for mart queries; substitute "
+                           "before running mart commands, or re-emit with "
+                           "--sf-dir",
+        }
     return {
         "version": 1,
         "registry": registry_path,
+        "params": params,
         "pools": {"oflr-maintenance": 2, "oflr-marts": 4},
         "dags": dags,
     }

@@ -518,6 +518,20 @@ def test_emit_schedule_spec(tmp_path):
             assert t["command"][:3] == ["python", "-m",
                                         "open_finance_lakehouse_ray.cli"]
             assert str(path) in t["command"]
+    # without sf_dir, the one non-verbatim token is DECLARED in params
+    assert spec["params"]["sf_dir"]["placeholder"] == "{sf_dir}"
+    # with sf_dir + base, every command is verbatim-runnable and carries
+    # the base override (round-5 review: scheduled runs must resolve the
+    # same roots as the emitting invocation)
+    spec_v = emit_schedule(reg, registry_path=str(path),
+                           base="/mnt/prod", sf_dir="/data/sf")
+    assert spec_v["params"] == {}
+    mt = {d["dag_id"]: d for d in spec_v["dags"]}["oflr_marts"]["tasks"][0]
+    assert "/data/sf" in mt["command"] and "{sf_dir}" not in mt["command"]
+    for d in spec_v["dags"]:
+        for t in d["tasks"]:
+            i = t["command"].index("--base")
+            assert t["command"][i + 1] == "/mnt/prod"
     # no tables without SLA -> no freshness DAG
     path2 = tmp_path / "r2.yml"
     path2.write_text(tw.dedent(f"""

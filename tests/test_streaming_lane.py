@@ -940,3 +940,14 @@ def test_below_floor_arrival_surfaces_metric(tmp_path, monkeypatch):
     # re-listing without new arrivals does not double-count
     proc._pending_files(state)
     assert state["metrics"]["skipped_below_floor"] == 1
+    # the baseline SURVIVES a checkpoint save/load round-trip — most real
+    # breaches land BETWEEN drains, and a re-baselined mark would absorb
+    # the late file silently (round-5 review)
+    proc.ckpt.save(state)
+    state2 = proc.ckpt.load()
+    assert state2["below_floor_mark"] == state["below_floor_mark"]
+    late2 = "f-0002-late.parquet"
+    assert late2 <= floor
+    (src / late2).write_bytes(b"")
+    assert late2 not in proc._pending_files(state2)
+    assert state2["metrics"]["skipped_below_floor"] == 2
