@@ -100,6 +100,18 @@ elif cmd == "compact":
             time.sleep(float(slow))
             return orig(*a, **k)
         cp._compact_bin = slow_bin
+        # ... and hold the FINAL commit open: at harness scale the plan can
+        # be a single bin, and the gap between its record landing and
+        # clear_job after the commit is ~0.1-0.3 s — the scenario's poll
+        # can miss it entirely and the kill lands post-completion (vacuous,
+        # which the verdict rightly refuses to pass; observed round 5 after
+        # the Arrow-pool cap sped compact up). Records-exist-but-commit-
+        # absent is exactly the mid-run state the scenario must freeze.
+        orig_commit = cp.commit_via_actor_or_direct
+        def slow_commit(log, **kw):
+            time.sleep(float(slow) * 6)
+            return orig_commit(log, **kw)
+        cp.commit_via_actor_or_direct = slow_commit
     snap = compact(root, job_id=sys.argv[3], target_bytes=1 * 1024 * 1024)
     print(json.dumps({"version": None if snap is None else snap.version}))
 elif cmd == "ingest-job":
