@@ -4021,3 +4021,76 @@ Q_EMB_SEMANTIC_DUP_SQL = """
 
 QUERIES.update({"emb_semantic_dup": q_emb_semantic_dup})
 ORACLES.update({"emb_semantic_dup": Q_EMB_SEMANTIC_DUP_SQL})
+
+
+def q_doc_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Incremental dedup of an incoming shard against a PERSISTED corpus
+    identity index (the daily-ingest pattern: O(new shard) work +
+    16 B/doc index reads, never a rescan of historical text — see
+    :func:`..dedup.incremental_dedup` for the bucketed shape). History =
+    docs with ``doc_id % 3 != 0`` builds the index; the incoming shard is
+    the remaining docs UNION a ``+20000``-shifted copy of every
+    ``doc_id % 5 == 1`` doc, seeding both cross-shard duplicates (copies
+    of history docs must drop) and within-shard duplicates (a copy whose
+    original is also incoming keeps the smaller id). Novel-keeper ids
+    return; identity is ``md5(text)``, mirrored exactly by the oracle's
+    ``md5()``."""
+    import shutil
+
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        build_hash_index,
+        incremental_dedup,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mod_filter(mod: int, rem: int, flip: bool = False):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % mod) == rem
+            return t.filter(pa.array(~m if flip else m))
+
+        return f
+
+    history = docs.map_batches(_mod_filter(3, 0, flip=True), batch_format="pyarrow")
+    incoming = docs.map_batches(_mod_filter(3, 0), batch_format="pyarrow").union(
+        docs.map_batches(_mod_filter(5, 1), batch_format="pyarrow").map_batches(
+            lambda t: pa.table(
+                {"doc_id": pc.add(t["doc_id"], 20_000), "text": t["text"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    root = _scratch_root("incdedup")
+    try:
+        build_hash_index(history, root)
+        out = (
+            incremental_dedup(incoming, root, update_index=False)
+            .select_columns(["doc_id"])
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q_DOC_INC_DEDUP_SQL = """
+    WITH history AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+    incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id, text FROM documents
+        WHERE doc_id % 5 = 1
+    )
+    SELECT doc_id FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM history h
+                      WHERE md5(h.text) = md5(i.text))
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ORDER BY doc_id
+"""
+
+
+QUERIES.update({"doc_incremental_dedup": q_doc_incremental_dedup})
+ORACLES.update({"doc_incremental_dedup": Q_DOC_INC_DEDUP_SQL})

@@ -1076,3 +1076,128 @@ def test_semantic_dedup_matches_naive(ray_session):
     found = {(int(got.loc[b, "dup_of"]), b) for a_, b in twins
              if not pd.isna(got.loc[b, "dup_of"])}
     assert found <= set(twins)
+
+
+# ---------------------------------------------------------------- incremental
+
+
+def _inc_corpus() -> "ray.data.Dataset":
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": ["alpha", "beta", "gamma", "delta"],
+            }
+        )
+    )
+
+
+def test_incremental_dedup_drops_seen_and_within_shard(ray_session, tmp_path):
+    import ray.data as rd
+
+    idx = str(tmp_path / "idx")
+    n = dd.build_hash_index(_inc_corpus(), idx)
+    assert n == 4
+    incoming = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+                # 10: dup of history 'beta'; 11/13: within-shard dup pair
+                # (keep 11); 12/14: novel singletons
+                "text": ["beta", "epsilon", "zeta", "epsilon", "eta"],
+            }
+        )
+    )
+    out = dd.incremental_dedup(incoming, idx, shard="s1").to_pandas()
+    assert sorted(out["doc_id"]) == [11, 12, 14]
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_incremental_dedup_index_update_feeds_next_shard(ray_session, tmp_path):
+    import ray.data as rd
+
+    idx = str(tmp_path / "idx")
+    dd.build_hash_index(_inc_corpus(), idx)
+    s1 = rd.from_arrow(
+        pa.table({"doc_id": pa.array([10], type=pa.int64()), "text": ["epsilon"]})
+    )
+    assert dd.incremental_dedup(s1, idx, shard="s1").to_pandas()[
+        "doc_id"
+    ].tolist() == [10]
+    # shard 2 re-sends epsilon (now historical via s1's delta) + one novel
+    s2 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([20, 21], type=pa.int64()),
+                "text": ["epsilon", "theta"],
+            }
+        )
+    )
+    out2 = dd.incremental_dedup(s2, idx, shard="s2").to_pandas()
+    assert out2["doc_id"].tolist() == [21]
+
+
+def test_incremental_dedup_rerun_same_shard_is_idempotent(ray_session, tmp_path):
+    import ray.data as rd
+
+    idx = str(tmp_path / "idx")
+    dd.build_hash_index(_inc_corpus(), idx)
+    s1 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11], type=pa.int64()),
+                "text": ["epsilon", "alpha"],
+            }
+        )
+    )
+    first = dd.incremental_dedup(s1, idx, shard="s1").to_pandas()
+    # a killed-and-restarted run of the SAME shard must not see its own
+    # first-attempt deltas as history (the own-delta exclusion)
+    second = dd.incremental_dedup(s1, idx, shard="s1").to_pandas()
+    assert first["doc_id"].tolist() == second["doc_id"].tolist() == [10]
+
+
+def test_build_hash_index_rerun_overwrites_not_appends(ray_session, tmp_path):
+    import os
+
+    idx = str(tmp_path / "idx")
+    dd.build_hash_index(_inc_corpus(), idx)
+    dd.build_hash_index(_inc_corpus(), idx)  # deterministic names: overwrite
+    files = [
+        f
+        for b in sorted(os.listdir(idx))
+        for f in os.listdir(os.path.join(idx, b))
+        if f.endswith(".parquet")
+    ]
+    assert all(f == "base.parquet" for f in files)
+
+
+def test_incremental_dedup_nul_tail_digest_regression(ray_session, tmp_path):
+    """md5('nul-tail-107') ends in 0x00 — a pandas Series.isin value_set
+    coerces bytes through a numpy |S16 array, which strips trailing NULs,
+    so such digests silently missed the index and their historical docs
+    survived as false novels (1-in-256 of all docs). The membership test
+    must probe intact bytes objects."""
+    import hashlib
+
+    import ray.data as rd
+
+    text = "nul-tail-107"
+    assert hashlib.md5(text.encode()).digest()[-1] == 0  # test premise
+    idx = str(tmp_path / "idx")
+    hist = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": [text]})
+    )
+    dd.build_hash_index(hist, idx)
+    incoming = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11], type=pa.int64()),
+                "text": [text, "genuinely new"],
+            }
+        )
+    )
+    out = dd.incremental_dedup(incoming, idx, shard="s1").to_pandas()
+    assert out["doc_id"].tolist() == [11]

@@ -356,6 +356,62 @@ def main() -> int:
     out["span_scrub_rows"] = int(len(sc))
     out["span_scrub_exact_match"] = scrub_ok and len(sc) == corpus.num_rows
 
+    # --- incremental dedup at scale (round 5): persist the 100k-corpus
+    # identity index (16 B/doc), then dedup a mixed incoming shard against
+    # it WITHOUT rescanning corpus text. Closed-form expectation: exact
+    # copies of corpus docs drop (cross-shard), each novel doc's shifted
+    # duplicate drops to the smaller id (within-shard), and exactly the
+    # n_base re-salted novel docs survive.
+    import shutil
+    import tempfile
+
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        build_hash_index,
+        incremental_dedup,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="oflr-incidx-")
+    t0 = time.perf_counter()
+    n_idx = build_hash_index(docs, idx_dir)
+    out["index_build_sec"] = round(time.perf_counter() - t0, 2)
+    out["index_entries"] = n_idx
+
+    inc_ids, inc_texts = [], []
+    nxt2 = 10_000_000
+    novel_expect = []
+    for bid, t in zip(base_ids, base_texts):
+        w = t.split()
+        for j in range(0, len(w), 3):
+            w[j] = f"s{REPLICATE}d{bid}j{j}"  # unseen replica salt -> novel
+        inc_ids.append(nxt2)
+        inc_texts.append(" ".join(w))
+        novel_expect.append(nxt2)
+        nxt2 += 1
+        inc_ids.append(nxt2)  # within-shard duplicate of the novel doc
+        inc_texts.append(" ".join(w))
+        nxt2 += 1
+    for txt in texts[:n_base]:  # corpus members verbatim -> must all drop
+        inc_ids.append(nxt2)
+        inc_texts.append(txt)
+        nxt2 += 1
+    inc_tab = pa.table({"doc_id": pa.array(inc_ids, pa.int64()),
+                        "text": pa.array(inc_texts, pa.string())})
+    inc_scratch = "/tmp/oflr-incshard.parquet"
+    pq.write_table(inc_tab, inc_scratch)
+    inc_ds = rd.read_parquet(inc_scratch).repartition(NUM_CPUS)
+    t0 = time.perf_counter()
+    kept = (
+        incremental_dedup(inc_ds, idx_dir, shard="s1")
+        .select_columns(["doc_id"])
+        .to_pandas()
+    )
+    out["incremental_dedup_sec"] = round(time.perf_counter() - t0, 2)
+    out["incremental_shard_rows"] = inc_tab.num_rows
+    out["incremental_kept"] = int(len(kept))
+    out["incremental_exact_match"] = set(kept["doc_id"]) == set(novel_expect)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    os.unlink(inc_scratch)
+
     out["ok"] = bool(
         out["ngram_jaccard_exact_match"]
         and out["minhash_subset_of_seeded"]
@@ -369,6 +425,8 @@ def main() -> int:
         and out["semantic_subset_of_seeded"]
         and out["semantic_recall"] >= 0.95
         and out["span_scrub_exact_match"]
+        and out["index_entries"] == corpus.num_rows
+        and out["incremental_exact_match"]
     )
     ray.shutdown()
     os.unlink(scratch)
