@@ -1835,7 +1835,8 @@ def build_hash_index(
         .map_groups(_writer, batch_format="pandas")
         .to_pandas()
     )
-    return int(counts["n"].sum())
+    # an empty corpus produces an empty frame with no columns at all
+    return int(counts["n"].sum()) if "n" in counts.columns else 0
 
 
 def incremental_dedup(

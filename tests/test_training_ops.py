@@ -1201,3 +1201,50 @@ def test_incremental_dedup_nul_tail_digest_regression(ray_session, tmp_path):
     )
     out = dd.incremental_dedup(incoming, idx, shard="s1").to_pandas()
     assert out["doc_id"].tolist() == [11]
+
+
+def test_build_hash_index_empty_corpus(ray_session, tmp_path):
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    )
+    assert dd.build_hash_index(empty, str(tmp_path / "idx")) == 0
+
+
+def test_incremental_dedup_matches_naive_reference(ray_session, tmp_path):
+    """Randomized (seeded) equivalence vs a naive in-process reference:
+    arbitrary history/shard with heavy text collisions, including texts
+    whose md5 ends in 0x00 occasionally (256-way alphabet)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(40)]
+    mk = lambda: " ".join(rng.choice(vocab, size=rng.integers(1, 5)))
+    hist_texts = [mk() for _ in range(300)]
+    shard_texts = [mk() for _ in range(200)]
+    idx = str(tmp_path / "idx")
+    dd.build_hash_index(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(300), type=pa.int64()),
+            "text": hist_texts,
+        })),
+        idx,
+    )
+    shard_ids = list(range(1000, 1200))
+    out = dd.incremental_dedup(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(shard_ids, type=pa.int64()),
+            "text": shard_texts,
+        })),
+        idx,
+        shard="s1",
+    ).to_pandas()
+    hset = set(hist_texts)
+    naive, seen_new = [], set()
+    for i, t in zip(shard_ids, shard_texts):
+        if t not in hset and t not in seen_new:
+            naive.append(i)
+            seen_new.add(t)
+    assert sorted(out["doc_id"]) == sorted(naive)
