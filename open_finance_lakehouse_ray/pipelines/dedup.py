@@ -1921,3 +1921,204 @@ def incremental_dedup(
         .groupby("_bucket")
         .map_groups(_anti, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental near-dup against a persisted MinHash band index
+# --------------------------------------------------------------------------
+
+
+def _atomic_write_parquet(path: str, table: pa.Table) -> None:
+    """tmp-write-then-rename publish (same pattern as the txlog manifests
+    and :func:`_write_bucket_delta`) — readers only ever see complete
+    files, and a deterministic name means a retry overwrites."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _band_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
+    """Append ``_bucket`` = stable hash of (band_id, band_hash) mod
+    ``num_buckets`` — MUST be identical between index build and lookup,
+    so it is defined once (splitmix64 of the combined key, the repo's
+    stable vectorized mix)."""
+    from open_finance_lakehouse_ray.functions.hashing import splitmix64
+
+    bh = (
+        t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    )
+    bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    key = splitmix64(bh + bid * np.uint64(0x9E3779B97F4A7C15))
+    return t.append_column(
+        "_bucket", pa.array((key % np.uint64(num_buckets)).astype(np.int64))
+    )
+
+
+def build_band_index(
+    docs: rd.Dataset,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    num_buckets: int = INDEX_BUCKETS,
+    shard: str = "base",
+) -> int:
+    """Persist the MinHash LSH band index of a corpus — the near-dup
+    analog of :func:`build_hash_index`. One (band_id, band_hash, doc_id)
+    row per band per doc (24 B × ``bands`` per doc; signatures themselves
+    are NOT stored — candidate generation only needs the band keys),
+    hash-partitioned by the band key into ``bucket=NNNN/<shard>.parquet``
+    files with deterministic names (retry overwrites). Corpus growth is
+    incremental: index each accepted shard under its own ``shard`` tag
+    AFTER screening it with :func:`incremental_near_dup` (indexing it
+    first would self-match). Returns the number of band rows written.
+    """
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = minhash_signatures(
+            batch[text_col].to_pylist(), num_perm=num_perm, k=shingle_k
+        )
+        return _band_bucket(band_rows(ids, sigs, bands=bands), num_buckets)
+
+    def _writer(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, g in df.groupby("_bucket", sort=True):
+            g = g.drop_duplicates(["band_id", "band_hash", "doc_id"])
+            _atomic_write_parquet(
+                _bucket_delta_path(index_dir, int(b), shard),
+                pa.table(
+                    {
+                        "band_id": pa.array(g["band_id"], pa.int64()),
+                        "band_hash": pa.array(g["band_hash"], pa.int64()),
+                        "doc_id": pa.array(g["doc_id"], pa.int64()),
+                    }
+                ),
+            )
+            rows.append((int(b), len(g)))
+        return pd.DataFrame(rows, columns=["bucket", "n"])
+
+    os.makedirs(index_dir, exist_ok=True)
+    counts = (
+        docs.map_batches(sig_stage, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_writer, batch_format="pandas")
+        .to_pandas()
+    )
+    return int(counts["n"].sum()) if "n" in counts.columns else 0
+
+
+def incremental_near_dup(
+    new_docs: rd.Dataset,
+    index_dir: str,
+    history_docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    num_buckets: int = INDEX_BUCKETS,
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
+) -> pa.Table:
+    """Flag arriving documents that are near-duplicates of the PERSISTED
+    corpus without rescanning it — the fuzzy analog of
+    :func:`incremental_dedup` (same daily-ingest pattern; same O(shard)
+    candidate cost). ``history_docs`` is touched ONLY to fetch the texts
+    of candidate partners during verification — O(candidates) rows
+    through the bucketed join, never a corpus scan.
+
+    Returns (id_a, id_b, jaccard): ``id_a`` = incoming doc, ``id_b`` =
+    historical partner, EXACT k-shingle Jaccard >= ``threshold`` —
+    verification is exact, so LSH recall is the only approximation
+    (identical contract to :func:`minhash_near_dup_pairs`). Incoming ×
+    incoming pairs are out of scope by construction (candidates only
+    cross the index). Requires id spaces disjoint between shard and
+    corpus; equal-id matches are dropped defensively. ``num_perm`` /
+    ``bands`` / ``shingle_k`` must match the index build — they define
+    the band keys.
+
+    Distributed shape: ONE band-key shuffle of the incoming shard's band
+    rows (``bands`` rows per doc); each bucket task reads only its own
+    bucket's persisted band files and emits cross-side candidates via a
+    vectorized merge. Verification reuses :func:`_verified_pairs` — pair
+    dedup + text attach, size-guarded broadcast vs bucketed joins.
+    """
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = minhash_signatures(
+            batch[text_col].to_pylist(), num_perm=num_perm, k=shingle_k
+        )
+        return _band_bucket(band_rows(ids, sigs, bands=bands), num_buckets)
+
+    def _match(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.array([], dtype="int64"),
+                "id_b": pd.array([], dtype="int64"),
+            }
+        )
+        out = []
+        for b, g in df.groupby("_bucket", sort=True):
+            bucket_dir = os.path.join(index_dir, f"bucket={int(b):04d}")
+            if not os.path.isdir(bucket_dir):
+                continue
+            parts = [
+                pq.read_table(os.path.join(bucket_dir, f))
+                for f in sorted(os.listdir(bucket_dir))
+                if f.endswith(".parquet")
+            ]
+            if not parts:
+                continue
+            hist = pa.concat_tables(parts).to_pandas()
+            m = g[["band_id", "band_hash", "doc_id"]].merge(
+                hist, on=["band_id", "band_hash"], suffixes=("_new", "_hist")
+            )
+            m = m[m["doc_id_new"] != m["doc_id_hist"]]
+            if len(m):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": m["doc_id_new"].astype("int64"),
+                            "id_b": m["doc_id_hist"].astype("int64"),
+                        }
+                    ).drop_duplicates()
+                )
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    cand = (
+        new_docs.map_batches(sig_stage, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_match, batch_format="pandas")
+    )
+    texts_all = history_docs.select_columns([id_col, text_col]).union(
+        new_docs.select_columns([id_col, text_col])
+    )
+    # a Union plan classifies as "source" in _maybe_pin: no metadata-free
+    # size probe exists, so nothing pins and verification takes the
+    # bucketed-join scale path — the documented conservative bound
+    texts, tsize, _ = _maybe_pin(texts_all, estimate_from=texts_all)
+    small = (not _force_scale()) and (
+        tsize is not None and tsize <= broadcast_max_bytes
+    )
+    return _verified_pairs(
+        cand,
+        texts,
+        small,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        shingle_k=shingle_k,
+    )

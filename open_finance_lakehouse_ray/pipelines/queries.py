@@ -4094,3 +4094,99 @@ Q_DOC_INC_DEDUP_SQL = """
 
 QUERIES.update({"doc_incremental_dedup": q_doc_incremental_dedup})
 ORACLES.update({"doc_incremental_dedup": Q_DOC_INC_DEDUP_SQL})
+
+
+def q_doc_incremental_near_dup(sf_dir: str) -> pa.Table:
+    """Incremental NEAR-dup screening of an incoming shard against a
+    persisted MinHash band index (the fuzzy analog of
+    `doc_incremental_dedup`: O(shard) candidate generation, historical
+    text touched only for candidate partners). History = docs with
+    ``doc_id % 3 != 0``; the incoming shard is the remaining docs UNION a
+    last-word-edited variant (``+30000``-shifted id, last token →
+    'freshtail') of every ``doc_id % 10 == 1`` doc — long variants land
+    above the 0.8 exact-Jaccard threshold, short ones legitimately fall
+    below it, and both sides compute the same exact Jaccard so the gate
+    is hash-exact (LSH recall is the only approximation, ~1.0 at these
+    thresholds). Returns (id_a=incoming, id_b=history, jaccard)."""
+    import shutil
+
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        build_band_index,
+        incremental_near_dup,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mod_filter(mod: int, rem: int, flip: bool = False):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % mod) == rem
+            return t.filter(pa.array(~m if flip else m))
+
+        return f
+
+    def _variant(t: pa.Table) -> pa.Table:
+        texts = []
+        for s in t["text"].to_pylist():
+            w = s.split(" ")
+            w[-1] = "freshtail"
+            texts.append(" ".join(w))
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 30_000),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    history = docs.map_batches(_mod_filter(3, 0, flip=True), batch_format="pyarrow")
+    incoming = docs.map_batches(_mod_filter(3, 0), batch_format="pyarrow").union(
+        docs.map_batches(_mod_filter(10, 1), batch_format="pyarrow").map_batches(
+            _variant, batch_format="pyarrow"
+        )
+    )
+    root = _scratch_root("incnd")
+    try:
+        build_band_index(history, root)
+        out = incremental_near_dup(
+            incoming, root, history, threshold=0.8
+        ).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out["jaccard"] = _round_half_away(out["jaccard"], 3)
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q_DOC_INC_NEAR_DUP_SQL = """
+    WITH history AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    variants AS (
+        SELECT doc_id + 30000 AS doc_id,
+               array_to_string(list_append(w[1:len(w)-1], 'freshtail'), ' ')
+                   AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE doc_id % 10 = 1)
+    ),
+    incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL SELECT doc_id, text FROM variants
+    ),
+    shn AS (SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) s
+            FROM (SELECT doc_id, string_split(text, ' ') w FROM incoming)),
+    shh AS (SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) s
+            FROM (SELECT doc_id, string_split(text, ' ') w FROM history))
+    SELECT n.doc_id AS id_a, h.doc_id AS id_b,
+           ROUND(len(list_intersect(n.s, h.s))::DOUBLE /
+                 len(list_distinct(list_concat(n.s, h.s))), 3) AS jaccard
+    FROM shn n JOIN shh h
+      ON len(list_intersect(n.s, h.s))::DOUBLE /
+         len(list_distinct(list_concat(n.s, h.s))) >= 0.8
+    ORDER BY id_a, id_b
+"""
+
+
+QUERIES.update({"doc_incremental_near_dup": q_doc_incremental_near_dup})
+ORACLES.update({"doc_incremental_near_dup": Q_DOC_INC_NEAR_DUP_SQL})

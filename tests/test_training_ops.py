@@ -1248,3 +1248,69 @@ def test_incremental_dedup_matches_naive_reference(ray_session, tmp_path):
             naive.append(i)
             seen_new.add(t)
     assert sorted(out["doc_id"]) == sorted(naive)
+
+
+def _long_doc(tag: str, n: int = 40) -> str:
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_incremental_near_dup_flags_seeded_variant(ray_session, tmp_path):
+    import ray.data as rd
+
+    idx = str(tmp_path / "bidx")
+    base = _long_doc("h")
+    hist = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": [base, _long_doc("z")],
+            }
+        )
+    )
+    n_rows = dd.build_band_index(hist, idx)
+    assert n_rows == 2 * 32  # 32 band rows per doc
+    variant = base.rsplit(" ", 1)[0] + " edited"
+    incoming = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11], type=pa.int64()),
+                "text": [variant, _long_doc("q")],
+            }
+        )
+    )
+    out = dd.incremental_near_dup(incoming, idx, hist, threshold=0.8).to_pandas()
+    assert out[["id_a", "id_b"]].values.tolist() == [[10, 1]]
+    assert out["jaccard"].iloc[0] == pytest.approx(
+        dd.exact_jaccard(variant, base)
+    )
+
+
+def test_incremental_near_dup_index_grows_per_shard(ray_session, tmp_path):
+    """Corpus growth contract: screen a shard, then index it under its own
+    tag; the NEXT shard's near-dups of shard-1 docs are flagged."""
+    import ray.data as rd
+
+    idx = str(tmp_path / "bidx")
+    hist = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1], type=pa.int64()), "text": [_long_doc("h")]}
+        )
+    )
+    dd.build_band_index(hist, idx, shard="base")
+    s1_doc = _long_doc("s")
+    s1 = rd.from_arrow(
+        pa.table({"doc_id": pa.array([10], type=pa.int64()), "text": [s1_doc]})
+    )
+    assert len(dd.incremental_near_dup(s1, idx, hist, threshold=0.8)) == 0
+    dd.build_band_index(s1, idx, shard="s1")  # accepted -> index it
+    corpus = hist.union(s1)
+    s2 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([20], type=pa.int64()),
+                "text": [s1_doc.rsplit(" ", 1)[0] + " edited"],
+            }
+        )
+    )
+    out = dd.incremental_near_dup(s2, idx, corpus, threshold=0.8).to_pandas()
+    assert out[["id_a", "id_b"]].values.tolist() == [[20, 10]]

@@ -412,6 +412,64 @@ def main() -> int:
     shutil.rmtree(idx_dir, ignore_errors=True)
     os.unlink(inc_scratch)
 
+    # --- incremental NEAR-dup at scale (late round 5): persist the MinHash
+    # band index of the full 100k corpus, then screen a mixed shard —
+    # last-word variants of every 13th corpus doc (expected partners
+    # computable in closed form: the doc itself, plus its twin when one
+    # exists, whichever clear exact-Jaccard 0.8) and 500 freshly-salted
+    # novel docs that must flag NOTHING (salts kill every shared shingle).
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        build_band_index,
+        exact_jaccard,
+        incremental_near_dup,
+    )
+
+    bidx = tempfile.mkdtemp(prefix="oflr-bandidx-")
+    t0 = time.perf_counter()
+    n_band_rows = build_band_index(docs, bidx)
+    out["band_index_build_sec"] = round(time.perf_counter() - t0, 2)
+    out["band_index_rows"] = n_band_rows
+
+    twin_of = {}
+    for a, b in twin_pairs:
+        twin_of[a] = b
+        twin_of[b] = a
+    nd_ids, nd_texts, exp_nd = [], [], set()
+    nxt3 = 20_000_000
+    for i in range(0, len(ids), 13):
+        cid, t = ids[i], texts[i]
+        w = t.split(" ")
+        w[-1] = "freshtail"
+        v = " ".join(w)
+        nd_ids.append(nxt3)
+        nd_texts.append(v)
+        for partner in [cid] + ([twin_of[cid]] if cid in twin_of else []):
+            if exact_jaccard(v, by_id[partner]) >= 0.8:
+                exp_nd.add((nxt3, partner))
+        nxt3 += 1
+    for bid, t in list(zip(base_ids, base_texts))[:500]:
+        w = t.split()
+        for j in range(0, len(w), 3):
+            w[j] = f"s{REPLICATE + 1}d{bid}j{j}"  # unseen salt: no shingles shared
+        nd_ids.append(nxt3)
+        nd_texts.append(" ".join(w))
+        nxt3 += 1
+    nd_tab = pa.table({"doc_id": pa.array(nd_ids, pa.int64()),
+                       "text": pa.array(nd_texts, pa.string())})
+    nd_scratch = "/tmp/oflr-ndshard.parquet"
+    pq.write_table(nd_tab, nd_scratch)
+    nd_ds = rd.read_parquet(nd_scratch).repartition(NUM_CPUS)
+    t0 = time.perf_counter()
+    got_nd = incremental_near_dup(nd_ds, bidx, docs, threshold=0.8)
+    out["incremental_near_dup_sec"] = round(time.perf_counter() - t0, 2)
+    got_set = set(zip(got_nd["id_a"].to_pylist(), got_nd["id_b"].to_pylist()))
+    out["incnd_shard_rows"] = nd_tab.num_rows
+    out["incnd_expected"] = len(exp_nd)
+    out["incnd_found"] = len(got_set)
+    out["incnd_exact_match"] = got_set == exp_nd
+    shutil.rmtree(bidx, ignore_errors=True)
+    os.unlink(nd_scratch)
+
     out["ok"] = bool(
         out["ngram_jaccard_exact_match"]
         and out["minhash_subset_of_seeded"]
@@ -427,6 +485,7 @@ def main() -> int:
         and out["span_scrub_exact_match"]
         and out["index_entries"] == corpus.num_rows
         and out["incremental_exact_match"]
+        and out["incnd_exact_match"]
     )
     ray.shutdown()
     os.unlink(scratch)
