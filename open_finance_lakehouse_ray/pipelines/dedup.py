@@ -2122,3 +2122,235 @@ def incremental_near_dup(
         threshold=threshold,
         shingle_k=shingle_k,
     )
+
+
+# --------------------------------------------------------------------------
+# incremental semantic dedup against a persisted cluster-bucketed vector index
+# --------------------------------------------------------------------------
+
+
+def _cluster_assign_fn(cent_ref, id_col: str, vec_col: str, num_buckets: int):
+    """``map_batches`` fn: nearest-centroid assignment (the |x|²−2x·c+|c|²
+    expansion, one matmul per batch — :func:`semantic_dedup`'s kernel)
+    emitting (vec_id, cluster, nvec, _bucket) rows. Defined once so the
+    index build and the shard lookup use the IDENTICAL assignment."""
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "nvec": pa.array([], pa.binary()),
+            "_bucket": pa.array([], pa.int64()),
+        }
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        c = ray.get(cent_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        d2 = (
+            (x * x).sum(1, keepdims=True)
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        cl = d2.argmin(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": ids,
+                "cluster": pa.array(cl),
+                "nvec": _pack_nvec(_normalize_rows(x)),
+                "_bucket": pa.array(cl % np.int64(num_buckets)),
+            }
+        )
+
+    return assign
+
+
+def build_vector_index(
+    emb: rd.Dataset,
+    index_dir: str,
+    *,
+    k: int = 8,
+    centroids: "np.ndarray | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = INDEX_BUCKETS,
+    shard: str = "base",
+) -> int:
+    """Persist the cluster-bucketed vector index of an embedding corpus —
+    the semantic analog of :func:`build_hash_index` / `build_band_index`.
+    Stores the centroids (``_centroids.parquet``, the assignment contract
+    every later lookup MUST reuse) plus per-bucket (cluster, vec_id, nvec)
+    rows — normalized float64 vectors, so screening needs no re-read of
+    the corpus. Default centroids are :func:`semantic_dedup`'s
+    deterministic k-lowest-id head (SQL-replicable); production passes
+    ``kmeans_distributed`` centroids with k sized to bound cluster
+    populations (SemDeDup's published scale knob — the per-bucket matmul
+    at lookup is O(shard_cluster × hist_cluster)). Returns rows written.
+    """
+    from open_finance_lakehouse_ray.pipelines.similarity import _det_head
+
+    mat = emb.select_columns([id_col, vec_col])
+    if centroids is None:
+        cent = _det_head(mat, id_col, vec_col, k)
+    else:
+        cent = np.asarray(centroids, dtype=np.float64)
+    os.makedirs(index_dir, exist_ok=True)
+    cent_path = os.path.join(index_dir, "_centroids.parquet")
+    if os.path.exists(cent_path):
+        # an index's centroids ARE its assignment contract: silently
+        # replacing them would leave already-stored vectors bucketed
+        # under an assignment later lookups no longer reproduce
+        import pyarrow.parquet as pq
+
+        prior = np.stack(
+            [
+                np.frombuffer(b, dtype=np.float64)
+                for b in pq.read_table(cent_path)["cvec"].to_pylist()
+            ]
+        )
+        if prior.shape != cent.shape or not np.array_equal(prior, cent):
+            raise ValueError(
+                "build_vector_index: index at %r already has different "
+                "centroids; index later shards with the PERSISTED "
+                "centroids (read _centroids.parquet), or build a new "
+                "index dir" % index_dir
+            )
+    else:
+        _atomic_write_parquet(
+            cent_path,
+            pa.table(
+                {
+                    "cluster": pa.array(range(len(cent)), pa.int64()),
+                    "cvec": pa.array([c.tobytes() for c in cent], pa.binary()),
+                }
+            ),
+        )
+    cent_ref = ray.put(cent)
+
+    def _writer(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, g in df.groupby("_bucket", sort=True):
+            _atomic_write_parquet(
+                _bucket_delta_path(index_dir, int(b), shard),
+                pa.table(
+                    {
+                        "cluster": pa.array(g["cluster"], pa.int64()),
+                        "vec_id": pa.array(g["vec_id"], pa.int64()),
+                        "nvec": pa.array(list(g["nvec"]), pa.binary()),
+                    }
+                ),
+            )
+            rows.append((int(b), len(g)))
+        return pd.DataFrame(rows, columns=["bucket", "n"])
+
+    counts = (
+        mat.map_batches(
+            _cluster_assign_fn(cent_ref, id_col, vec_col, num_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(_writer, batch_format="pandas")
+        .to_pandas()
+    )
+    return int(counts["n"].sum()) if "n" in counts.columns else 0
+
+
+def incremental_semantic_dup(
+    new_emb: rd.Dataset,
+    index_dir: str,
+    *,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = INDEX_BUCKETS,
+) -> pa.Table:
+    """Screen an arriving embedding shard against the persisted semantic
+    index — the third modality of the incremental family (exact identity,
+    MinHash text near-dup, embedding-cosine near-dup), same O(shard)
+    contract: assignment is one matmul per batch against the PERSISTED
+    centroids, ONE bounded cluster shuffle, and each bucket task reads
+    only its own bucket's stored vectors. Returns (vec_id, cluster,
+    dup_of) for EVERY incoming vector — ``dup_of`` = lowest historical id
+    in the same cluster with cosine >= ``threshold`` (NULL = novel; the
+    SemDeDup keep rule against history). Incoming × incoming pairs are
+    out of scope, matching the rest of the incremental family; cluster
+    growth is per-shard via ``build_vector_index(..., shard=...)`` after
+    screening."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    cent = np.stack(
+        [np.frombuffer(b, dtype=np.float64) for b in ct["cvec"].to_pylist()]
+    )
+    cent_ref = ray.put(cent)
+
+    def _match(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b, g in df.groupby("_bucket", sort=True):
+            bucket_dir = os.path.join(index_dir, f"bucket={int(b):04d}")
+            hist = None
+            if os.path.isdir(bucket_dir):
+                parts = [
+                    pq.read_table(os.path.join(bucket_dir, f))
+                    for f in sorted(os.listdir(bucket_dir))
+                    if f.endswith(".parquet")
+                ]
+                if parts:
+                    hist = pa.concat_tables(parts).to_pandas()
+            for cl, grp in g.groupby("cluster", sort=False):
+                ids = grp["vec_id"].to_numpy()
+                dup = np.full(len(grp), -1, dtype=np.int64)
+                h = (
+                    hist[hist["cluster"] == cl]
+                    if hist is not None
+                    else None
+                )
+                if h is not None and len(h):
+                    x = _unpack_nvec(list(grp["nvec"]))
+                    hv = _unpack_nvec(list(h["nvec"]))
+                    hid = h["vec_id"].to_numpy()
+                    order = np.argsort(hid, kind="stable")
+                    sims = x @ hv[order].T
+                    hit = sims >= threshold
+                    any_hit = hit.any(axis=1)
+                    first = hit.argmax(axis=1)
+                    dup = np.where(any_hit, hid[order][first], -1)
+                out.append(
+                    pd.DataFrame(
+                        {"vec_id": ids, "cluster": int(cl), "dup_of": dup}
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.array([], dtype="int64"),
+                    "cluster": pd.array([], dtype="int64"),
+                    "dup_of": pd.array([], dtype="int64"),
+                }
+            )
+        res = pd.concat(out, ignore_index=True)
+        res["dup_of"] = res["dup_of"].astype("int64")
+        return res
+
+    got = (
+        new_emb.select_columns([id_col, vec_col])
+        .map_batches(
+            _cluster_assign_fn(cent_ref, id_col, vec_col, num_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(_match, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    t = pa.Table.from_pandas(got.reset_index(drop=True), preserve_index=False)
+    dup = t["dup_of"]
+    t = t.set_column(
+        t.column_names.index("dup_of"),
+        "dup_of",
+        _pc.if_else(_pc.equal(dup, -1), pa.nulls(t.num_rows, pa.int64()), dup),
+    )
+    return t

@@ -4190,3 +4190,109 @@ Q_DOC_INC_NEAR_DUP_SQL = """
 
 QUERIES.update({"doc_incremental_near_dup": q_doc_incremental_near_dup})
 ORACLES.update({"doc_incremental_near_dup": Q_DOC_INC_NEAR_DUP_SQL})
+
+
+def q_emb_incremental_semantic(sf_dir: str) -> pa.Table:
+    """Incremental SEMANTIC dedup of an arriving embedding shard against a
+    persisted cluster-bucketed vector index — the third modality of the
+    incremental family (see `doc_incremental_dedup` /
+    `doc_incremental_near_dup`). History = vectors with
+    ``vec_id % 3 != 0`` builds the index (deterministic k=8 lowest-id
+    centroids, the SQL-replicable default); the incoming shard is the
+    remaining vectors UNION a ×2-scaled copy (``+40000``-shifted id) of
+    every history vector with ``vec_id % 7 == 2`` — scaling by a power of
+    two is EXACT in float32, and cosine is scale-invariant, so each copy
+    is cosine-1.0 to its original (caught iff they co-cluster, which a
+    scaled copy need not: its squared-distance argmin can differ — both
+    sides compute the same assignment, so the gate stays hash-exact).
+    Returns (vec_id, cluster, dup_of) per incoming vector at threshold
+    0.35."""
+    import shutil
+
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        build_vector_index,
+        incremental_semantic_dup,
+    )
+
+    emb = _emb(sf_dir).select_columns(["vec_id", "embedding"])
+
+    def _mod_filter(mod: int, rem: int, flip: bool = False):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            m = (ids % mod) == rem
+            return t.filter(pa.array(~m if flip else m))
+
+        return f
+
+    def _variant(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        scaled = pa.ListArray.from_arrays(
+            arr.offsets, pc.multiply(arr.values, pa.scalar(2.0, pa.float32()))
+        )
+        return pa.table(
+            {"vec_id": pc.add(t["vec_id"], 40_000), "embedding": scaled}
+        )
+
+    history = emb.map_batches(_mod_filter(3, 0, flip=True), batch_format="pyarrow")
+    incoming = emb.map_batches(_mod_filter(3, 0), batch_format="pyarrow").union(
+        emb.map_batches(_mod_filter(3, 0, flip=True), batch_format="pyarrow")
+        .map_batches(_mod_filter(7, 2), batch_format="pyarrow")
+        .map_batches(_variant, batch_format="pyarrow")
+    )
+    root = _scratch_root("incsem")
+    try:
+        build_vector_index(history, root, k=8)
+        out = incremental_semantic_dup(incoming, root, threshold=0.35)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+Q_EMB_INC_SEMANTIC_SQL = """
+    WITH history AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE vec_id % 3 <> 0),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                    CAST(embedding AS DOUBLE[]) AS cv
+             FROM (SELECT * FROM history ORDER BY vec_id LIMIT 8)),
+    incoming AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 3 = 0
+        UNION ALL
+        SELECT vec_id + 40000,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id % 7 = 2
+    ),
+    iassign AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT i.vec_id, i.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY i.vec_id
+                       ORDER BY list_distance(i.v, c.cv), c.cid) AS rk
+            FROM incoming i CROSS JOIN cent c)
+        WHERE rk = 1
+    ),
+    hassign AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT h.vec_id, CAST(h.embedding AS DOUBLE[]) AS v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY h.vec_id
+                       ORDER BY list_distance(CAST(h.embedding AS DOUBLE[]),
+                                              c.cv), c.cid) AS rk
+            FROM history h CROSS JOIN cent c)
+        WHERE rk = 1
+    ),
+    dup AS (
+        SELECT i.vec_id, min(h.vec_id) AS dup_of
+        FROM iassign i JOIN hassign h ON i.cluster = h.cluster
+        WHERE list_cosine_similarity(i.v, h.v) >= 0.35
+        GROUP BY i.vec_id
+    )
+    SELECT i.vec_id, CAST(i.cluster AS BIGINT) AS cluster,
+           CAST(dup.dup_of AS BIGINT) AS dup_of
+    FROM iassign i LEFT JOIN dup ON i.vec_id = dup.vec_id
+    ORDER BY i.vec_id
+"""
+
+
+QUERIES.update({"emb_incremental_semantic": q_emb_incremental_semantic})
+ORACLES.update({"emb_incremental_semantic": Q_EMB_INC_SEMANTIC_SQL})

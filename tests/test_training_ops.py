@@ -1314,3 +1314,84 @@ def test_incremental_near_dup_index_grows_per_shard(ray_session, tmp_path):
     )
     out = dd.incremental_near_dup(s2, idx, corpus, threshold=0.8).to_pandas()
     assert out[["id_a", "id_b"]].values.tolist() == [[20, 10]]
+
+
+def _vec_tab(ids, vecs):
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, dtype=np.float32) for v in vecs]
+            ),
+        }
+    )
+
+
+def test_incremental_semantic_dup_flags_scaled_copy(ray_session, tmp_path):
+    import ray.data as rd
+
+    idx = str(tmp_path / "vidx")
+    hist = rd.from_arrow(
+        _vec_tab([1, 2], [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    )
+    n = dd.build_vector_index(hist, idx, k=2)
+    assert n == 2
+    incoming = rd.from_arrow(
+        _vec_tab(
+            [10, 11],
+            [[2.0, 0.0, 0.0, 0.0],  # scaled copy of vec 1: cosine 1.0
+             [0.0, 0.0, 0.0, 5.0]],  # orthogonal to both: novel
+        )
+    )
+    out = dd.incremental_semantic_dup(incoming, idx, threshold=0.9).to_pandas()
+    out = out.set_index("vec_id")
+    assert int(out.loc[10, "dup_of"]) == 1
+    assert pd.isna(out.loc[11, "dup_of"])
+
+
+def test_incremental_semantic_index_grows_per_shard(ray_session, tmp_path):
+    import ray.data as rd
+
+    idx = str(tmp_path / "vidx")
+    hist = rd.from_arrow(_vec_tab([1], [[1.0, 0.0, 0.0]]))
+    dd.build_vector_index(hist, idx, k=1)
+    s1 = rd.from_arrow(_vec_tab([10], [[0.0, 1.0, 0.0]]))
+    o1 = dd.incremental_semantic_dup(s1, idx, threshold=0.9).to_pandas()
+    assert pd.isna(o1["dup_of"].iloc[0])  # novel
+    # accepted: index the shard against the SAME persisted centroids
+    import pyarrow.parquet as pq_
+
+    ct = pq_.read_table(str(tmp_path / "vidx" / "_centroids.parquet"))
+    cent = np.stack(
+        [np.frombuffer(b, dtype=np.float64) for b in ct["cvec"].to_pylist()]
+    )
+    dd.build_vector_index(s1, idx, centroids=cent, shard="s1")
+    s2 = rd.from_arrow(_vec_tab([20], [[0.0, 2.0, 0.0]]))  # copy of s1 doc
+    o2 = dd.incremental_semantic_dup(s2, idx, threshold=0.9).to_pandas()
+    assert int(o2["dup_of"].iloc[0]) == 10
+
+
+def test_build_vector_index_rejects_divergent_centroids(ray_session, tmp_path):
+    """The persisted centroids are the index's assignment contract —
+    re-indexing with different centroids must raise, not silently corrupt
+    the bucketing of already-stored vectors."""
+    import ray.data as rd
+
+    idx = str(tmp_path / "vidx")
+    dd.build_vector_index(
+        rd.from_arrow(_vec_tab([1, 2], [[1.0, 0.0], [0.0, 1.0]])), idx, k=2
+    )
+    with pytest.raises(ValueError, match="different centroids"):
+        dd.build_vector_index(
+            rd.from_arrow(_vec_tab([10], [[0.5, 0.5]])),
+            idx,
+            centroids=np.array([[9.0, 9.0]]),
+            shard="s1",
+        )
+    # same centroids (the contract) still extend the index fine
+    dd.build_vector_index(
+        rd.from_arrow(_vec_tab([10], [[0.5, 0.5]])),
+        idx,
+        centroids=np.array([[1.0, 0.0], [0.0, 1.0]], dtype=np.float64),
+        shard="s1",
+    )

@@ -200,7 +200,8 @@ def main() -> int:
     out["semantic_recall"] = round(
         len(sd_found & exp_emb) / max(len(exp_emb), 1), 4
     )
-    os.unlink(emb_scratch)
+    # emb_scratch stays on disk: emb_ds re-reads it lazily in the
+    # incremental-semantic section below; unlinked there.
 
     # --- sessionization at scale: replicate events 32x (disjoint users),
     # verify the bounded-partition sessionizer against DuckDB's own
@@ -470,6 +471,72 @@ def main() -> int:
     shutil.rmtree(bidx, ignore_errors=True)
     os.unlink(nd_scratch)
 
+    # --- incremental SEMANTIC dedup at scale (late round 5): persist the
+    # cluster-bucketed vector index of the 64k corpus (k=64 deterministic
+    # centroids), then screen a shard of tiny-noise copies of every 40th
+    # corpus vector (must flag, partner = the original or its seeded twin
+    # — the only cosine >= 0.99 candidates under the heavy replica noise)
+    # plus 500 fresh heavy-noise vectors (must flag nothing). Recall < 1
+    # only via cluster-boundary straddles, SemDeDup's documented tradeoff.
+    from open_finance_lakehouse_ray.pipelines.dedup import (
+        build_vector_index,
+        incremental_semantic_dup,
+    )
+
+    vidx = tempfile.mkdtemp(prefix="oflr-vecidx-")
+    t0 = time.perf_counter()
+    n_vec_rows = build_vector_index(emb_ds, vidx, k=64)
+    out["vector_index_build_sec"] = round(time.perf_counter() - t0, 2)
+    out["vector_index_rows"] = n_vec_rows
+
+    emb_twin_of = {}
+    for a, b in emb_twins:
+        emb_twin_of[a] = b
+        emb_twin_of[b] = a
+    all_vecs = {i: v for i, v in zip(vids, vecs)}
+    sv_ids, sv_vecs, sv_partner = [], [], {}
+    nxt4 = 30_000_000
+    rng2 = np.random.default_rng(31)
+    for i in range(0, len(vids), 40):
+        cid = vids[i]
+        sv_ids.append(nxt4)
+        sv_vecs.append(all_vecs[cid] + rng2.normal(scale=0.005,
+                                                   size=len(all_vecs[cid])))
+        sv_partner[nxt4] = {cid} | ({emb_twin_of[cid]}
+                                    if cid in emb_twin_of else set())
+        nxt4 += 1
+    novel_lo = nxt4
+    for _ in range(500):
+        sv_ids.append(nxt4)
+        sv_vecs.append(rng2.normal(scale=2.0, size=len(vecs[0])))
+        nxt4 += 1
+    sv_tab = pa.table({
+        "vec_id": pa.array(sv_ids, pa.int64()),
+        "embedding": pa.array([np.asarray(v, np.float32) for v in sv_vecs]),
+    })
+    sv_scratch = "/tmp/oflr-svshard.parquet"
+    pq.write_table(sv_tab, sv_scratch)
+    sv_ds = rd.read_parquet(sv_scratch).repartition(NUM_CPUS)
+    t0 = time.perf_counter()
+    got_sv = incremental_semantic_dup(sv_ds, vidx, threshold=0.99).to_pandas()
+    out["incremental_semantic_sec"] = round(time.perf_counter() - t0, 2)
+    got_sv = got_sv.set_index("vec_id")["dup_of"]
+    copies = [i for i in sv_ids if i < novel_lo]
+    flagged = {i: got_sv[i] for i in copies if not np.isnan(got_sv[i])}
+    out["incsem_shard_rows"] = sv_tab.num_rows
+    out["incsem_copies"] = len(copies)
+    out["incsem_flagged"] = len(flagged)
+    out["incsem_subset_of_expected"] = all(
+        int(d) in sv_partner[i] for i, d in flagged.items()
+    )
+    out["incsem_recall"] = round(len(flagged) / max(len(copies), 1), 4)
+    out["incsem_novel_clean"] = bool(
+        got_sv.loc[[i for i in sv_ids if i >= novel_lo]].isna().all()
+    )
+    shutil.rmtree(vidx, ignore_errors=True)
+    os.unlink(sv_scratch)
+    os.unlink(emb_scratch)
+
     out["ok"] = bool(
         out["ngram_jaccard_exact_match"]
         and out["minhash_subset_of_seeded"]
@@ -486,6 +553,9 @@ def main() -> int:
         and out["index_entries"] == corpus.num_rows
         and out["incremental_exact_match"]
         and out["incnd_exact_match"]
+        and out["incsem_subset_of_expected"]
+        and out["incsem_recall"] >= 0.95
+        and out["incsem_novel_clean"]
     )
     ray.shutdown()
     os.unlink(scratch)
