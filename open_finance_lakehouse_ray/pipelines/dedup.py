@@ -832,8 +832,16 @@ def semantic_dedup(
             lambda df: prune(df.drop(columns=["_pk"])), batch_format="pandas"
         )
         .to_pandas()
-        .sort_values("vec_id")
     )
+    if "vec_id" not in got.columns:  # empty corpus: schema-less empty frame
+        got = pd.DataFrame(
+            {
+                "vec_id": pd.array([], dtype="int64"),
+                "cluster": pd.array([], dtype="int64"),
+                "dup_of": pd.array([], dtype="int64"),
+            }
+        )
+    got = got.sort_values("vec_id")
     t = pa.Table.from_pandas(got.reset_index(drop=True), preserve_index=False)
     # -1 sentinel -> NULL (ints stay exact through the gate's value hash)
     dup = t["dup_of"]
@@ -2344,8 +2352,16 @@ def incremental_semantic_dup(
         .groupby("_bucket")
         .map_groups(_match, batch_format="pandas")
         .to_pandas()
-        .sort_values("vec_id")
     )
+    if "vec_id" not in got.columns:  # empty shard: schema-less empty frame
+        got = pd.DataFrame(
+            {
+                "vec_id": pd.array([], dtype="int64"),
+                "cluster": pd.array([], dtype="int64"),
+                "dup_of": pd.array([], dtype="int64"),
+            }
+        )
+    got = got.sort_values("vec_id")
     t = pa.Table.from_pandas(got.reset_index(drop=True), preserve_index=False)
     dup = t["dup_of"]
     t = t.set_column(

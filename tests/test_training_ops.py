@@ -1395,3 +1395,44 @@ def test_build_vector_index_rejects_divergent_centroids(ray_session, tmp_path):
         centroids=np.array([[1.0, 0.0], [0.0, 1.0]], dtype=np.float64),
         shard="s1",
     )
+
+
+def test_incremental_family_empty_shard(ray_session, tmp_path):
+    """An empty arriving shard must return an empty typed result from all
+    three incremental lookups, not crash on a schema-less empty frame."""
+    import ray.data as rd
+
+    doc = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": ["hello world foo"]}
+    )
+    edoc = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    i1 = str(tmp_path / "i1")
+    dd.build_hash_index(rd.from_arrow(doc), i1)
+    assert len(dd.incremental_dedup(rd.from_arrow(edoc), i1).to_pandas()) == 0
+    i2 = str(tmp_path / "i2")
+    dd.build_band_index(rd.from_arrow(doc), i2)
+    assert (
+        dd.incremental_near_dup(rd.from_arrow(edoc), i2, rd.from_arrow(doc)).num_rows
+        == 0
+    )
+    i3 = str(tmp_path / "i3")
+    dd.build_vector_index(rd.from_arrow(_vec_tab([1], [[1.0, 0.0]])), i3, k=1)
+    out = dd.incremental_semantic_dup(rd.from_arrow(_vec_tab([], [])), i3)
+    assert out.num_rows == 0 and out.column_names == ["vec_id", "cluster", "dup_of"]
+
+
+def test_semantic_dedup_empty_corpus(ray_session):
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    out = dd.semantic_dedup(
+        rd.from_arrow(empty), k=1, centroids=np.array([[1.0, 0.0]])
+    )
+    assert out.num_rows == 0
