@@ -2370,3 +2370,73 @@ def incremental_semantic_dup(
         _pc.if_else(_pc.equal(dup, -1), pa.nulls(t.num_rows, pa.int64()), dup),
     )
     return t
+
+
+def compact_index(index_dir: str, *, keep_name: str = "compacted") -> dict:
+    """Merge each bucket's accumulated per-shard delta files into one —
+    the maintenance verb for all three persisted index families (identity
+    digests, MinHash band rows, cluster-bucketed vectors; the layout is
+    shared: ``bucket=NNNN/<shard>.parquet``).
+
+    Safe under concurrent lookups and kills WITHOUT any locking because
+    every lookup treats index rows as a SET (digest membership, band-key
+    match, per-cluster min-id witness — duplicated rows change nothing):
+    the merged file publishes FIRST (tmp + rename, new generation name),
+    the old deltas unlink after, so a reader interleaving anywhere sees
+    at worst duplicated rows, never missing ones. A kill between publish
+    and unlink leaves duplicates — re-running compaction converges.
+
+    NOTE the one contract this relies on: :func:`incremental_dedup`'s
+    own-delta exclusion matches on the exact ``<shard>.parquet`` name, so
+    compaction folds a shard's delta into the generation file and a LATER
+    re-run of that same shard tag would see its own rows as history.
+    Compact only shards that are finished for good (the same rule as
+    expiring a table snapshot that a resume might still need).
+
+    Distributed shape: one Ray task per non-empty bucket (bounded by the
+    bucket count); each task touches only its own directory. Returns
+    {"buckets": n, "files_before": n, "files_after": n, "rows": n}.
+    """
+    import pyarrow.parquet as pq
+
+    @ray.remote
+    def _compact_bucket(bucket_dir: str) -> tuple[int, int, int]:
+        files = sorted(
+            f for f in os.listdir(bucket_dir) if f.endswith(".parquet")
+        )
+        if len(files) <= 1:
+            return (len(files), len(files), 0)
+        gen = 0
+        for f in files:
+            if f.startswith(keep_name + "-"):
+                try:
+                    gen = max(gen, int(f[len(keep_name) + 1 : -len(".parquet")]))
+                except ValueError:
+                    pass
+        tabs = [pq.read_table(os.path.join(bucket_dir, f)) for f in files]
+        merged = pa.concat_tables(tabs).to_pandas().drop_duplicates()
+        out_name = f"{keep_name}-{gen + 1}.parquet"
+        # the pandas round-trip widens fixed-width types (binary(16) ->
+        # binary); cast back so generations keep the shard files' schema
+        _atomic_write_parquet(
+            os.path.join(bucket_dir, out_name),
+            pa.Table.from_pandas(merged, preserve_index=False)
+            .select(tabs[0].schema.names)
+            .cast(tabs[0].schema),
+        )
+        for f in files:  # only after the merged generation is visible
+            os.unlink(os.path.join(bucket_dir, f))
+        return (len(files), 1, len(merged))
+
+    buckets = [
+        os.path.join(index_dir, d)
+        for d in sorted(os.listdir(index_dir))
+        if d.startswith("bucket=") and os.path.isdir(os.path.join(index_dir, d))
+    ]
+    results = ray.get([_compact_bucket.remote(b) for b in buckets])
+    return {
+        "buckets": len(buckets),
+        "files_before": sum(r[0] for r in results),
+        "files_after": sum(r[1] for r in results),
+        "rows": sum(r[2] for r in results),
+    }

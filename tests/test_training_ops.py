@@ -1436,3 +1436,57 @@ def test_semantic_dedup_empty_corpus(ray_session):
         rd.from_arrow(empty), k=1, centroids=np.array([[1.0, 0.0]])
     )
     assert out.num_rows == 0
+
+
+def test_compact_index_preserves_lookups(ray_session, tmp_path):
+    """Compacting multi-shard bucket deltas into one generation file must
+    leave every lookup's answer unchanged (set semantics), keep the shard
+    files' schema, and converge when re-run."""
+    import os
+
+    import ray.data as rd
+
+    idx = str(tmp_path / "idx")
+    dd.build_hash_index(_inc_corpus(), idx)
+    s1 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11], type=pa.int64()),
+                "text": ["epsilon", "zeta"],
+            }
+        )
+    )
+    dd.incremental_dedup(s1, idx, shard="s1").materialize()  # drives deltas
+    probe = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([20, 21, 22], type=pa.int64()),
+                "text": ["alpha", "epsilon", "brand new"],
+            }
+        )
+    )
+    before = sorted(
+        dd.incremental_dedup(probe, idx, shard="probe", update_index=False)
+        .to_pandas()["doc_id"]
+    )
+    stats = dd.compact_index(idx)
+    assert stats["files_after"] <= stats["files_before"]
+    after = sorted(
+        dd.incremental_dedup(probe, idx, shard="probe", update_index=False)
+        .to_pandas()["doc_id"]
+    )
+    assert before == after == [22]
+    # schema preserved through the pandas round-trip
+    import pyarrow.parquet as pq_
+
+    bdirs = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    f0 = next(
+        os.path.join(idx, d, f)
+        for d in bdirs
+        for f in os.listdir(os.path.join(idx, d))
+        if f.endswith(".parquet")
+    )
+    assert pq_.read_schema(f0).field("h16").type == pa.binary(16)
+    # converges: second run is a no-op (single file per bucket already)
+    stats2 = dd.compact_index(idx)
+    assert stats2["files_before"] == stats2["files_after"]
