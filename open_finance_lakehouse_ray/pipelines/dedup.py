@@ -1785,15 +1785,90 @@ def _write_bucket_delta(index_dir: str, bucket: int, shard: str, h16: "pd.Series
     DETERMINISTIC in (shard, bucket): a killed-and-resumed run overwrites
     its own partial file instead of double-counting (same
     tmp-write-then-rename pattern as state/txlog's manifest publish)."""
+    _atomic_write_parquet(
+        _bucket_delta_path(index_dir, bucket, shard),
+        pa.table({"h16": pa.array(list(h16), type=pa.binary(16))}),
+    )
+
+
+def _index_meta(index_dir: str, meta: dict) -> None:
+    """Persist the index's layout parameters (`_meta.json`) at build and
+    enforce them on every later build into the same dir. The bucket count
+    (and for the band index num_perm/bands/shingle_k) is as load-bearing
+    as the vector index's centroids: a lookup or extension run with a
+    different value computes different bucket/band keys, misses every
+    stored row, and historical duplicates silently survive as novels."""
+    import json
+
+    path = os.path.join(index_dir, "_meta.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        if prior != meta:
+            raise ValueError(
+                f"index at {index_dir!r} was built with {prior}; "
+                f"this call uses {meta} — pass the original parameters "
+                "or build a new index dir"
+            )
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)
+
+
+def _check_index_meta(index_dir: str, expect: dict) -> None:
+    """Lookup-side twin of :func:`_index_meta`: layout parameters must
+    match the persisted contract exactly (a missing `_meta.json` means
+    the dir is not one of these indexes)."""
+    import json
+
+    path = os.path.join(index_dir, "_meta.json")
+    if not os.path.exists(path):
+        raise ValueError(
+            f"{index_dir!r} has no _meta.json — not an index built by "
+            "build_hash_index/build_band_index/build_vector_index"
+        )
+    with open(path) as fh:
+        prior = json.load(fh)
+    if prior != expect:
+        raise ValueError(
+            f"index at {index_dir!r} was built with {prior}; this lookup "
+            f"uses {expect} — bucket/band keys would not match and every "
+            "stored row would silently miss"
+        )
+
+
+def _read_bucket_tables(
+    bucket_dir: str, *, exclude: str | None = None, columns=None
+) -> list:
+    """List-and-read one bucket's parquet files with a re-list retry.
+    :func:`compact_index` unlinks delta files only AFTER publishing their
+    merged generation file, so a FileNotFoundError here means THIS task's
+    listing went stale mid-read — re-listing sees the generation file (a
+    superset of the vanished deltas) and the set semantics of every
+    lookup make the duplicate rows harmless."""
     import pyarrow.parquet as pq
 
-    path = _bucket_delta_path(index_dir, bucket, shard)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    pq.write_table(
-        pa.table({"h16": pa.array(list(h16), type=pa.binary(16))}), tmp
+    for _ in range(5):
+        if not os.path.isdir(bucket_dir):
+            return []
+        files = sorted(
+            f
+            for f in os.listdir(bucket_dir)
+            if f.endswith(".parquet") and f != exclude
+        )
+        try:
+            return [
+                pq.read_table(os.path.join(bucket_dir, f), columns=columns)
+                for f in files
+            ]
+        except FileNotFoundError:
+            continue
+    raise RuntimeError(
+        f"bucket {bucket_dir!r} kept changing under the reader after 5 "
+        "re-lists — is something other than compact_index mutating it?"
     )
-    os.replace(tmp, path)
 
 
 def build_hash_index(
@@ -1834,6 +1909,7 @@ def build_hash_index(
         return pd.DataFrame(rows, columns=["bucket", "n"])
 
     os.makedirs(index_dir, exist_ok=True)
+    _index_meta(index_dir, {"family": "identity", "num_buckets": num_buckets})
     counts = (
         docs.map_batches(_hash_batch, batch_format="pyarrow")
         # bucket ids are bounded (<= num_buckets), so a direct groupby is
@@ -1881,8 +1957,9 @@ def incremental_dedup(
     as historical). The returned Dataset is lazy — consume it (write /
     count / collect) to drive the index update.
     """
-    import pyarrow.parquet as pq
-
+    _check_index_meta(
+        index_dir, {"family": "identity", "num_buckets": num_buckets}
+    )
     own_delta = f"{shard}.parquet"
 
     def _anti(df: pd.DataFrame) -> pd.DataFrame:
@@ -1896,14 +1973,10 @@ def incremental_dedup(
             )
             bucket_dir = os.path.join(index_dir, f"bucket={int(b):04d}")
             seen: set[bytes] = set()
-            if os.path.isdir(bucket_dir):
-                for f in sorted(os.listdir(bucket_dir)):
-                    if f.endswith(".parquet") and f != own_delta:
-                        seen.update(
-                            pq.read_table(
-                                os.path.join(bucket_dir, f), columns=["h16"]
-                            )["h16"].to_pylist()
-                        )
+            for tab in _read_bucket_tables(
+                bucket_dir, exclude=own_delta, columns=["h16"]
+            ):
+                seen.update(tab["h16"].to_pylist())
             if seen:
                 # NOT Series.isin: pandas coerces a bytes value_set through
                 # a numpy |S16 array, which STRIPS trailing NUL bytes — any
@@ -1965,6 +2038,34 @@ def _band_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
     )
 
 
+def _band_meta(num_buckets: int, num_perm: int, bands: int, shingle_k: int) -> dict:
+    return {
+        "family": "band",
+        "num_buckets": num_buckets,
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+    }
+
+
+def _band_sig_stage(
+    id_col: str, text_col: str, num_perm: int, bands: int, shingle_k: int,
+    num_buckets: int,
+):
+    """``map_batches`` fn: signatures → band rows → bucket tag. Defined
+    once so the index build and the shard lookup compute IDENTICAL band
+    keys (the parameters are also pinned in `_meta.json`)."""
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = minhash_signatures(
+            batch[text_col].to_pylist(), num_perm=num_perm, k=shingle_k
+        )
+        return _band_bucket(band_rows(ids, sigs, bands=bands), num_buckets)
+
+    return sig_stage
+
+
 def build_band_index(
     docs: rd.Dataset,
     index_dir: str,
@@ -1988,13 +2089,6 @@ def build_band_index(
     first would self-match). Returns the number of band rows written.
     """
 
-    def sig_stage(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sigs = minhash_signatures(
-            batch[text_col].to_pylist(), num_perm=num_perm, k=shingle_k
-        )
-        return _band_bucket(band_rows(ids, sigs, bands=bands), num_buckets)
-
     def _writer(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for b, g in df.groupby("_bucket", sort=True):
@@ -2013,8 +2107,13 @@ def build_band_index(
         return pd.DataFrame(rows, columns=["bucket", "n"])
 
     os.makedirs(index_dir, exist_ok=True)
+    _index_meta(index_dir, _band_meta(num_buckets, num_perm, bands, shingle_k))
     counts = (
-        docs.map_batches(sig_stage, batch_format="pyarrow")
+        docs.map_batches(
+            _band_sig_stage(id_col, text_col, num_perm, bands, shingle_k,
+                            num_buckets),
+            batch_format="pyarrow",
+        )
         .groupby("_bucket")
         .map_groups(_writer, batch_format="pandas")
         .to_pandas()
@@ -2039,9 +2138,11 @@ def incremental_near_dup(
     """Flag arriving documents that are near-duplicates of the PERSISTED
     corpus without rescanning it — the fuzzy analog of
     :func:`incremental_dedup` (same daily-ingest pattern; same O(shard)
-    candidate cost). ``history_docs`` is touched ONLY to fetch the texts
-    of candidate partners during verification — O(candidates) rows
-    through the bucketed join, never a corpus scan.
+    candidate cost). Verification first collects the CANDIDATE ID SET
+    (int64 pairs, bounded by the shard's LSH matches) and filters both
+    sides' (id, text) projections to it map-side, so while the pruned
+    history columns are scanned once, only O(candidates) text rows enter
+    the verify joins — history never shuffles wholesale.
 
     Returns (id_a, id_b, jaccard): ``id_a`` = incoming doc, ``id_b`` =
     historical partner, EXACT k-shingle Jaccard >= ``threshold`` —
@@ -2050,8 +2151,8 @@ def incremental_near_dup(
     incoming pairs are out of scope by construction (candidates only
     cross the index). Requires id spaces disjoint between shard and
     corpus; equal-id matches are dropped defensively. ``num_perm`` /
-    ``bands`` / ``shingle_k`` must match the index build — they define
-    the band keys.
+    ``bands`` / ``shingle_k`` / ``num_buckets`` must match the index
+    build — they define the band keys, and `_meta.json` enforces it.
 
     Distributed shape: ONE band-key shuffle of the incoming shard's band
     rows (``bands`` rows per doc); each bucket task reads only its own
@@ -2059,17 +2160,11 @@ def incremental_near_dup(
     vectorized merge. Verification reuses :func:`_verified_pairs` — pair
     dedup + text attach, size-guarded broadcast vs bucketed joins.
     """
-
-    def sig_stage(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sigs = minhash_signatures(
-            batch[text_col].to_pylist(), num_perm=num_perm, k=shingle_k
-        )
-        return _band_bucket(band_rows(ids, sigs, bands=bands), num_buckets)
+    _check_index_meta(
+        index_dir, _band_meta(num_buckets, num_perm, bands, shingle_k)
+    )
 
     def _match(df: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.parquet as pq
-
         empty = pd.DataFrame(
             {
                 "id_a": pd.array([], dtype="int64"),
@@ -2079,13 +2174,7 @@ def incremental_near_dup(
         out = []
         for b, g in df.groupby("_bucket", sort=True):
             bucket_dir = os.path.join(index_dir, f"bucket={int(b):04d}")
-            if not os.path.isdir(bucket_dir):
-                continue
-            parts = [
-                pq.read_table(os.path.join(bucket_dir, f))
-                for f in sorted(os.listdir(bucket_dir))
-                if f.endswith(".parquet")
-            ]
+            parts = _read_bucket_tables(bucket_dir)
             if not parts:
                 continue
             hist = pa.concat_tables(parts).to_pandas()
@@ -2106,23 +2195,52 @@ def incremental_near_dup(
             return empty
         return pd.concat(out, ignore_index=True)
 
-    cand = (
-        new_docs.map_batches(sig_stage, batch_format="pyarrow")
+    cand_df = (
+        new_docs.map_batches(
+            _band_sig_stage(id_col, text_col, num_perm, bands, shingle_k,
+                            num_buckets),
+            batch_format="pyarrow",
+        )
         .groupby("_bucket")
         .map_groups(_match, batch_format="pandas")
+        .to_pandas()
     )
-    texts_all = history_docs.select_columns([id_col, text_col]).union(
-        new_docs.select_columns([id_col, text_col])
+    if "id_a" not in cand_df.columns or len(cand_df) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    cand_df = cand_df.drop_duplicates(["id_a", "id_b"])
+    # candidate ids are the bounded set LSH matched (int64 pairs on the
+    # driver — bytes, not text); filter BOTH text sources to them
+    # map-side so only O(candidates) text rows enter the verify joins
+    cand_ids = pa.array(
+        np.unique(np.concatenate([cand_df["id_a"].to_numpy(),
+                                  cand_df["id_b"].to_numpy()])).astype(np.int64)
     )
-    # a Union plan classifies as "source" in _maybe_pin: no metadata-free
-    # size probe exists, so nothing pins and verification takes the
-    # bucketed-join scale path — the documented conservative bound
+
+    def _only_candidates(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.is_in(t[id_col], value_set=cand_ids))
+
+    texts_all = (
+        history_docs.select_columns([id_col, text_col])
+        .map_batches(_only_candidates, batch_format="pyarrow")
+        .union(
+            new_docs.select_columns([id_col, text_col]).map_batches(
+                _only_candidates, batch_format="pyarrow"
+            )
+        )
+    )
+    # the filtered projection is a derived plan: _maybe_pin materializes
+    # it once (it is O(candidates) rows by construction) and returns the
+    # ACTUAL size, so the broadcast guard decides on real bytes
     texts, tsize, _ = _maybe_pin(texts_all, estimate_from=texts_all)
     small = (not _force_scale()) and (
         tsize is not None and tsize <= broadcast_max_bytes
     )
     return _verified_pairs(
-        cand,
+        rd.from_arrow(pa.Table.from_pandas(cand_df, preserve_index=False)),
         texts,
         small,
         id_col=id_col,
@@ -2205,6 +2323,7 @@ def build_vector_index(
     else:
         cent = np.asarray(centroids, dtype=np.float64)
     os.makedirs(index_dir, exist_ok=True)
+    _index_meta(index_dir, {"family": "vector", "num_buckets": num_buckets})
     cent_path = os.path.join(index_dir, "_centroids.parquet")
     if os.path.exists(cent_path):
         # an index's centroids ARE its assignment contract: silently
@@ -2289,6 +2408,9 @@ def incremental_semantic_dup(
     import pyarrow.compute as _pc
     import pyarrow.parquet as pq
 
+    _check_index_meta(
+        index_dir, {"family": "vector", "num_buckets": num_buckets}
+    )
     ct = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
     cent = np.stack(
         [np.frombuffer(b, dtype=np.float64) for b in ct["cvec"].to_pylist()]
@@ -2299,15 +2421,8 @@ def incremental_semantic_dup(
         out = []
         for b, g in df.groupby("_bucket", sort=True):
             bucket_dir = os.path.join(index_dir, f"bucket={int(b):04d}")
-            hist = None
-            if os.path.isdir(bucket_dir):
-                parts = [
-                    pq.read_table(os.path.join(bucket_dir, f))
-                    for f in sorted(os.listdir(bucket_dir))
-                    if f.endswith(".parquet")
-                ]
-                if parts:
-                    hist = pa.concat_tables(parts).to_pandas()
+            parts = _read_bucket_tables(bucket_dir)
+            hist = pa.concat_tables(parts).to_pandas() if parts else None
             for cl, grp in g.groupby("cluster", sort=False):
                 ids = grp["vec_id"].to_numpy()
                 dup = np.full(len(grp), -1, dtype=np.int64)
@@ -2322,6 +2437,10 @@ def incremental_semantic_dup(
                     hid = h["vec_id"].to_numpy()
                     order = np.argsort(hid, kind="stable")
                     sims = x @ hv[order].T
+                    # a shard wrongly indexed before screening would match
+                    # itself at cosine 1.0 and flag every row — drop
+                    # equal-id matches, like incremental_near_dup does
+                    sims[hid[order][None, :] == ids[:, None]] = -2.0
                     hit = sims >= threshold
                     any_hit = hit.any(axis=1)
                     first = hit.argmax(axis=1)
@@ -2378,13 +2497,17 @@ def compact_index(index_dir: str, *, keep_name: str = "compacted") -> dict:
     digests, MinHash band rows, cluster-bucketed vectors; the layout is
     shared: ``bucket=NNNN/<shard>.parquet``).
 
-    Safe under concurrent lookups and kills WITHOUT any locking because
-    every lookup treats index rows as a SET (digest membership, band-key
-    match, per-cluster min-id witness — duplicated rows change nothing):
-    the merged file publishes FIRST (tmp + rename, new generation name),
-    the old deltas unlink after, so a reader interleaving anywhere sees
-    at worst duplicated rows, never missing ones. A kill between publish
-    and unlink leaves duplicates — re-running compaction converges.
+    Safe under concurrent lookups and kills WITHOUT any locking, via two
+    halves of one protocol: (a) every lookup treats index rows as a SET
+    (digest membership, band-key match, per-cluster min-id witness —
+    duplicated rows change nothing) and the merged file publishes FIRST
+    (tmp + rename, new generation name) with old deltas unlinked only
+    after, so a completed listing never under-reads; (b) a lookup whose
+    listing went stale mid-read (listdir saw a delta, compaction unlinked
+    it before the read) hits FileNotFoundError and RE-LISTS
+    (:func:`_read_bucket_tables`) — the generation file it then sees is a
+    superset of the vanished delta. A kill between publish and unlink
+    leaves duplicates — re-running compaction converges.
 
     NOTE the one contract this relies on: :func:`incremental_dedup`'s
     own-delta exclusion matches on the exact ``<shard>.parquet`` name, so

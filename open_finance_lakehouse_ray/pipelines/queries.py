@@ -4023,6 +4023,19 @@ QUERIES.update({"emb_semantic_dup": q_emb_semantic_dup})
 ORACLES.update({"emb_semantic_dup": Q_EMB_SEMANTIC_DUP_SQL})
 
 
+def _mod_id_filter(id_col: str, mod: int, rem: int, flip: bool = False):
+    """``map_batches`` fn keeping rows where ``id % mod == rem`` (or its
+    complement) — the history/incoming split used by the incremental-index
+    gate queries, defined once so the three gates stay in sync."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = (ids % mod) == rem
+        return t.filter(pa.array(~m if flip else m))
+
+    return f
+
+
 def q_doc_incremental_dedup(sf_dir: str) -> pa.Table:
     """Incremental dedup of an incoming shard against a PERSISTED corpus
     identity index (the daily-ingest pattern: O(new shard) work +
@@ -4044,17 +4057,9 @@ def q_doc_incremental_dedup(sf_dir: str) -> pa.Table:
 
     docs = _docs(sf_dir, ["doc_id", "text"])
 
-    def _mod_filter(mod: int, rem: int, flip: bool = False):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            m = (ids % mod) == rem
-            return t.filter(pa.array(~m if flip else m))
-
-        return f
-
-    history = docs.map_batches(_mod_filter(3, 0, flip=True), batch_format="pyarrow")
-    incoming = docs.map_batches(_mod_filter(3, 0), batch_format="pyarrow").union(
-        docs.map_batches(_mod_filter(5, 1), batch_format="pyarrow").map_batches(
+    history = docs.map_batches(_mod_id_filter("doc_id", 3, 0, flip=True), batch_format="pyarrow")
+    incoming = docs.map_batches(_mod_id_filter("doc_id", 3, 0), batch_format="pyarrow").union(
+        docs.map_batches(_mod_id_filter("doc_id", 5, 1), batch_format="pyarrow").map_batches(
             lambda t: pa.table(
                 {"doc_id": pc.add(t["doc_id"], 20_000), "text": t["text"]}
             ),
@@ -4117,14 +4122,6 @@ def q_doc_incremental_near_dup(sf_dir: str) -> pa.Table:
 
     docs = _docs(sf_dir, ["doc_id", "text"])
 
-    def _mod_filter(mod: int, rem: int, flip: bool = False):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            m = (ids % mod) == rem
-            return t.filter(pa.array(~m if flip else m))
-
-        return f
-
     def _variant(t: pa.Table) -> pa.Table:
         texts = []
         for s in t["text"].to_pylist():
@@ -4138,9 +4135,9 @@ def q_doc_incremental_near_dup(sf_dir: str) -> pa.Table:
             }
         )
 
-    history = docs.map_batches(_mod_filter(3, 0, flip=True), batch_format="pyarrow")
-    incoming = docs.map_batches(_mod_filter(3, 0), batch_format="pyarrow").union(
-        docs.map_batches(_mod_filter(10, 1), batch_format="pyarrow").map_batches(
+    history = docs.map_batches(_mod_id_filter("doc_id", 3, 0, flip=True), batch_format="pyarrow")
+    incoming = docs.map_batches(_mod_id_filter("doc_id", 3, 0), batch_format="pyarrow").union(
+        docs.map_batches(_mod_id_filter("doc_id", 10, 1), batch_format="pyarrow").map_batches(
             _variant, batch_format="pyarrow"
         )
     )
@@ -4216,14 +4213,6 @@ def q_emb_incremental_semantic(sf_dir: str) -> pa.Table:
 
     emb = _emb(sf_dir).select_columns(["vec_id", "embedding"])
 
-    def _mod_filter(mod: int, rem: int, flip: bool = False):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            m = (ids % mod) == rem
-            return t.filter(pa.array(~m if flip else m))
-
-        return f
-
     def _variant(t: pa.Table) -> pa.Table:
         arr = t["embedding"].combine_chunks()
         scaled = pa.ListArray.from_arrays(
@@ -4233,10 +4222,10 @@ def q_emb_incremental_semantic(sf_dir: str) -> pa.Table:
             {"vec_id": pc.add(t["vec_id"], 40_000), "embedding": scaled}
         )
 
-    history = emb.map_batches(_mod_filter(3, 0, flip=True), batch_format="pyarrow")
-    incoming = emb.map_batches(_mod_filter(3, 0), batch_format="pyarrow").union(
-        emb.map_batches(_mod_filter(3, 0, flip=True), batch_format="pyarrow")
-        .map_batches(_mod_filter(7, 2), batch_format="pyarrow")
+    history = emb.map_batches(_mod_id_filter("vec_id", 3, 0, flip=True), batch_format="pyarrow")
+    incoming = emb.map_batches(_mod_id_filter("vec_id", 3, 0), batch_format="pyarrow").union(
+        emb.map_batches(_mod_id_filter("vec_id", 3, 0, flip=True), batch_format="pyarrow")
+        .map_batches(_mod_id_filter("vec_id", 7, 2), batch_format="pyarrow")
         .map_batches(_variant, batch_format="pyarrow")
     )
     root = _scratch_root("incsem")

@@ -1168,10 +1168,11 @@ def test_build_hash_index_rerun_overwrites_not_appends(ray_session, tmp_path):
     files = [
         f
         for b in sorted(os.listdir(idx))
+        if b.startswith("bucket=")
         for f in os.listdir(os.path.join(idx, b))
         if f.endswith(".parquet")
     ]
-    assert all(f == "base.parquet" for f in files)
+    assert files and all(f == "base.parquet" for f in files)
 
 
 def test_incremental_dedup_nul_tail_digest_regression(ray_session, tmp_path):
@@ -1490,3 +1491,32 @@ def test_compact_index_preserves_lookups(ray_session, tmp_path):
     # converges: second run is a no-op (single file per bucket already)
     stats2 = dd.compact_index(idx)
     assert stats2["files_before"] == stats2["files_after"]
+
+
+def test_index_meta_contract_enforced(ray_session, tmp_path):
+    """Layout parameters are pinned in _meta.json: a lookup or extension
+    with a different bucket count / band geometry must raise instead of
+    silently missing every stored row (false novels)."""
+    import ray.data as rd
+
+    docs = _inc_corpus()
+    i1 = str(tmp_path / "i1")
+    dd.build_hash_index(docs, i1, num_buckets=64)
+    with pytest.raises(ValueError, match="built with"):
+        dd.incremental_dedup(docs, i1, num_buckets=128).to_pandas()
+    with pytest.raises(ValueError, match="built with"):
+        dd.build_hash_index(docs, i1, num_buckets=128)
+    i2 = str(tmp_path / "i2")
+    dd.build_band_index(docs, i2, bands=32)
+    with pytest.raises(ValueError, match="built with"):
+        dd.incremental_near_dup(docs, i2, docs, bands=16)
+    i3 = str(tmp_path / "i3")
+    dd.build_vector_index(
+        rd.from_arrow(_vec_tab([1], [[1.0, 0.0]])), i3, k=1
+    )
+    with pytest.raises(ValueError, match="built with"):
+        dd.incremental_semantic_dup(
+            rd.from_arrow(_vec_tab([2], [[0.0, 1.0]])), i3, num_buckets=8
+        )
+    with pytest.raises(ValueError, match="no _meta.json"):
+        dd.incremental_dedup(docs, str(tmp_path / "nonindex")).to_pandas()
