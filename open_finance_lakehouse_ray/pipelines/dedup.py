@@ -1785,6 +1785,12 @@ def _write_bucket_delta(index_dir: str, bucket: int, shard: str, h16: "pd.Series
     DETERMINISTIC in (shard, bucket): a killed-and-resumed run overwrites
     its own partial file instead of double-counting (same
     tmp-write-then-rename pattern as state/txlog's manifest publish)."""
+    slow = os.environ.get("OFLR_INDEX_DELTA_SLEEP_S")
+    if slow:  # harness seam (index-kill-resume): stretch the window
+        # between bucket publishes so a SIGKILL provably lands mid-screen
+        import time
+
+        time.sleep(float(slow))
     _atomic_write_parquet(
         _bucket_delta_path(index_dir, bucket, shard),
         pa.table({"h16": pa.array(list(h16), type=pa.binary(16))}),

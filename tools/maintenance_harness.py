@@ -45,6 +45,11 @@ Scenarios (FIXTURES.md F5):
                  set (the racer's files removed, never coexisting with
                  the resurrected originals), and a post-restore merge
                  must still apply cleanly.
+  index-kill-resume — the incremental identity-index screen is
+                 SIGKILLed between bucket-delta publishes; the resume
+                 re-runs the same shard tag and must land exactly the
+                 uninterrupted run's survivors and index digests (the
+                 own-delta exclusion proven under a real kill).
 
 Usage:  python tools/maintenance_harness.py [--scenario all]
 """
@@ -259,6 +264,45 @@ elif cmd == "merge":
     snap = merge_into(root, late, job_id=sys.argv[3], num_buckets=8,
                       strategy=strategy)
     print(json.dumps({"version": snap.version, "op": snap.operation}))
+elif cmd == "idx-build":
+    import numpy as np
+    import pyarrow as pa, pyarrow.parquet as pq
+    import ray.data as rd
+    from open_finance_lakehouse_ray.pipelines.dedup import build_hash_index
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(50)]
+    hist_texts = [" ".join(rng.choice(vocab, size=6)) + f" h{i}"
+                  for i in range(400)]
+    shard_ids, shard_texts, nxt = [], [], 10_000
+    for i in range(100):  # novel docs, half with a within-shard duplicate
+        t = " ".join(rng.choice(vocab, size=6)) + f" n{i}"
+        shard_ids.append(nxt); shard_texts.append(t); nxt += 1
+        if i < 50:
+            shard_ids.append(nxt); shard_texts.append(t); nxt += 1
+    for t in hist_texts[:100]:  # verbatim history copies: must all drop
+        shard_ids.append(nxt); shard_texts.append(t); nxt += 1
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                             "text": pa.array(hist_texts)}),
+                   os.path.join(root, "corpus.parquet"))
+    pq.write_table(pa.table({"doc_id": pa.array(shard_ids, pa.int64()),
+                             "text": pa.array(shard_texts)}),
+                   os.path.join(root, "shard.parquet"))
+    n = build_hash_index(rd.read_parquet(os.path.join(root, "corpus.parquet")),
+                         os.path.join(root, "index"))
+    print(json.dumps({"index_entries": n}))
+elif cmd == "idx-screen":
+    import pyarrow as pa, pyarrow.parquet as pq
+    import ray.data as rd
+    from open_finance_lakehouse_ray.pipelines.dedup import incremental_dedup
+    shard = rd.read_parquet(os.path.join(root, "shard.parquet")).repartition(8)
+    kept = (incremental_dedup(shard, os.path.join(root, "index"), shard="s1")
+            .to_pandas().sort_values("doc_id"))
+    tmp = os.path.join(root, "kept.parquet.tmp")
+    pq.write_table(pa.Table.from_pandas(kept.reset_index(drop=True),
+                                        preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(root, "kept.parquet"))
+    print(json.dumps({"kept": int(len(kept))}))
 ray.shutdown()
 """
 
@@ -871,6 +915,77 @@ def scenario_overwrite_race(scratch: str) -> dict:
             "state": state}
 
 
+def independent_index_state(root: str) -> dict:
+    """Read the screen's outcome with DuckDB — survivors AND the index's
+    distinct digest set, never through the engine under test."""
+    import duckdb
+
+    con = duckdb.connect()
+    kept = con.execute(
+        "select count(*), sum(hash(doc_id || '#' || text)) "
+        "from read_parquet($1)",
+        [os.path.join(root, "kept.parquet")],
+    ).fetchone()
+    idx = con.execute(
+        "select count(distinct h16) from read_parquet($1)",
+        [os.path.join(root, "index", "bucket=*", "*.parquet")],
+    ).fetchone()
+    con.close()
+    return {
+        "kept_rows": kept[0],
+        "kept_hash": str(kept[1]),
+        "idx_distinct_digests": idx[0],
+    }
+
+
+def scenario_index_kill_resume(scratch: str) -> dict:
+    """The incremental identity-index screen (incremental_dedup with
+    update_index) is SIGKILLed between bucket-delta publishes; the resume
+    re-runs the SAME shard tag and must land exactly the uninterrupted
+    run's survivors and index digest set — the own-delta exclusion proven
+    under a real kill (the first attempt's partial deltas must not mark
+    the retry's own rows as historical, which would silently drop every
+    novel doc the killed attempt had already published)."""
+    import glob
+
+    root = os.path.join(scratch, "idx")
+    ref = os.path.join(scratch, "idx-ref")
+    run_worker(["idx-build", root])
+    shutil.copytree(root, ref)
+    run_worker(["idx-screen", ref])  # uninterrupted reference
+    ref_state = independent_index_state(ref)
+
+    p = subprocess.Popen(
+        [sys.executable, "-c", WORKER_SRC, "idx-screen", root],
+        env={**os.environ, "HARNESS_REPO": REPO,
+             "OFLR_INDEX_DELTA_SLEEP_S": "0.8"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    pattern = os.path.join(root, "index", "bucket=*", "s1.parquet")
+    deadline = time.time() + 120
+    while time.time() < deadline and p.poll() is None:
+        if len(glob.glob(pattern)) >= 1:
+            break
+        time.sleep(0.1)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    partial = len(glob.glob(pattern))
+    mid_run = partial >= 1 and not os.path.exists(
+        os.path.join(root, "kept.parquet")
+    )
+
+    run_worker(["idx-screen", root])  # resume: fresh process, same tag
+    got_state = independent_index_state(root)
+    return {
+        "ok": mid_run and ref_state == got_state,
+        "killed_mid_run": mid_run,
+        "deltas_before_kill": partial,
+        "reference": ref_state,
+        "resumed": got_state,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="all",
@@ -878,7 +993,8 @@ def main() -> int:
                              "zorder-kill-resume", "merge-kill-resume",
                              "delete-kill-resume", "update-kill-resume",
                              "concurrent", "overwrite-race", "stream-kill-resume",
-                             "delete-merge-race", "restore-merge-race"])
+                             "delete-merge-race", "restore-merge-race",
+                             "index-kill-resume"])
     args = ap.parse_args()
     scratch = tempfile.mkdtemp(prefix="ofl-harness-")
     scenarios = {
@@ -893,6 +1009,7 @@ def main() -> int:
         "concurrent": scenario_concurrent,
         "overwrite-race": scenario_overwrite_race,
         "restore-merge-race": scenario_restore_merge_race,
+        "index-kill-resume": scenario_index_kill_resume,
     }
     todo = list(scenarios) if args.scenario == "all" else [args.scenario]
     failed = False
