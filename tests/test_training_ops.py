@@ -1520,3 +1520,62 @@ def test_index_meta_contract_enforced(ray_session, tmp_path):
         )
     with pytest.raises(ValueError, match="no _meta.json"):
         dd.incremental_dedup(docs, str(tmp_path / "nonindex")).to_pandas()
+
+
+def test_compact_index_band_and_vector_families(ray_session, tmp_path):
+    """compact_index claims all three index families — verify lookups are
+    unchanged after compacting a band index and a vector index."""
+    import ray.data as rd
+
+    # band index: two shards, then compact
+    bidx = str(tmp_path / "bidx")
+    base = _long_doc("h")
+    hist1 = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": [base]})
+    )
+    dd.build_band_index(hist1, bidx, shard="base")
+    s1_doc = _long_doc("s")
+    hist2 = rd.from_arrow(
+        pa.table({"doc_id": pa.array([2], type=pa.int64()), "text": [s1_doc]})
+    )
+    dd.build_band_index(hist2, bidx, shard="s1")
+    corpus = hist1.union(hist2)
+    probe = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10], type=pa.int64()),
+                "text": [s1_doc.rsplit(" ", 1)[0] + " edited"],
+            }
+        )
+    )
+    before = dd.incremental_near_dup(probe, bidx, corpus, threshold=0.8)
+    dd.compact_index(bidx)
+    after = dd.incremental_near_dup(probe, bidx, corpus, threshold=0.8)
+    assert before.to_pydict() == after.to_pydict()
+    assert after["id_b"].to_pylist() == [2]
+
+    # vector index: two shards, then compact
+    vidx = str(tmp_path / "vidx")
+    dd.build_vector_index(
+        rd.from_arrow(_vec_tab([1], [[1.0, 0.0]])), vidx, k=1
+    )
+    import pyarrow.parquet as pq_
+
+    cent = np.stack(
+        [
+            np.frombuffer(b, dtype=np.float64)
+            for b in pq_.read_table(
+                str(tmp_path / "vidx" / "_centroids.parquet")
+            )["cvec"].to_pylist()
+        ]
+    )
+    dd.build_vector_index(
+        rd.from_arrow(_vec_tab([2], [[0.0, 1.0]])), vidx,
+        centroids=cent, shard="s1",
+    )
+    vprobe = rd.from_arrow(_vec_tab([20], [[0.0, 2.0]]))
+    vb = dd.incremental_semantic_dup(vprobe, vidx, threshold=0.9)
+    dd.compact_index(vidx)
+    va = dd.incremental_semantic_dup(vprobe, vidx, threshold=0.9)
+    assert vb.to_pydict() == va.to_pydict()
+    assert va["dup_of"].to_pylist() == [2]
