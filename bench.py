@@ -31,6 +31,31 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "32"))
 
 
+def cpu_probe() -> dict:
+    """Fixed-work host-speed calibration, reported alongside every bench
+    sample so a single JSON line carries its own variance evidence: the
+    same code and input have measured 16.4–49.3 s on this shared VM
+    purely with host state (BASELINE.md "Late-round-5 bench samples"),
+    and /proc/stat steal stays 0 while it happens — per-instruction
+    slowdown is invisible to load metrics. ``matmul_sec`` exercises the
+    BLAS pool (the whole-host view the bench itself sees) and
+    ``scalar_sec`` a single core; compare across samples, lower = faster
+    host."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((1024, 1024))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a @ a
+    matmul = time.perf_counter() - t0
+    x = np.random.default_rng(1).standard_normal(2_000_000)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        x = np.sqrt(np.abs(x) + 1.0)
+    scalar = time.perf_counter() - t0
+    return {"matmul_sec": round(matmul, 4), "scalar_sec": round(scalar, 4)}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -234,6 +259,7 @@ def run_bench() -> dict:
         "files_after": report["files"],
         "snapshot_version": snapshot_version,
         "trials": all_trials,
+        "cpu_probe": cpu_probe(),
     }
 
 
