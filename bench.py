@@ -44,11 +44,13 @@ def cpu_probe() -> dict:
     import numpy as np
 
     a = np.random.default_rng(0).standard_normal((1024, 1024))
+    a @ a  # warm the BLAS pool + caches: first-touch cost is not host speed
     t0 = time.perf_counter()
     for _ in range(3):
         a @ a
     matmul = time.perf_counter() - t0
     x = np.random.default_rng(1).standard_normal(2_000_000)
+    np.sqrt(np.abs(x) + 1.0)  # warm allocator + pages
     t0 = time.perf_counter()
     for _ in range(5):
         x = np.sqrt(np.abs(x) + 1.0)

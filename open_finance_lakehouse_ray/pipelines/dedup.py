@@ -417,10 +417,19 @@ def _verified_pairs(
 
         def verify_small(batch: pa.Table) -> pa.Table:
             lookup = ray.get(texts_ref)
-            ia = batch["id_a"].to_pylist()
-            ib = batch["id_b"].to_pylist()
-            j = [exact_jaccard(lookup[a], lookup[b], k=shingle_k)
-                 for a, b in zip(ia, ib)]
+            ia, ib, j = [], [], []
+            for a, b in zip(batch["id_a"].to_pylist(),
+                            batch["id_b"].to_pylist()):
+                ta, tb = lookup.get(a), lookup.get(b)
+                if ta is None or tb is None:
+                    # a candidate id with no surviving text row (e.g. an
+                    # index entry whose source doc was deleted) — the
+                    # scale path drops such pairs via its inner joins;
+                    # match that, don't crash
+                    continue
+                ia.append(a)
+                ib.append(b)
+                j.append(exact_jaccard(ta, tb, k=shingle_k))
             out = pa.table({"id_a": pa.array(ia, pa.int64()),
                             "id_b": pa.array(ib, pa.int64()),
                             "jaccard": pa.array(j, pa.float64())})
@@ -1817,7 +1826,17 @@ def _index_meta(index_dir: str, meta: dict) -> None:
                 "or build a new index dir"
             )
         return
-    tmp = path + ".tmp"
+    if any(d.startswith("bucket=") for d in os.listdir(index_dir)):
+        # bucket dirs but no meta: a pre-contract (or foreign) index —
+        # ADOPTING this call's parameters would re-enable the silent
+        # false-novel failure the contract exists to prevent (the
+        # existing rows may be keyed under a different layout)
+        raise ValueError(
+            f"{index_dir!r} has bucket data but no _meta.json — rebuild "
+            "it into a fresh dir (or write _meta.json by hand if the "
+            "original layout parameters are known)"
+        )
+    tmp = f"{path}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, path)
@@ -1915,7 +1934,10 @@ def build_hash_index(
         return pd.DataFrame(rows, columns=["bucket", "n"])
 
     os.makedirs(index_dir, exist_ok=True)
-    _index_meta(index_dir, {"family": "identity", "num_buckets": num_buckets})
+    _index_meta(
+        index_dir,
+        {"family": "identity", "num_buckets": num_buckets, "key_col": key_col},
+    )
     counts = (
         docs.map_batches(_hash_batch, batch_format="pyarrow")
         # bucket ids are bounded (<= num_buckets), so a direct groupby is
@@ -1964,7 +1986,8 @@ def incremental_dedup(
     count / collect) to drive the index update.
     """
     _check_index_meta(
-        index_dir, {"family": "identity", "num_buckets": num_buckets}
+        index_dir,
+        {"family": "identity", "num_buckets": num_buckets, "key_col": key_col},
     )
     own_delta = f"{shard}.parquet"
 
@@ -2018,11 +2041,16 @@ def incremental_dedup(
 def _atomic_write_parquet(path: str, table: pa.Table) -> None:
     """tmp-write-then-rename publish (same pattern as the txlog manifests
     and :func:`_write_bucket_delta`) — readers only ever see complete
-    files, and a deterministic name means a retry overwrites."""
+    files, and the deterministic FINAL name means a retry overwrites.
+    The tmp name is per-writer unique: a straggler Ray worker surviving a
+    SIGKILLed driver for a few seconds can otherwise interleave bytes
+    into a resumed run's tmp file and the rename publishes corrupt
+    parquet. Orphaned tmps from kills don't end in ``.parquet`` so every
+    reader ignores them."""
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp-{os.getpid()}-{id(table) & 0xFFFF:04x}"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
 
@@ -2044,13 +2072,16 @@ def _band_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
     )
 
 
-def _band_meta(num_buckets: int, num_perm: int, bands: int, shingle_k: int) -> dict:
+def _band_meta(num_buckets: int, num_perm: int, bands: int, shingle_k: int,
+               id_col: str, text_col: str) -> dict:
     return {
         "family": "band",
         "num_buckets": num_buckets,
         "num_perm": num_perm,
         "bands": bands,
         "shingle_k": shingle_k,
+        "id_col": id_col,
+        "text_col": text_col,
     }
 
 
@@ -2113,7 +2144,10 @@ def build_band_index(
         return pd.DataFrame(rows, columns=["bucket", "n"])
 
     os.makedirs(index_dir, exist_ok=True)
-    _index_meta(index_dir, _band_meta(num_buckets, num_perm, bands, shingle_k))
+    _index_meta(
+        index_dir,
+        _band_meta(num_buckets, num_perm, bands, shingle_k, id_col, text_col),
+    )
     counts = (
         docs.map_batches(
             _band_sig_stage(id_col, text_col, num_perm, bands, shingle_k,
@@ -2167,7 +2201,8 @@ def incremental_near_dup(
     dedup + text attach, size-guarded broadcast vs bucketed joins.
     """
     _check_index_meta(
-        index_dir, _band_meta(num_buckets, num_perm, bands, shingle_k)
+        index_dir,
+        _band_meta(num_buckets, num_perm, bands, shingle_k, id_col, text_col),
     )
 
     def _match(df: pd.DataFrame) -> pd.DataFrame:
@@ -2201,7 +2236,7 @@ def incremental_near_dup(
             return empty
         return pd.concat(out, ignore_index=True)
 
-    cand_df = (
+    cand = (
         new_docs.map_batches(
             _band_sig_stage(id_col, text_col, num_perm, bands, shingle_k,
                             num_buckets),
@@ -2209,25 +2244,35 @@ def incremental_near_dup(
         )
         .groupby("_bucket")
         .map_groups(_match, batch_format="pandas")
-        .to_pandas()
     )
-    if "id_a" not in cand_df.columns or len(cand_df) == 0:
+    # distributed pair dedup, then materialize: the PAIRS stay in the
+    # object store (skewed corpora can produce far more pairs than docs —
+    # a driver collect here was the round-5 review's scalability finding);
+    # only the DISTINCT candidate ids stream to the driver, a set bounded
+    # by shard size + matched partners, to build the text filter
+    cand = _dedup_pairs(cand).materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    cand_df = cand_df.drop_duplicates(["id_a", "id_b"])
-    # candidate ids are the bounded set LSH matched (int64 pairs on the
-    # driver — bytes, not text); filter BOTH text sources to them
-    # map-side so only O(candidates) text rows enter the verify joins
-    cand_ids = pa.array(
-        np.unique(np.concatenate([cand_df["id_a"].to_numpy(),
-                                  cand_df["id_b"].to_numpy()])).astype(np.int64)
+    id_set: set[int] = set()
+    for b in cand.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        id_set.update(b["id_a"].to_pylist())
+        id_set.update(b["id_b"].to_pylist())
+    cand_ids_ref = ray.put(
+        pa.array(np.fromiter(sorted(id_set), dtype=np.int64,
+                             count=len(id_set)))
     )
 
     def _only_candidates(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
-        return t.filter(_pc.is_in(t[id_col], value_set=cand_ids))
+        return t.filter(
+            _pc.is_in(t[id_col], value_set=ray.get(cand_ids_ref))
+        )
 
     texts_all = (
         history_docs.select_columns([id_col, text_col])
@@ -2242,11 +2287,17 @@ def incremental_near_dup(
     # it once (it is O(candidates) rows by construction) and returns the
     # ACTUAL size, so the broadcast guard decides on real bytes
     texts, tsize, _ = _maybe_pin(texts_all, estimate_from=texts_all)
-    small = (not _force_scale()) and (
-        tsize is not None and tsize <= broadcast_max_bytes
+    # the broadcast verify also collects the PAIRS to the driver, so it
+    # additionally requires a bounded pair count — skew can blow up pairs
+    # while the distinct-id text set stays small
+    small = (
+        (not _force_scale())
+        and tsize is not None
+        and tsize <= broadcast_max_bytes
+        and n_pairs <= 2_000_000
     )
     return _verified_pairs(
-        rd.from_arrow(pa.Table.from_pandas(cand_df, preserve_index=False)),
+        cand,
         texts,
         small,
         id_col=id_col,
@@ -2329,7 +2380,11 @@ def build_vector_index(
     else:
         cent = np.asarray(centroids, dtype=np.float64)
     os.makedirs(index_dir, exist_ok=True)
-    _index_meta(index_dir, {"family": "vector", "num_buckets": num_buckets})
+    _index_meta(
+        index_dir,
+        {"family": "vector", "num_buckets": num_buckets,
+         "id_col": id_col, "vec_col": vec_col},
+    )
     cent_path = os.path.join(index_dir, "_centroids.parquet")
     if os.path.exists(cent_path):
         # an index's centroids ARE its assignment contract: silently
@@ -2415,7 +2470,9 @@ def incremental_semantic_dup(
     import pyarrow.parquet as pq
 
     _check_index_meta(
-        index_dir, {"family": "vector", "num_buckets": num_buckets}
+        index_dir,
+        {"family": "vector", "num_buckets": num_buckets,
+         "id_col": id_col, "vec_col": vec_col},
     )
     ct = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
     cent = np.stack(

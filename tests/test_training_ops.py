@@ -1579,3 +1579,55 @@ def test_compact_index_band_and_vector_families(ray_session, tmp_path):
     va = dd.incremental_semantic_dup(vprobe, vidx, threshold=0.9)
     assert vb.to_pydict() == va.to_pydict()
     assert va["dup_of"].to_pylist() == [2]
+
+
+def test_index_meta_adoption_over_legacy_dir_refused(ray_session, tmp_path):
+    """Building into a dir that has bucket data but no _meta.json must
+    refuse to adopt this call's parameters — the existing rows may be
+    keyed under a different layout."""
+    import os
+
+    legacy = tmp_path / "legacy" / "bucket=0000"
+    os.makedirs(legacy)
+    with pytest.raises(ValueError, match="bucket data but no _meta.json"):
+        dd.build_hash_index(_inc_corpus(), str(tmp_path / "legacy"))
+
+
+def test_incremental_near_dup_missing_candidate_text_dropped(
+    ray_session, tmp_path
+):
+    """A candidate partner whose text row no longer exists (deleted since
+    indexing) must be DROPPED by the broadcast verify path, matching the
+    scale path's inner-join semantics — not crash with KeyError."""
+    import ray.data as rd
+
+    idx = str(tmp_path / "bidx")
+    base = _long_doc("h")
+    hist_full = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": [base, _long_doc("z")],
+            }
+        )
+    )
+    dd.build_band_index(hist_full, idx)
+    probe = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10], type=pa.int64()),
+                "text": [base.rsplit(" ", 1)[0] + " edited"],
+            }
+        )
+    )
+    # caller's history view lost doc 1 (the matching partner)
+    hist_missing = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2], type=pa.int64()),
+                "text": [_long_doc("z")],
+            }
+        )
+    )
+    out = dd.incremental_near_dup(probe, idx, hist_missing, threshold=0.8)
+    assert out.num_rows == 0  # dropped, not KeyError

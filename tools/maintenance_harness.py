@@ -959,8 +959,12 @@ def scenario_index_kill_resume(scratch: str) -> dict:
         [sys.executable, "-c", WORKER_SRC, "idx-screen", root],
         env={**os.environ, "HARNESS_REPO": REPO,
              "OFLR_INDEX_DELTA_SLEEP_S": "0.8"},
-        stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
+        # DEVNULL, not PIPE: nobody drains these, and a chatty Ray startup
+        # filling the 64 KB pipe buffer would block the child BEFORE any
+        # delta publishes — the watcher would then SIGKILL an idle process
+        # and the scenario would flake as a vacuous mid_run=False
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
     )
     pattern = os.path.join(root, "index", "bucket=*", "s1.parquet")
     deadline = time.time() + 120
