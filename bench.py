@@ -55,7 +55,27 @@ def cpu_probe() -> dict:
     for _ in range(5):
         x = np.sqrt(np.abs(x) + 1.0)
     scalar = time.perf_counter() - t0
-    return {"matmul_sec": round(matmul, 4), "scalar_sec": round(scalar, 4)}
+    # disk write throughput: the second independent host axis. Measured
+    # 2026-08-19: CPU probes FAST (matmul 0.51 / scalar 0.024) while the
+    # bench ran 30 s — /tmp writes were throttled to ~128 MB/s (vs a
+    # multi-GB/s cached read), and compact, the write-heaviest stage, sat
+    # at 10x its quiet-disk trial band. A slow sample with a fast CPU
+    # probe and a slow disk probe is the disk, not the code.
+    import tempfile
+
+    buf = b"\x5a" * (8 << 20)
+    with tempfile.NamedTemporaryFile(dir="/tmp", delete=True) as f:
+        t0 = time.perf_counter()
+        for _ in range(16):  # 128 MiB
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+        disk = time.perf_counter() - t0
+    return {
+        "matmul_sec": round(matmul, 4),
+        "scalar_sec": round(scalar, 4),
+        "disk_write_mbps": round(128 / disk, 1),
+    }
 
 
 def run_bench() -> dict:
