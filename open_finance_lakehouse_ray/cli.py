@@ -161,6 +161,24 @@ def _main(argv: list[str] | None = None) -> int:
                      "--version": {"type": int, "default": None},
                      "--copy": {"action": "store_true",
                                 "help": "copy instead of hard-link"}})
+    ip = sub.add_parser("index")
+    ip.add_argument("--root", required=True, help="index directory")
+    ip.add_argument("--action", required=True,
+                    choices=["build", "screen", "compact"])
+    ip.add_argument("--docs", default=None,
+                    help="documents parquet (build / screen)")
+    ip.add_argument("--id-col", default="doc_id")
+    ip.add_argument("--text-col", default="text")
+    ip.add_argument("--shard", default=None,
+                    help="shard tag (default: base for build, delta for "
+                         "screen) — index ACCEPTED shards under their own "
+                         "tag AFTER screening")
+    ip.add_argument("--dest", default=None,
+                    help="screen: write the surviving (novel) rows here")
+    ip.add_argument("--no-update-index", action="store_true",
+                    help="screen without publishing the survivors' digests")
+    ip.add_argument("--job-id", default=None)
+
     rp = sub.add_parser("registry")
     rp.add_argument("--registry", required=True, help="path to registry.yml")
     rp.add_argument("--action", default="maintain",
@@ -186,7 +204,7 @@ def _main(argv: list[str] | None = None) -> int:
     _REGISTRY_RAY_ACTIONS = ("maintain", "scrubs", "marts")
     needs_ray = args.cmd in (
         "ingest", "compact", "zorder", "merge", "rewrite-manifests", "check",
-        "maintain", "delete", "update", "changes", "alter",
+        "maintain", "delete", "update", "changes", "alter", "index",
     ) or (args.cmd == "registry" and args.action in _REGISTRY_RAY_ACTIONS)
     if needs_ray:
         _ray_session(args.num_cpus)
@@ -340,6 +358,38 @@ def _main(argv: list[str] | None = None) -> int:
                          link=not args.copy)
         out["export"] = {k: m[k] for k in ("snapshot_version", "rows", "status")}
         out["files"] = len(m["files"])
+    elif args.cmd == "index":
+        # the daily-ingest dedup flow from the CLI: build the corpus
+        # identity index once, screen each arriving shard against it
+        # (survivors publish their digests so the NEXT shard sees them),
+        # compact the accumulated per-shard deltas periodically
+        from open_finance_lakehouse_ray.pipelines import dedup as dd
+
+        if args.action == "compact":
+            out.update(dd.compact_index(args.root))
+        else:
+            if not args.docs:
+                p.error("--docs is required for index build/screen")
+            import ray.data as rd
+
+            docs = rd.read_parquet(args.docs)
+            if args.action == "build":
+                out["entries"] = dd.build_hash_index(
+                    docs, args.root, key_col=args.text_col,
+                    shard=args.shard or "base",
+                )
+            else:  # screen
+                kept = dd.incremental_dedup(
+                    docs, args.root,
+                    key_col=args.text_col, id_col=args.id_col,
+                    shard=args.shard or "delta",
+                    update_index=not args.no_update_index,
+                ).materialize()  # one execution drives BOTH the index
+                # update and the sink below
+                out["kept_rows"] = kept.count()
+                if args.dest:
+                    kept.write_parquet(args.dest)
+                    out["dest"] = args.dest
     elif args.cmd == "registry":
         from open_finance_lakehouse_ray.registry import (
             build_registry_marts,

@@ -1631,3 +1631,52 @@ def test_incremental_near_dup_missing_candidate_text_dropped(
     )
     out = dd.incremental_near_dup(probe, idx, hist_missing, threshold=0.8)
     assert out.num_rows == 0  # dropped, not KeyError
+
+
+def test_cli_index_build_screen_compact(ray_session, tmp_path, capsys):
+    """The daily-ingest dedup flow through the CLI surface: build the
+    identity index, screen a shard (survivors published + written),
+    compact the deltas — survivors verified by an independent DuckDB
+    read."""
+    import json
+
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    from open_finance_lakehouse_ray.cli import _main
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["alpha beta", "gamma delta", "epsilon zeta"],
+            }
+        ),
+        str(tmp_path / "corpus.parquet"),
+    )
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12], pa.int64()),
+                # 10: history dup; 11: novel; 12: within-shard dup of 11
+                "text": ["gamma delta", "new doc one", "new doc one"],
+            }
+        ),
+        str(tmp_path / "shard.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    assert _main(["index", "--root", idx, "--action", "build",
+                  "--docs", str(tmp_path / "corpus.parquet")]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["entries"] == 3
+    dest = str(tmp_path / "kept")
+    assert _main(["index", "--root", idx, "--action", "screen",
+                  "--docs", str(tmp_path / "shard.parquet"),
+                  "--shard", "s1", "--dest", dest]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["kept_rows"] == 1
+    rows = duckdb.sql(
+        f"select doc_id from read_parquet('{dest}/*.parquet')"
+    ).fetchall()
+    assert [r[0] for r in rows] == [11]
+    assert _main(["index", "--root", idx, "--action", "compact"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["files_after"] <= stats["files_before"]
