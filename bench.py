@@ -64,7 +64,9 @@ def cpu_probe() -> dict:
     import tempfile
 
     buf = b"\x5a" * (8 << 20)
-    with tempfile.NamedTemporaryFile(dir="/tmp", delete=True) as f:
+    # probe the SAME tmp area the bench trials write to (tempfile honors
+    # TMPDIR) — probing a different device would misattribute slowness
+    with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir(), delete=True) as f:
         t0 = time.perf_counter()
         for _ in range(16):  # 128 MiB
             f.write(buf)

@@ -170,9 +170,11 @@ def _main(argv: list[str] | None = None) -> int:
     ip.add_argument("--id-col", default="doc_id")
     ip.add_argument("--text-col", default="text")
     ip.add_argument("--shard", default=None,
-                    help="shard tag (default: base for build, delta for "
-                         "screen) — index ACCEPTED shards under their own "
-                         "tag AFTER screening")
+                    help="shard tag (default: base for build; for screen "
+                         "the JOB ID, so two default-flag screens can "
+                         "never overwrite each other's published digests "
+                         "— pass the same --shard to RESUME a killed "
+                         "screen)")
     ip.add_argument("--dest", default=None,
                     help="screen: write the surviving (novel) rows here")
     ip.add_argument("--no-update-index", action="store_true",
@@ -379,10 +381,17 @@ def _main(argv: list[str] | None = None) -> int:
                     shard=args.shard or "base",
                 )
             else:  # screen
+                # default shard tag = the job id: unique per invocation,
+                # so consecutive default-flag screens never os.replace
+                # each other's published digests out of the index (the
+                # round-5 third-review finding); a killed screen resumes
+                # by passing the SAME --shard (or --job-id) again
+                shard = args.shard or job_id
+                out["shard"] = shard
                 kept = dd.incremental_dedup(
                     docs, args.root,
                     key_col=args.text_col, id_col=args.id_col,
-                    shard=args.shard or "delta",
+                    shard=shard,
                     update_index=not args.no_update_index,
                 ).materialize()  # one execution drives BOTH the index
                 # update and the sink below
@@ -390,6 +399,9 @@ def _main(argv: list[str] | None = None) -> int:
                 if args.dest:
                     kept.write_parquet(args.dest)
                     out["dest"] = args.dest
+                if not args.no_update_index:
+                    # the screen fully consumed: its deltas may now fold
+                    dd.mark_shard_complete(args.root, shard)
     elif args.cmd == "registry":
         from open_finance_lakehouse_ray.registry import (
             build_registry_marts,

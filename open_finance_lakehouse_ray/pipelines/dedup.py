@@ -389,6 +389,7 @@ def _verified_pairs(
     text_col: str,
     threshold: float,
     shingle_k: int,
+    pre_deduped: bool = False,
 ) -> pa.Table:
     """Shared tail of the shingle-based near-dup family: dedup candidate
     (id_a, id_b) pairs, attach texts, verify by EXACT k-shingle Jaccard.
@@ -413,7 +414,8 @@ def _verified_pairs(
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "jaccard": pa.array([], pa.float64())})
-        cand_df = cand_df.drop_duplicates(["id_a", "id_b"])
+        if not pre_deduped:
+            cand_df = cand_df.drop_duplicates(["id_a", "id_b"])
 
         def verify_small(batch: pa.Table) -> pa.Table:
             lookup = ray.get(texts_ref)
@@ -444,7 +446,8 @@ def _verified_pairs(
         )
     else:
         # scale path: distributed pair dedup + bucketed text joins
-        cand = _dedup_pairs(cand)
+        if not pre_deduped:
+            cand = _dedup_pairs(cand)
 
         from open_finance_lakehouse_ray.pipelines.join import join as ds_join
 
@@ -1817,13 +1820,25 @@ def _index_meta(index_dir: str, meta: dict) -> None:
 
     path = os.path.join(index_dir, "_meta.json")
     if os.path.exists(path):
+        import warnings
+
         with open(path) as fh:
             prior = json.load(fh)
-        if prior != meta:
+        p_layout, p_cols = _split_meta(prior)
+        m_layout, m_cols = _split_meta(meta)
+        if p_layout != m_layout:
             raise ValueError(
-                f"index at {index_dir!r} was built with {prior}; "
-                f"this call uses {meta} — pass the original parameters "
-                "or build a new index dir"
+                f"index at {index_dir!r} was built with {p_layout}; "
+                f"this call uses {m_layout} — pass the original "
+                "parameters or build a new index dir"
+            )
+        if p_cols != m_cols:
+            warnings.warn(
+                f"index at {index_dir!r} was built from columns "
+                f"{p_cols}; this build reads {m_cols} — fine for a "
+                "renamed view of the same content, silent key-space "
+                "divergence otherwise",
+                stacklevel=3,
             )
         return
     if any(d.startswith("bucket=") for d in os.listdir(index_dir)):
@@ -1842,11 +1857,29 @@ def _index_meta(index_dir: str, meta: dict) -> None:
     os.replace(tmp, path)
 
 
+# meta keys that name source COLUMNS rather than defining the key layout:
+# a mismatch is surfaced loudly but not fatal — the stored rows are
+# schema-normalized, so a renamed view of the same content is a valid
+# lookup, while a genuinely wrong column silently misses every stored row
+# (two review passes pulled in opposite directions here; warn-not-raise
+# serves both).
+_META_COLUMN_KEYS = ("key_col", "id_col", "text_col", "vec_col")
+
+
+def _split_meta(meta: dict) -> tuple[dict, dict]:
+    layout = {k: v for k, v in meta.items() if k not in _META_COLUMN_KEYS}
+    cols = {k: v for k, v in meta.items() if k in _META_COLUMN_KEYS}
+    return layout, cols
+
+
 def _check_index_meta(index_dir: str, expect: dict) -> None:
-    """Lookup-side twin of :func:`_index_meta`: layout parameters must
-    match the persisted contract exactly (a missing `_meta.json` means
-    the dir is not one of these indexes)."""
+    """Lookup-side twin of :func:`_index_meta`: LAYOUT parameters
+    (family, bucket count, band geometry) must match the persisted
+    contract exactly — a mismatch means every stored row silently misses.
+    Column NAMES are compared too but only warn (see _META_COLUMN_KEYS).
+    A missing `_meta.json` means the dir is not one of these indexes."""
     import json
+    import warnings
 
     path = os.path.join(index_dir, "_meta.json")
     if not os.path.exists(path):
@@ -1856,12 +1889,47 @@ def _check_index_meta(index_dir: str, expect: dict) -> None:
         )
     with open(path) as fh:
         prior = json.load(fh)
-    if prior != expect:
+    p_layout, p_cols = _split_meta(prior)
+    e_layout, e_cols = _split_meta(expect)
+    if p_layout != e_layout:
         raise ValueError(
-            f"index at {index_dir!r} was built with {prior}; this lookup "
-            f"uses {expect} — bucket/band keys would not match and every "
-            "stored row would silently miss"
+            f"index at {index_dir!r} was built with {p_layout}; this "
+            f"lookup uses {e_layout} — bucket/band keys would not match "
+            "and every stored row would silently miss"
         )
+    if p_cols != e_cols:
+        warnings.warn(
+            f"index at {index_dir!r} was built from columns {p_cols}; "
+            f"this lookup reads {e_cols} — fine for a renamed view of "
+            "the same content, a silent full miss otherwise",
+            stacklevel=3,
+        )
+
+
+def mark_shard_complete(index_dir: str, shard: str) -> None:
+    """Record that ``shard``'s screen/build has fully consumed its
+    results — the gate :func:`compact_index` requires before folding that
+    shard's deltas into a generation file. Folding an IN-FLIGHT shard's
+    partial deltas would break its same-tag resume: the own-delta
+    exclusion matches the exact ``<shard>.parquet`` name, so digests
+    moved into a generation file read as history and the retry drops its
+    own rows as duplicates. The builders mark their shard themselves
+    (they are eager); after consuming :func:`incremental_dedup`'s lazy
+    result, the CALLER marks the shard (the CLI ``index --action screen``
+    does)."""
+    d = os.path.join(index_dir, "_shards")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{shard}.tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write("done")
+    os.replace(tmp, os.path.join(d, f"{shard}.done"))
+
+
+def _completed_shards(index_dir: str) -> set[str]:
+    d = os.path.join(index_dir, "_shards")
+    if not os.path.isdir(d):
+        return set()
+    return {f[: -len(".done")] for f in os.listdir(d) if f.endswith(".done")}
 
 
 def _read_bucket_tables(
@@ -1948,6 +2016,7 @@ def build_hash_index(
         .to_pandas()
     )
     # an empty corpus produces an empty frame with no columns at all
+    mark_shard_complete(index_dir, shard)
     return int(counts["n"].sum()) if "n" in counts.columns else 0
 
 
@@ -2158,6 +2227,7 @@ def build_band_index(
         .map_groups(_writer, batch_format="pandas")
         .to_pandas()
     )
+    mark_shard_complete(index_dir, shard)
     return int(counts["n"].sum()) if "n" in counts.columns else 0
 
 
@@ -2304,6 +2374,7 @@ def incremental_near_dup(
         text_col=text_col,
         threshold=threshold,
         shingle_k=shingle_k,
+        pre_deduped=True,  # _dedup_pairs already ran on the materialized set
     )
 
 
@@ -2442,6 +2513,7 @@ def build_vector_index(
         .map_groups(_writer, batch_format="pandas")
         .to_pandas()
     )
+    mark_shard_complete(index_dir, shard)
     return int(counts["n"].sum()) if "n" in counts.columns else 0
 
 
@@ -2572,34 +2644,48 @@ def compact_index(index_dir: str, *, keep_name: str = "compacted") -> dict:
     superset of the vanished delta. A kill between publish and unlink
     leaves duplicates — re-running compaction converges.
 
-    NOTE the one contract this relies on: :func:`incremental_dedup`'s
-    own-delta exclusion matches on the exact ``<shard>.parquet`` name, so
-    compaction folds a shard's delta into the generation file and a LATER
-    re-run of that same shard tag would see its own rows as history.
-    Compact only shards that are finished for good (the same rule as
-    expiring a table snapshot that a resume might still need).
+    The one contract this relies on — :func:`incremental_dedup`'s
+    own-delta exclusion matches the exact ``<shard>.parquet`` name, so
+    folding an IN-FLIGHT shard's deltas would make a same-tag resume see
+    its own rows as history — is ENFORCED, not advisory: only shards
+    with a `_shards/<shard>.done` marker (written by the builders on
+    completion, and by callers via :func:`mark_shard_complete` after
+    consuming a screen) fold; unmarked deltas are left in place, so a
+    compaction racing a killed screen's resume is safe by construction
+    (the round-5 third-review finding).
 
     Distributed shape: one Ray task per non-empty bucket (bounded by the
     bucket count); each task touches only its own directory. Returns
-    {"buckets": n, "files_before": n, "files_after": n, "rows": n}.
+    {"buckets": n, "files_before": n, "files_after": n, "rows": n,
+    "skipped_incomplete": n}.
     """
     import pyarrow.parquet as pq
 
+    done = _completed_shards(index_dir)
+
     @ray.remote
-    def _compact_bucket(bucket_dir: str) -> tuple[int, int, int]:
+    def _compact_bucket(bucket_dir: str) -> tuple[int, int, int, int]:
         files = sorted(
             f for f in os.listdir(bucket_dir) if f.endswith(".parquet")
         )
-        if len(files) <= 1:
-            return (len(files), len(files), 0)
+
+        def _foldable(f: str) -> bool:
+            if f.startswith(keep_name + "-"):
+                return True
+            return f[: -len(".parquet")] in done
+
+        fold = [f for f in files if _foldable(f)]
+        skipped = len(files) - len(fold)
+        if len(fold) <= 1:
+            return (len(files), len(files), 0, skipped)
         gen = 0
-        for f in files:
+        for f in fold:
             if f.startswith(keep_name + "-"):
                 try:
                     gen = max(gen, int(f[len(keep_name) + 1 : -len(".parquet")]))
                 except ValueError:
                     pass
-        tabs = [pq.read_table(os.path.join(bucket_dir, f)) for f in files]
+        tabs = [pq.read_table(os.path.join(bucket_dir, f)) for f in fold]
         merged = pa.concat_tables(tabs).to_pandas().drop_duplicates()
         out_name = f"{keep_name}-{gen + 1}.parquet"
         # the pandas round-trip widens fixed-width types (binary(16) ->
@@ -2610,9 +2696,9 @@ def compact_index(index_dir: str, *, keep_name: str = "compacted") -> dict:
             .select(tabs[0].schema.names)
             .cast(tabs[0].schema),
         )
-        for f in files:  # only after the merged generation is visible
+        for f in fold:  # only after the merged generation is visible
             os.unlink(os.path.join(bucket_dir, f))
-        return (len(files), 1, len(merged))
+        return (len(files), len(files) - len(fold) + 1, len(merged), skipped)
 
     buckets = [
         os.path.join(index_dir, d)
@@ -2625,4 +2711,5 @@ def compact_index(index_dir: str, *, keep_name: str = "compacted") -> dict:
         "files_before": sum(r[0] for r in results),
         "files_after": sum(r[1] for r in results),
         "rows": sum(r[2] for r in results),
+        "skipped_incomplete": sum(r[3] for r in results),
     }

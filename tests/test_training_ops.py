@@ -1470,13 +1470,24 @@ def test_compact_index_preserves_lookups(ray_session, tmp_path):
         dd.incremental_dedup(probe, idx, shard="probe", update_index=False)
         .to_pandas()["doc_id"]
     )
+    # s1 is UNMARKED (its lazy screen result was consumed, but nobody
+    # called mark_shard_complete): compaction must skip its deltas so a
+    # same-tag resume stays possible
+    stats0 = dd.compact_index(idx)
+    assert stats0["skipped_incomplete"] > 0
+    mid = sorted(
+        dd.incremental_dedup(probe, idx, shard="probe", update_index=False)
+        .to_pandas()["doc_id"]
+    )
+    dd.mark_shard_complete(idx, "s1")
     stats = dd.compact_index(idx)
+    assert stats["skipped_incomplete"] == 0
     assert stats["files_after"] <= stats["files_before"]
     after = sorted(
         dd.incremental_dedup(probe, idx, shard="probe", update_index=False)
         .to_pandas()["doc_id"]
     )
-    assert before == after == [22]
+    assert before == mid == after == [22]
     # schema preserved through the pandas round-trip
     import pyarrow.parquet as pq_
 
